@@ -1,0 +1,120 @@
+"""Deterministic mention + relation extraction (pure Python, no Spark).
+
+Replaces the reference's per-chunk Claude tool_use call
+(reference: app/ingestion/extractor.py:138-180) with gazetteer mention
+detection (token-boundary, longest-match-first, case-insensitive, with
+abbreviation expansion per the prompt rule table extractor.py:122-128) and
+label-pattern relation emission over the 8 extractable relationship types.
+
+Imported by the mapInPandas extractor UDF AND by the oracle/test harness —
+one implementation, zero drift, so triple P/R vs the oracle is structural.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .gazetteer import REL_PATTERNS, surface_forms
+
+
+@lru_cache(maxsize=1)
+def _compiled() -> tuple[re.Pattern, dict[str, tuple[str, str, float]]]:
+    forms = surface_forms()
+    # longest-first alternation so "nitroglycerin sl" beats "nitroglycerin"
+    # and "heart attack" beats nothing shorter inside it.
+    alts = sorted(forms, key=len, reverse=True)
+    pat = re.compile(
+        r"(?<![A-Za-z0-9])(" + "|".join(re.escape(a) for a in alts) + r")(?![A-Za-z0-9])",
+        re.IGNORECASE,
+    )
+    return pat, forms
+
+
+def extract_mentions(chunk_text: str) -> list[dict]:
+    """[{name, label, confidence, start_char}] — deterministic scan.
+
+    Non-overlapping longest-first matches at token boundaries; names are the
+    canonical gazetteer forms (abbreviations expanded at detection time, the
+    way the reference's prompt instructs the LLM, extractor.py:43,122-128).
+    """
+    pat, forms = _compiled()
+    out: list[dict] = []
+    for m in pat.finditer(chunk_text):
+        surface = m.group(1)
+        canonical, label, conf = forms[surface.lower()]
+        # direct gazetteer hits emit the canonical spelling; alias hits emit
+        # the raw surface form — mapping alias -> canonical is the resolver's
+        # broadcast alias join (reference pass 0, entity_resolver.py:111-114),
+        # which must see real work (BASELINE.json: broadcast alias dictionary).
+        name = canonical if surface.lower() == canonical.lower() else surface
+        out.append(
+            {"name": name, "label": label, "confidence": conf, "start_char": m.start()}
+        )
+    return out
+
+
+def extract_triples(mentions: list[dict]) -> list[dict]:
+    """[(subj, subj_label, pred, obj, obj_label, confidence)] from one chunk's
+    mentions.
+
+    For each of the 8 (src_label, rel, dst_label) patterns, emit a triple for
+    every (src, dst) mention pair co-occurring in the chunk, deduplicated on
+    (subj, pred, obj) keeping max confidence (the reference analog: one LLM
+    emission per clinically-linked pair, extractor.py:93-100; within-chunk
+    max-confidence dedup per entity_resolver.py:71-82).
+    """
+    by_label: dict[str, list[dict]] = {}
+    for m in mentions:
+        by_label.setdefault(m["label"], []).append(m)
+
+    best: dict[tuple[str, str, str], dict] = {}
+    for src_label, rel, dst_label in REL_PATTERNS:
+        for s in by_label.get(src_label, ()):
+            for o in by_label.get(dst_label, ()):
+                if s["name"] == o["name"]:
+                    continue
+                key = (s["name"], rel, o["name"])
+                conf = min(s["confidence"], o["confidence"])
+                prev = best.get(key)
+                if prev is None or conf > prev["confidence"]:
+                    best[key] = {
+                        "subj": s["name"],
+                        "subj_label": src_label,
+                        "pred": rel,
+                        "obj": o["name"],
+                        "obj_label": dst_label,
+                        "confidence": conf,
+                    }
+    return [best[k] for k in sorted(best)]
+
+
+def extract_chunk(chunk_id: str, url: str, chunk_text: str) -> tuple[list[dict], list[dict]]:
+    """(mentions, triples) for one chunk, rows carrying provenance keys.
+
+    Mentions are deduplicated on (name, label) keeping max confidence within
+    the chunk (reference: entity_resolver.py:71-82 applies this per chunk).
+    """
+    raw = extract_mentions(chunk_text)
+    best_m: dict[tuple[str, str], dict] = {}
+    for m in raw:
+        key = (m["name"], m["label"])
+        prev = best_m.get(key)
+        if prev is None or m["confidence"] > prev["confidence"]:
+            best_m[key] = m
+    mentions = [
+        {
+            "name": m["name"],
+            "label": m["label"],
+            "confidence": m["confidence"],
+            "start_char": m["start_char"],
+            "chunk_id": chunk_id,
+            "url": url,
+            "method": "gazetteer",
+        }
+        for m in (best_m[k] for k in sorted(best_m))
+    ]
+    triples = [
+        {**t, "chunk_id": chunk_id, "url": url} for t in extract_triples(raw)
+    ]
+    return mentions, triples

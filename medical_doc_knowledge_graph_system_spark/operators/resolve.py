@@ -1,0 +1,188 @@
+"""Distributed entity resolution: alias broadcast join + LSH blocking +
+connected-components union-find + canonical remap.
+
+Reference semantics: app/ingestion/entity_resolver.py:102-143 (see
+corelib.resolve for the exact three-stage contract). This module is the
+distributed execution of the SAME blocking/merge logic:
+
+  pass 0  broadcast hash join against the alias dictionary (C1; BASELINE.json
+          requires broadcasting this dimension).
+  pass 1  MinHash-LSH band keys (pandas UDF, corelib.similarity) -> explode ->
+          self-join on band key -> exact token_sort_ratio filter on the
+          blocked candidate pairs only (C2) -> connected components.
+  pass 2  SimHash band keys over deterministic embeddings -> candidate pairs
+          -> cosine >= 0.85 filter (C3) -> connected components.
+
+Connected components run as an iterative DataFrame min-label propagation
+(GraphFrames-style, SURVEY §4.2.5) with localCheckpoint() per iteration to
+truncate lineage. Name-graph components have tiny diameter (merge chains),
+so the loop converges in a handful of iterations; at 10^12-doc scale the
+vertex set is *distinct names*, orders of magnitude smaller than mentions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corelib.gazetteer import ALIASES
+from ..corelib.similarity import (
+    fuzzy_match,
+    minhash_band_keys,
+    semantic_match,
+    simhash_band_keys,
+)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _minhash_bands(names: pd.Series) -> pd.Series:
+    return names.map(minhash_band_keys)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _simhash_bands(names: pd.Series) -> pd.Series:
+    return names.map(simhash_band_keys)
+
+
+@F.pandas_udf(T.BooleanType())
+def _fuzzy_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([fuzzy_match(x, y) for x, y in zip(a, b)])
+
+
+@F.pandas_udf(T.BooleanType())
+def _semantic_ok(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([semantic_match(x, y) for x, y in zip(a, b)])
+
+
+def alias_dim(spark) -> DataFrame:
+    """The alias dictionary as a (alias_key, alias_canonical) dimension."""
+    return spark.createDataFrame(
+        sorted(ALIASES.items()), schema="alias_key string, alias_canonical string"
+    )
+
+
+def candidate_pairs(names: DataFrame, band_udf) -> DataFrame:
+    """names(name) -> (a, b) pairs sharing any LSH band key, a < b, distinct."""
+    banded = names.select("name", F.explode(band_udf("name")).alias("band"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.name") < F.col("r.name")),
+        )
+        .select(F.col("l.name").alias("a"), F.col("r.name").alias("b"))
+        .distinct()
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """nodes(name), edges(a,b) -> (name, comp) by min-label propagation.
+
+    comp is the lexicographically smallest name in the component. Iterations
+    localCheckpoint to keep lineage flat (SURVEY §4.2.5); loop bound is a
+    safety net — merge components converge in O(diameter) steps.
+    """
+    edges_bi = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lbl = nodes.select("name", F.col("name").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges_bi.join(lbl, edges_bi.y == lbl.name)
+            .groupBy("x")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_lbl = (
+            lbl.join(nbr, lbl.name == nbr.x, "left")
+            .select(
+                "name",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lbl.alias("n")
+            .join(lbl.alias("o"), "name")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        lbl = new_lbl
+        if changed == 0:
+            break
+    return lbl
+
+
+def _canonical_per_component(members: DataFrame) -> DataFrame:
+    """(name, comp) -> (name, canonical): longest name wins, ties -> name asc
+    (deterministic total order, corelib.resolve.canonical_choice)."""
+    canon = members.groupBy("comp").agg(
+        F.min_by("name", F.struct((-F.length("name")).alias("nl"), F.col("name"))).alias(
+            "canonical"
+        )
+    )
+    return members.join(F.broadcast(canon), "comp").select("name", "canonical")
+
+
+def _merge_pass(names: DataFrame, band_udf, match_udf) -> DataFrame:
+    """One blocking+verify+CC pass: names(name) -> (name, canonical)."""
+    pairs = candidate_pairs(names, band_udf)
+    edges = pairs.where(match_udf("a", "b"))
+    members = connected_components(names, edges)
+    return _canonical_per_component(members)
+
+
+def build_name_map(names: DataFrame) -> DataFrame:
+    """distinct names(name) -> (name, canonical). Mirrors
+    corelib.resolve.build_name_map stage for stage."""
+    spark = names.sparkSession
+    # pass 0: broadcast alias join (first-wins over fuzzy, resolver.py:111-114)
+    m0 = (
+        names.join(
+            F.broadcast(alias_dim(spark)),
+            F.lower(F.trim(F.col("name"))) == F.col("alias_key"),
+            "left",
+        )
+        .select("name", F.coalesce("alias_canonical", "name").alias("m0"))
+        .localCheckpoint()
+    )
+    # pass 1: fuzzy over distinct stage-1 names
+    s1 = m0.select(F.col("m0").alias("name")).distinct()
+    m1 = _merge_pass(s1, _minhash_bands, _fuzzy_ok).withColumnRenamed("canonical", "m1")
+    # pass 2: semantic over distinct stage-2 names
+    s2 = m1.select(F.col("m1").alias("name")).distinct()
+    m2 = _merge_pass(s2, _simhash_bands, _semantic_ok).withColumnRenamed("canonical", "m2")
+
+    return (
+        m0.join(m1.withColumnRenamed("name", "m0"), "m0")
+        .join(m2.withColumnRenamed("name", "m1"), "m1")
+        .select("name", F.col("m2").alias("canonical"))
+    )
+
+
+def remap(df: DataFrame, name_map: DataFrame, *cols: str) -> DataFrame:
+    """Replace each of *cols by its canonical via broadcast joins.
+
+    The name_map is a dictionary of distinct names — broadcast kills the
+    head-entity key skew that a shuffle join on `name` would suffer
+    (the Zipf head appears in a large fraction of mentions). If the map ever
+    outgrows broadcast, switch to a salted repartition join; mention-count
+    aggregations use two-phase salted aggregation (operators/skew.py).
+    """
+    out = df
+    for c in cols:
+        nm = name_map.select(
+            F.col("name").alias(f"__k_{c}"), F.col("canonical").alias(f"__v_{c}")
+        )
+        out = (
+            out.join(F.broadcast(nm), out[c] == F.col(f"__k_{c}"), "left")
+            .withColumn(c, F.coalesce(f"__v_{c}", c))
+            .drop(f"__k_{c}", f"__v_{c}")
+        )
+    return out

@@ -1,0 +1,77 @@
+"""Skew-aware helpers: salted two-phase aggregation and salted joins.
+
+The datagen plants a Zipf head entity (BASELINE.json north_rule: salted
+entity-hash keys to defeat head-entity skew). A plain groupBy("name") puts
+every head-entity row in one reducer; salting splits the hot key across S
+partial aggregates, then combines — classic two-phase aggregation. Spark's
+map-side partial aggregation already does much of this for algebraic aggs;
+the explicit salt is the pattern that survives on a 1000-executor cluster
+for high-cardinality keys + AQE-resistant skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def with_salt(df: DataFrame, salts: int = DEFAULT_SALTS) -> DataFrame:
+    # salt only affects row distribution, never results, so a per-row id is
+    # fine; avoids rand() (non-reproducible) and avoids hashing the group
+    # keys (which would send every hot-key row to the same salt).
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
+    )
+
+
+def salted_count(df: DataFrame, *keys: str, salts: int = DEFAULT_SALTS) -> DataFrame:
+    """groupBy(keys).count() with an explicit salted partial phase."""
+    partial = (
+        with_salt(df, salts)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__c").cast("long").alias("count"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """General two-phase salted aggregation for algebraic aggregates.
+
+    partial_aggs run per (keys, salt); final_aggs combine the partials per
+    keys. Caller is responsible for choosing re-aggregable functions
+    (sum/sum, count/sum, min/min, max/max).
+    """
+    return (
+        with_salt(df, salts)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_aggs)
+        .groupBy(*keys)
+        .agg(*final_aggs)
+    )
+
+
+def salted_join_big_small(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = DEFAULT_SALTS,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-safe shuffle join: replicate the small side across S salts and
+    join on (key, salt). Used when the small side is too large to broadcast
+    but the big side's key is skewed. (At local test scale `remap` broadcasts
+    instead; this is the cluster-scale fallback.)"""
+    salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)))
+    replicated = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))).withColumn(
+        "__salt", F.col("__salt").cast("long")
+    )
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")

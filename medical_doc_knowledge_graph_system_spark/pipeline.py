@@ -1,0 +1,116 @@
+"""End-to-end KG construction pipeline with per-stage checkpoint/resume.
+
+Stage graph (all lazy DataFrames; each stage materializes to the warehouse
+and records a checkpoint + per-partition metrics, so a killed job resumes
+from the last complete stage — north_rule resumability):
+
+  pages --repartition(url-hash)--> chunks --mapInPandas--> mentions_raw
+       --broadcast-pattern-join--> triples_raw
+  distinct names --alias-broadcast + LSH + CC--> name_map
+  mentions_raw/triples_raw --broadcast remap--> mentions / triples
+  mentions --salted agg--> nodes ; triples --salted agg--> edges
+  mentions --projection--> provenance_edges
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.chunk import chunk_pages
+from .operators.extract import derive_triples, extract_mentions
+from .operators.materialize import build_edges, build_nodes, build_provenance_edges
+from .operators.resolve import build_name_map, remap
+from .sources.warehouse import Warehouse
+
+STAGES = [
+    "chunks",
+    "mentions_raw",
+    "triples_raw",
+    "name_map",
+    "mentions",
+    "triples",
+    "nodes",
+    "edges",
+    "provenance_edges",
+]
+
+
+def _run_stage(wh: Warehouse, spark: SparkSession, stage: str, make, resume: bool) -> None:
+    if resume and wh.checkpoint_done(stage) and wh.exists(stage):
+        return
+    t0 = time.time()
+    df = make()
+    wh.write(df, stage)
+    wall_ms = (time.time() - t0) * 1000
+    rows = wh.read(spark, stage).count()
+    wh.log_partition_metrics(spark, stage, stage)
+    wh.mark_checkpoint(stage, "complete", rows, wall_ms)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse_root: str,
+    resume: bool = False,
+) -> dict:
+    """Run chunk -> extract -> resolve -> materialize; returns stats dict."""
+    wh = Warehouse(warehouse_root)
+    if not resume:
+        wh.reset_meta()
+        for s in STAGES:
+            wh.drop(s)
+    t_start = time.time()
+
+    _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume)
+    chunks = wh.read(spark, "chunks")
+
+    _run_stage(wh, spark, "mentions_raw", lambda: extract_mentions(chunks), resume)
+    mentions_raw = wh.read(spark, "mentions_raw")
+
+    _run_stage(wh, spark, "triples_raw", lambda: derive_triples(mentions_raw), resume)
+    triples_raw = wh.read(spark, "triples_raw")
+
+    def make_name_map():
+        names = (
+            mentions_raw.select("name")
+            .union(triples_raw.select(F.col("subj").alias("name")))
+            .union(triples_raw.select(F.col("obj").alias("name")))
+            .distinct()
+        )
+        return build_name_map(names)
+
+    _run_stage(wh, spark, "name_map", make_name_map, resume)
+    name_map = wh.read(spark, "name_map")
+
+    def make_mentions():
+        remapped = remap(mentions_raw, name_map, "name")
+        # post-resolution within-chunk (name, label) dedup keeping max
+        # confidence (reference: entity_resolver.py:71-82)
+        return remapped.groupBy("chunk_id", "url", "name", "label").agg(
+            F.max("confidence").alias("confidence"),
+            F.min("start_char").alias("start_char"),
+            F.min("method").alias("method"),
+        )
+
+    _run_stage(wh, spark, "mentions", make_mentions, resume)
+    mentions = wh.read(spark, "mentions")
+
+    _run_stage(
+        wh, spark, "triples", lambda: remap(triples_raw, name_map, "subj", "obj"), resume
+    )
+    triples = wh.read(spark, "triples")
+
+    _run_stage(wh, spark, "nodes", lambda: build_nodes(mentions), resume)
+    _run_stage(wh, spark, "edges", lambda: build_edges(triples), resume)
+    _run_stage(
+        wh, spark, "provenance_edges", lambda: build_provenance_edges(mentions), resume
+    )
+
+    wall = time.time() - t_start
+    stats = {s: wh.read(spark, s).count() for s in STAGES}
+    stats["wall_sec"] = round(wall, 3)
+    stats["triples_per_sec"] = round(stats["triples"] / wall, 2) if wall > 0 else None
+    return stats

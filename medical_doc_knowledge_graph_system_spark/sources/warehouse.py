@@ -1,0 +1,137 @@
+"""Parquet-backed warehouse with MERGE emulation, checkpoints and metrics.
+
+Design target is partitioned Iceberg tables with MERGE INTO (SURVEY §4.2.6);
+the sandbox has no Iceberg runtime jar, so this module implements the
+documented fallback (SURVEY §7.3.4): partitioned parquet + upsert-by-rewrite
+keyed on the same natural keys the reference enforces with uniqueness
+constraints (app/graph/schema_setup.py:18-28). The API is Iceberg-shaped so
+swapping `Warehouse` for a catalog is a one-module change.
+
+Also owns the resumability contract (north_rule): `_checkpoints` records
+stage completion and `_metrics` records per-partition row counts + wall time
+(lineage / extraction-count metrics per partition).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def merge_upsert(self, df: DataFrame, name: str, keys: list[str]) -> None:
+        """MERGE INTO emulation: new rows win on key collision.
+
+        Iceberg equivalent: MERGE INTO name USING df ON keys WHEN MATCHED
+        THEN UPDATE WHEN NOT MATCHED THEN INSERT (reference upsert semantics:
+        per-label MERGE in app/graph/queries.py:9-114).
+        """
+        spark = df.sparkSession
+        if not self.exists(name):
+            self.write(df.dropDuplicates(keys), name)
+            return
+        existing = self.read(spark, name)
+        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df.dropDuplicates(keys))
+        tmp = self.path(f"__tmp_{name}")
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path(name))
+        os.rename(tmp, self.path(name))
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    # -- checkpoints & per-partition metrics (north_rule resumability) --------
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.jsonl")
+
+    def checkpoint_done(self, stage: str) -> bool:
+        p = self._meta_path("_checkpoints")
+        if not os.path.exists(p):
+            return False
+        done = False
+        with open(p) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["stage"] == stage:
+                    done = rec["status"] == "complete"
+        return done
+
+    def mark_checkpoint(self, stage: str, status: str, rows: int, wall_ms: float) -> None:
+        with open(self._meta_path("_checkpoints"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "stage": stage,
+                        "status": status,
+                        "rows": rows,
+                        "wall_ms": round(wall_ms, 1),
+                        "finished_at": time.time(),
+                    }
+                )
+                + "\n"
+            )
+
+    def log_partition_metrics(self, spark: SparkSession, stage: str, table: str) -> None:
+        """Per-partition lineage: rows per input partition of the written
+        table, appended to _metrics.jsonl."""
+        df = self.read(spark, table)
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        with open(self._meta_path("_metrics"), "a") as f:
+            for r in counts:
+                f.write(
+                    json.dumps(
+                        {
+                            "stage": stage,
+                            "table": table,
+                            "partition_id": r["partition_id"],
+                            "rows": r["count"],
+                            "logged_at": time.time(),
+                        }
+                    )
+                    + "\n"
+                )
+
+    def reset_meta(self) -> None:
+        for name in ("_checkpoints", "_metrics"):
+            p = self._meta_path(name)
+            if os.path.exists(p):
+                os.remove(p)
