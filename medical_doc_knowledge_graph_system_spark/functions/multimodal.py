@@ -1,0 +1,113 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video are `binary` columns with a metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched mapInPandas
+stages. The actual codec calls are STUBBED (image/audio libraries are not in
+this container — clearly marked below); the Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real implementation would use PIL/opencv (not in container)."""
+    raise NotImplementedError("image decode requires PIL/opencv; not available here")
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB: real implementation would use soundfile/ffmpeg (not in container)."""
+    raise NotImplementedError("audio decode requires soundfile/ffmpeg; not available here")
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic byte-level feature vector standing in for the decoded
+    feature extractor — exercises the exact same schema / batching path."""
+    if not payload:
+        return [0.0] * dim
+    d = hashlib.sha256(payload).digest()
+    return [d[i] / 255.0 for i in range(dim)]
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "features": [_fake_features(p) for p in pdf["payload"]],
+            }
+        )
+
+
+def extract_features(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> per-item feature vectors via mapInPandas.
+
+    Partitions on media_id hash so feature extraction never shuffles
+    payload bytes more than once; binary stays off the driver."""
+    n = num_partitions or media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.select("media_id", "kind", "payload")
+        .repartition(n, F.xxhash64("media_id"))
+        .mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp (pure column
+    expressions; the decode of each frame is the stubbed part). Demonstrates
+    1->N explode plumbing for frame-level datasets."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""KG construction operators instantiated over the driver's `documents`
+table (doc_id, text, lang, source, n_chars).
+
+Same operator shapes as the medical pipeline (gazetteer broadcast join ->
+mention detection -> pattern-join relation extraction -> aggregation ->
+k-hop), but with a gazetteer over the synthetic corpus vocabulary and done
+entirely in Catalyst column expressions so every step has an exact ANSI-SQL
+DuckDB oracle. The SQL strings are generated from the same dicts used by the
+DataFrame code, so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# term -> label over the synthetic documents vocabulary
+WEB_GAZETTEER: dict[str, str] = {
+    "join": "Operator",
+    "scan": "Operator",
+    "filter": "Operator",
+    "sort": "Operator",
+    "merge": "Operator",
+    "agg": "Operator",
+    "window": "Operator",
+    "group": "Operator",
+    "hash": "Operator",
+    "table": "Structure",
+    "row": "Structure",
+    "column": "Structure",
+    "key": "Structure",
+    "vector": "Structure",
+    "line": "Structure",
+    "part": "Structure",
+    "spark": "System",
+    "stream": "System",
+    "batch": "System",
+    "query": "System",
+    "fast": "Quality",
+    "slow": "Quality",
+    "small": "Quality",
+    "big": "Quality",
+}
+
+# (subj_label, pred, obj_label) relation patterns (co-occurrence in a doc)
+WEB_REL_PATTERNS: list[tuple[str, str, str]] = [
+    ("System", "EXECUTES", "Operator"),
+    ("Operator", "APPLIED_TO", "Structure"),
+    ("Quality", "DESCRIBES", "Operator"),
+]
+
+
+def gazetteer_values_sql() -> str:
+    """VALUES list for the DuckDB oracle — generated from WEB_GAZETTEER."""
+    rows = ", ".join(f"('{t}', '{l}')" for t, l in sorted(WEB_GAZETTEER.items()))
+    return f"(VALUES {rows}) AS gaz(term, label)"
+
+
+def patterns_values_sql() -> str:
+    rows = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in WEB_REL_PATTERNS)
+    return f"(VALUES {rows}) AS pat(src_label, pred, dst_label)"
+
+
+def _tokens():
+    return F.split(F.lower(F.trim(F.col("text"))), " ")
+
+
+def doc_mentions(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, label): gazetteer terms present in each document.
+
+    Broadcast hash join against the gazetteer dimension (C1 shape) with a
+    token-membership predicate — no Python, fully codegen'd.
+    """
+    spark = docs.sparkSession
+    gaz = spark.createDataFrame(
+        sorted(WEB_GAZETTEER.items()), schema="term string, label string"
+    )
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    return (
+        toks.join(F.broadcast(gaz), F.array_contains(F.col("toks"), F.col("term")))
+        .select("doc_id", "term", "label")
+    )
+
+
+def mention_counts(docs: DataFrame) -> DataFrame:
+    """Docs-per-term counts (D2 analogue), ordered deterministically."""
+    return (
+        doc_mentions(docs)
+        .groupBy("term", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def doc_triples(docs: DataFrame) -> DataFrame:
+    """Aggregated (subj, pred, obj, n_docs): pattern-join relation extraction
+    (broadcast pattern dim + per-doc self-join, the C5/derive_triples shape)."""
+    m = doc_mentions(docs)
+    spark = docs.sparkSession
+    pat = spark.createDataFrame(
+        WEB_REL_PATTERNS, schema="src_label string, pred string, dst_label string"
+    )
+    s = m.select(F.col("doc_id").alias("s_doc"), F.col("term").alias("subj"), F.col("label").alias("s_lbl"))
+    o = m.select(F.col("doc_id").alias("o_doc"), F.col("term").alias("obj"), F.col("label").alias("o_lbl"))
+    return (
+        s.join(F.broadcast(pat), s.s_lbl == pat.src_label)
+        .join(o, (F.col("s_doc") == F.col("o_doc")) & (F.col("o_lbl") == F.col("dst_label")) & (F.col("subj") != F.col("obj")))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def cooccur_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k co-mentioned term pairs by doc count (E2 top-k shape:
+    TakeOrderedAndProject, no full sort)."""
+    m = doc_mentions(docs).select("doc_id", "term")
+    l = m.select(F.col("doc_id").alias("d"), F.col("term").alias("term_a"))
+    r = m.select(F.col("doc_id").alias("d"), F.col("term").alias("term_b"))
+    return (
+        l.join(r, "d")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "term_a", "term_b")
+        .limit(k)
+    )
+
+
+def khop2(docs: DataFrame, seed: str = "join") -> DataFrame:
+    """2-hop neighborhood of a seed term over the co-occurrence triple graph,
+    min-hop per node (C8/D8 unrolled to SQL-expressible form)."""
+    e = doc_triples(docs).select("subj", "obj")
+    und = e.union(e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))).distinct()
+    hop1 = (
+        und.where(F.col("subj") == seed)
+        .select(F.col("obj").alias("node_id"))
+        .distinct()
+        .where(F.col("node_id") != seed)
+    )
+    hop2 = (
+        und.join(hop1, und.subj == hop1.node_id)
+        .select(F.col("obj").alias("node_id"))
+        .distinct()
+        .where(F.col("node_id") != seed)
+        .join(hop1, "node_id", "left_anti")
+    )
+    return hop1.select("node_id", F.lit(1).alias("hops")).union(
+        hop2.select("node_id", F.lit(2).alias("hops"))
+    )
+
+
+def chunk_docs(docs: DataFrame, width: int = 120, step: int = 100) -> DataFrame:
+    """Fixed-stride window chunking as pure column expressions (the generic
+    engine chunker; the web pipeline's sentence-aware chunker lives in
+    operators/chunk.py). (doc_id, chunk_idx, chunk_text, start_char, chunk_id)."""
+    n_win = F.greatest(F.ceil(F.length("text") / step).cast("int"), F.lit(1))
+    return (
+        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0), n_win - 1)).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(F.col("text"), F.col("chunk_idx") * step + 1, width).alias("chunk_text"),
+            (F.col("chunk_idx") * step).alias("start_char"),
+            F.substring(
+                F.md5(F.concat_ws("::", F.col("doc_id"), F.col("chunk_idx"))), 1, 16
+            ).alias("chunk_id"),
+        )
+    )
+
+
+def provenance(docs: DataFrame) -> DataFrame:
+    """Mentions joined back to their source document metadata (C14 shape)."""
+    return doc_mentions(docs).join(
+        docs.select("doc_id", "source", "lang", "n_chars"), "doc_id"
+    ).select("doc_id", "term", "label", "source", "lang", "n_chars")

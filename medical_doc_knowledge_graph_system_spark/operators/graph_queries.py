@@ -1,0 +1,227 @@
+"""Graph retrieval operators over the materialized nodes/edges tables.
+
+Spark-first re-expression of the reference's Cypher retrieval patterns
+(app/retrieval/*): k-hop expansion, relationship-constrained traversal, BFS
+shortest path, all-paths enumeration, provenance joins, graph stats.
+Recursion has no Catalyst primitive, so variable-length expansions are
+driver-orchestrated loops of DataFrame joins (k <= 6, SURVEY §2.C8-C13) —
+each iteration is a distributed join, only loop control lives on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Edge list as symmetric (x, y, rel_type) — Cypher's -[*]- semantics."""
+    fwd = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"), "rel_type")
+    rev = edges.select(F.col("dst").alias("x"), F.col("src").alias("y"), "rel_type")
+    return fwd.union(rev)
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    allowed_rel_types: list[str] | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """(node_id, hops): distinct neighbors within max_hops of any seed,
+    min-hop per node, ordered by hops (reference C8,
+    app/retrieval/k_hop_expansion.py:20-48: ORDER BY hops LIMIT 100; D8
+    min-hop dedup). With allowed_rel_types set this is the
+    relationship-constrained traversal (C9,
+    app/retrieval/relationship_filter.py:19-47) — the type filter is pushed
+    into every expansion step.
+
+    seeds: DataFrame with column node_id.
+    """
+    adj = undirected(edges)
+    if allowed_rel_types:
+        adj = adj.where(F.col("rel_type").isin(allowed_rel_types))
+    adj = adj.select("x", "y").distinct()
+
+    frontier = seeds.select(F.col("node_id").alias("y")).distinct()
+    reached = frontier.select("y", F.lit(0).alias("hops"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
+            .select(adj.y.alias("y"))
+            .distinct()
+        )
+        # min-hop semantics: drop nodes already reached at a smaller hop
+        nxt = nxt.join(reached.select("y"), "y", "left_anti").localCheckpoint()
+        if nxt.isEmpty():
+            break
+        reached = reached.union(nxt.select("y", F.lit(hop).alias("hops")))
+        frontier = nxt
+    return (
+        reached.where(F.col("hops") > 0)
+        .select(F.col("y").alias("node_id"), "hops")
+        .orderBy("hops", "node_id")
+        .limit(limit)
+    )
+
+
+def shortest_path(
+    edges: DataFrame, src_id: str, dst_id: str, max_hops: int = 6
+) -> DataFrame:
+    """BFS shortest path src -> dst (undirected), one row:
+    (hops, path: array<node_id>, rels: array<rel_type>) or empty.
+    Reference C11 (app/retrieval/path_reasoning.py:15-29, shortestPath *..6).
+    Frontier carries the path arrays; visited anti-join prunes; early exit on
+    target hit.
+    """
+    spark = edges.sparkSession
+    if src_id == dst_id:  # same-node guard (path_reasoning.py:66)
+        return spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
+    adj = undirected(edges)
+    frontier = spark.createDataFrame(
+        [(src_id, [src_id], [])], "y string, path array<string>, rels array<string>"
+    )
+    visited = frontier.select("y")
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
+            .select(
+                adj.y.alias("y"),
+                F.concat("path", F.array(adj.y)).alias("path"),
+                F.concat("rels", F.array("rel_type")).alias("rels"),
+            )
+        )
+        hits = expanded.where(F.col("y") == dst_id)
+        first = hits.orderBy("path").limit(1).collect()
+        if first:
+            r = first[0]
+            return spark.createDataFrame(
+                [(hop, r.path, r.rels)], "hops int, path array<string>, rels array<string>"
+            )
+        frontier = (
+            expanded.join(visited, "y", "left_anti")
+            .dropDuplicates(["y"])
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier.select("y")).distinct().localCheckpoint()
+    return spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
+
+
+def all_paths(
+    edges: DataFrame, src_id: str, dst_id: str, max_hops: int = 4, max_paths: int = 5
+) -> DataFrame:
+    """All simple paths src -> dst up to max_hops, ORDER BY hops LIMIT n
+    (reference C12, path_reasoning.py:31-43). Cycle-free via
+    array_contains(path, next) check instead of a visited set (path-distinct,
+    not node-distinct)."""
+    spark = edges.sparkSession
+    adj = undirected(edges)
+    frontier = spark.createDataFrame(
+        [(src_id, [src_id], [])], "y string, path array<string>, rels array<string>"
+    )
+    found = spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
+            .where(~F.array_contains("path", adj.y))
+            .select(
+                adj.y.alias("y"),
+                F.concat("path", F.array(adj.y)).alias("path"),
+                F.concat("rels", F.array("rel_type")).alias("rels"),
+            )
+            .localCheckpoint()
+        )
+        hits = expanded.where(F.col("y") == dst_id).select(
+            F.lit(hop).alias("hops"), "path", "rels"
+        )
+        found = found.union(hits)
+        frontier = expanded.where(F.col("y") != dst_id)
+        if frontier.isEmpty():
+            break
+    return found.orderBy("hops", "path").limit(max_paths)
+
+
+def condition_chain(edges: DataFrame) -> DataFrame:
+    """Per condition: collected medications and symptoms (reference C10,
+    relationship_filter.py:50-61: OPTIONAL MATCH + collect(DISTINCT ...))."""
+    treated = edges.where(F.col("rel_type") == "TREATED_WITH")
+    manifests = edges.where(F.col("rel_type") == "MANIFESTS_AS")
+    conditions = (
+        edges.where(F.col("subj_label") == "Condition")
+        .select(F.col("subj").alias("condition"))
+        .union(
+            edges.where(F.col("obj_label") == "Condition").select(
+                F.col("obj").alias("condition")
+            )
+        )
+        .distinct()
+    )
+    meds = treated.groupBy(F.col("subj").alias("condition")).agg(
+        F.sort_array(F.collect_set("obj")).alias("medications")
+    )
+    syms = manifests.groupBy(F.col("subj").alias("condition")).agg(
+        F.sort_array(F.collect_set("obj")).alias("symptoms")
+    )
+    return (
+        conditions.join(meds, "condition", "left")
+        .join(syms, "condition", "left")
+        .select(
+            "condition",
+            F.coalesce("medications", F.array().cast("array<string>")).alias("medications"),
+            F.coalesce("symptoms", F.array().cast("array<string>")).alias("symptoms"),
+        )
+    )
+
+
+def provenance_citations(
+    provenance_edges: DataFrame, chunks: DataFrame, limit: int | None = None
+) -> DataFrame:
+    """Citations: SOURCED_FROM ⋈ chunks, ordered by confidence desc
+    (reference C14, app/retrieval/provenance.py:19-47). The BELONGS_TO hop to
+    documents is the url column on chunks (SURVEY §1.4)."""
+    out = (
+        provenance_edges.join(
+            chunks.select("chunk_id", F.col("text").alias("source_text"), "start_char"),
+            provenance_edges.dst == chunks.chunk_id,
+        )
+        .select(
+            F.col("name").alias("entity_name"),
+            "label",
+            "source_text",
+            provenance_edges.url.alias("source_url"),
+            "confidence",
+            "extraction_method",
+        )
+        .orderBy(F.desc("confidence"), "entity_name", "source_url")
+    )
+    return out.limit(limit) if limit else out
+
+
+def next_chunk_join(chunks: DataFrame) -> DataFrame:
+    """Each chunk with its continuation (reference C15/A9: NEXT edges become
+    a lead() window over (url, chunk_idx) — no self-join, no edge table)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("chunk_idx")
+    return chunks.select(
+        "chunk_id",
+        "url",
+        "chunk_idx",
+        "start_char",
+        F.lead("chunk_id").over(w).alias("next_chunk_id"),
+    )
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Node count by label + total edges (reference D1/D2,
+    app/graph/queries.py:185-195)."""
+    by_label = nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    totals = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return by_label.crossJoin(totals).orderBy(F.desc("n_nodes"), "label")
+
+
+def entity_lookup(nodes: DataFrame, name: str) -> DataFrame:
+    """Point lookup by name (reference C16, app/main.py:187-193)."""
+    return nodes.where(F.col("name") == name).limit(1)
