@@ -1,0 +1,127 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measures (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+  * end-to-end KG pipeline (chunk -> extract -> resolve -> materialize) on
+    the deterministic synthetic pages table sized for the sf (BASELINE.json
+    metric: triples/sec end-to-end) -> extra keys triples_per_sec,
+    docs_per_sec
+  * headline queries() entries on the driver testdata.
+
+SPARK_GRAFT_SCALING=1 additionally runs the pipeline at local[8] and
+local[32] on the same input and reports scaling efficiency
+(= (t8/t32)/4, north_rule target >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from medical_doc_knowledge_graph_system_spark.datagen import write_pages_parquet
+from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+from medical_doc_knowledge_graph_system_spark.session import get_spark
+
+HEADLINE = [
+    "kg_mentions",
+    "kg_triples",
+    "kg_cooccur_topk",
+    "kg_chunks",
+    "text_quality",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk",
+    "sim_ivf_topk",
+    "events_hourly",
+    "tpch_pricing",
+    "tpch_top_customers",
+]
+
+PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.1"
+
+
+def _pages_path(sf: str) -> str:
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    n = PAGES_FOR_SF.get(sf, 20000)
+    p = os.path.join(cache, f"pages_sf{sf}_{n}.parquet")
+    if not os.path.exists(p):
+        write_pages_parquet(p, n)
+    return p
+
+
+def run_kg_pipeline(cores: int, pages_path: str, tag: str) -> dict:
+    spark = get_spark(app_name=f"bench_{tag}", cores=cores)
+    wh_root = f"/tmp/mdkgs_bench_wh_{tag}"
+    shutil.rmtree(wh_root, ignore_errors=True)
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    t0 = time.time()
+    stats = run_pipeline(spark, pages, wh_root)
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "wall_sec": round(wall, 2),
+        "n_pages": n_pages,
+        "triples": stats["triples"],
+        "triples_per_sec": round(stats["triples"] / wall, 1),
+        "docs_per_sec": round(n_pages / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    pages_path = _pages_path(sf)
+
+    result: dict = {"metric": "kg_pipeline_e2e", "unit": "sec", "sf": float(sf)}
+
+    pipe = run_kg_pipeline(cpus, pages_path, f"main{cpus}")
+    result["value"] = pipe["wall_sec"]
+    result["pipeline"] = pipe
+
+    # headline queries
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bench_queries", cores=cpus)
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    result["queries"] = timings
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo = run_kg_pipeline(8, pages_path, "scale8")
+        hi = run_kg_pipeline(32, pages_path, "scale32")
+        eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
+        result["scaling"] = {
+            "local8": lo,
+            "local32": hi,
+            "speedup_8_to_32": round(lo["wall_sec"] / hi["wall_sec"], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

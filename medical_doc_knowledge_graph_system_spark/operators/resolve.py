@@ -64,8 +64,13 @@ def alias_dim(spark) -> DataFrame:
 
 
 def candidate_pairs(names: DataFrame, band_udf) -> DataFrame:
-    """names(name) -> (a, b) pairs sharing any LSH band key, a < b, distinct."""
-    banded = names.select("name", F.explode(band_udf("name")).alias("band"))
+    """names(name) -> (a, b) pairs sharing any LSH band key, a < b, distinct.
+
+    The banded frame is checkpointed so the band UDF runs once, not once per
+    self-join side."""
+    banded = names.select(
+        "name", F.explode(band_udf("name")).alias("band")
+    ).localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -78,20 +83,28 @@ def candidate_pairs(names: DataFrame, band_udf) -> DataFrame:
     )
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25, num_partitions: int = 8
+) -> DataFrame:
     """nodes(name), edges(a,b) -> (name, comp) by min-label propagation.
 
     comp is the lexicographically smallest name in the component. Iterations
     localCheckpoint to keep lineage flat (SURVEY §4.2.5); loop bound is a
-    safety net — merge components converge in O(diameter) steps.
+    safety net — merge components converge in O(diameter) steps. Each
+    iteration is 2 jobs: materialize new labels (with a per-row `changed`
+    flag folded in) + a convergence probe.
     """
     edges_bi = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
-        .distinct()
+        .repartition(num_partitions, "y")
         .localCheckpoint()
     )
-    lbl = nodes.select("name", F.col("name").alias("comp")).localCheckpoint()
+    lbl = (
+        nodes.select("name", F.col("name").alias("comp"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             edges_bi.join(lbl, edges_bi.y == lbl.name)
@@ -103,17 +116,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
             .select(
                 "name",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_lbl.alias("n")
-            .join(lbl.alias("o"), "name")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        lbl = new_lbl
+        changed = new_lbl.where("changed").limit(1).count()
+        lbl = new_lbl.drop("changed")
         if changed == 0:
             break
     return lbl
@@ -153,10 +161,10 @@ def build_name_map(names: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     # pass 1: fuzzy over distinct stage-1 names
-    s1 = m0.select(F.col("m0").alias("name")).distinct()
+    s1 = m0.select(F.col("m0").alias("name")).distinct().localCheckpoint()
     m1 = _merge_pass(s1, _minhash_bands, _fuzzy_ok).withColumnRenamed("canonical", "m1")
     # pass 2: semantic over distinct stage-2 names
-    s2 = m1.select(F.col("m1").alias("name")).distinct()
+    s2 = m1.select(F.col("m1").alias("name")).distinct().localCheckpoint()
     m2 = _merge_pass(s2, _simhash_bands, _semantic_ok).withColumnRenamed("canonical", "m2")
 
     return (

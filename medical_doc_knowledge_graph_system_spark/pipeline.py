@@ -45,8 +45,7 @@ def _run_stage(wh: Warehouse, spark: SparkSession, stage: str, make, resume: boo
     df = make()
     wh.write(df, stage)
     wall_ms = (time.time() - t0) * 1000
-    rows = wh.read(spark, stage).count()
-    wh.log_partition_metrics(spark, stage, stage)
+    rows = wh.log_partition_metrics(spark, stage, stage)
     wh.mark_checkpoint(stage, "complete", rows, wall_ms)
 
 
@@ -110,7 +109,15 @@ def run_pipeline(
     )
 
     wall = time.time() - t_start
-    stats = {s: wh.read(spark, s).count() for s in STAGES}
+    # stage row counts from the checkpoint log (no extra count jobs)
+    import json
+
+    stats: dict = {}
+    with open(wh._meta_path("_checkpoints")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["status"] == "complete":
+                stats[rec["stage"]] = rec["rows"]
     stats["wall_sec"] = round(wall, 3)
     stats["triples_per_sec"] = round(stats["triples"] / wall, 2) if wall > 0 else None
     return stats

@@ -106,9 +106,10 @@ class Warehouse:
                 + "\n"
             )
 
-    def log_partition_metrics(self, spark: SparkSession, stage: str, table: str) -> None:
+    def log_partition_metrics(self, spark: SparkSession, stage: str, table: str) -> int:
         """Per-partition lineage: rows per input partition of the written
-        table, appended to _metrics.jsonl."""
+        table, appended to _metrics.jsonl. Returns total rows (so callers
+        don't need a second count() job)."""
         df = self.read(spark, table)
         counts = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -129,6 +130,7 @@ class Warehouse:
                     )
                     + "\n"
                 )
+        return sum(r["count"] for r in counts)
 
     def reset_meta(self) -> None:
         for name in ("_checkpoints", "_metrics"):

@@ -1,0 +1,102 @@
+"""Extractor + resolver unit tests (reference semantics:
+extractor schema validity, alias map behavior per tests/test_ingestion.py:124-129,
+resolver dedup-keeps-max-confidence D3, transitive merge property
+entity_resolver.py:139-141)."""
+
+from __future__ import annotations
+
+from medical_doc_knowledge_graph_system_spark.corelib.extract import (
+    extract_chunk,
+    extract_mentions,
+    extract_triples,
+)
+from medical_doc_knowledge_graph_system_spark.corelib.gazetteer import (
+    ENTITY_LABELS,
+    GAZETTEER,
+    REL_PATTERNS,
+)
+from medical_doc_knowledge_graph_system_spark.corelib.resolve import (
+    alias_canonical,
+    build_name_map,
+    canonical_choice,
+)
+from medical_doc_knowledge_graph_system_spark.corelib.similarity import (
+    cosine,
+    embed_name,
+    fuzzy_match,
+    token_sort_ratio,
+)
+
+
+def test_mention_detection_longest_first():
+    ms = extract_mentions("took nitroglycerin sl for chest pain after heart attack")
+    names = {m["name"] for m in ms}
+    # "nitroglycerin sl" (alias surface) wins over bare "nitroglycerin"
+    assert "nitroglycerin sl" in names and "Nitroglycerin" not in names
+    assert "Chest Pain" in names and "heart attack" in names
+
+
+def test_token_boundary():
+    assert extract_mentions("ahtnb") == []  # htn inside a word is not a mention
+    assert {m["name"] for m in extract_mentions("htn.")} == {"htn"}
+
+
+def test_labels_valid():
+    ms = extract_mentions("Peter Fern has Hypertension and takes Aspirin")
+    assert all(m["label"] in ENTITY_LABELS for m in ms)
+    assert {m["label"] for m in ms} == {"Patient", "Condition", "Medication"}
+
+
+def test_triples_follow_patterns():
+    ms = extract_mentions("Peter Fern has Hypertension and takes Aspirin; Headache too")
+    ts = extract_triples(ms)
+    allowed = {(s, p, o) for s, p, o in REL_PATTERNS}
+    for t in ts:
+        assert (t["subj_label"], t["pred"], t["obj_label"]) in allowed
+        assert 0.0 <= t["confidence"] <= 1.0
+    preds = {t["pred"] for t in ts}
+    assert {"HAS_CONDITION", "TAKES_MEDICATION", "TREATED_WITH", "EXHIBITS_SYMPTOM"} <= preds
+
+
+def test_within_chunk_dedup_max_confidence():
+    # same entity via direct (0.95) and alias (0.85) form -> direct conf kept
+    m, _ = extract_chunk("c1", "u", "Hypertension and more Hypertension and htn")
+    hyp = [x for x in m if x["name"] == "Hypertension"]
+    assert len(hyp) == 1 and hyp[0]["confidence"] == 0.95
+
+
+def test_alias_canonical():
+    assert alias_canonical("HTN ") == "Hypertension"
+    assert alias_canonical("heart attack") == "Myocardial Infarction"
+    assert alias_canonical("unknown thing") == "unknown thing"
+
+
+def test_canonical_choice_total_order():
+    assert canonical_choice(["abc", "ab"]) == "abc"  # longer wins
+    assert canonical_choice(["abd", "abc"]) == "abc"  # tie -> lexicographically first
+    assert canonical_choice(["x"]) == "x"
+
+
+def test_name_map_transitive_merge():
+    # alias -> canonical -> semantic merge chain must be transitive
+    nm = build_name_map(["heart attack", "Myocardial Infarction", "Acute Myocardial Infarction"])
+    assert len(set(nm.values())) == 1
+    assert nm["heart attack"] == "Acute Myocardial Infarction"
+
+
+def test_name_map_identity_for_distinct():
+    nm = build_name_map(["Aspirin", "Colonoscopy"])
+    assert nm == {"Aspirin": "Aspirin", "Colonoscopy": "Colonoscopy"}
+
+
+def test_fuzzy_and_semantic_primitives():
+    assert token_sort_ratio("Chest Pain", "pain chest") == 100.0
+    assert fuzzy_match("Hypertension", "Hypertension")
+    assert not fuzzy_match("Aspirin", "Colonoscopy")
+    e = embed_name("Hypertension")
+    assert abs(sum(v * v for v in e) - 1.0) < 1e-9  # L2-normalized
+    assert cosine(e, e) > 0.999
+
+
+def test_gazetteer_labels_closed():
+    assert set(GAZETTEER.values()) <= set(ENTITY_LABELS)

@@ -1,0 +1,108 @@
+"""Unit tests for dedup / similarity / text / multimodal function modules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+    exact_dup_groups,
+    minhash_band_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+)
+from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+    neardup_pairs_signblock,
+    topk_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", 44),
+        (1, "the quick brown fox jumps over the lazy dog", 44),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", 44),  # near dup
+        (3, "completely different content about spark engines", 48),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].doc_ids == [0, 1] and groups[0].n_docs == 2
+
+
+def test_minhash_identical_docs_always_pair(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_band_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs share every band
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham < ham_far  # near-dup closer in hamming space
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_topk_cosine(spark, vecs):
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = topk_cosine(vecs, q, k=2).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_neardup_signblock(spark, vecs):
+    pairs = {(r.vec_a, r.vec_b) for r in neardup_pairs_signblock(vecs, threshold=0.9, bits=4).collect()}
+    assert pairs == {(0, 1)}  # 3 is in a different sign block; 2 fails cosine
+
+
+def test_multimodal_features(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes", (64, 64, None, None, "image/png")),
+        ("m2", "audio", b"RIFF fake", (None, None, 16000, 2000, "audio/wav")),
+        ("m3", "video", b"\x00\x00ftyp", (640, 480, None, 3500, "video/mp4")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert set(feats) == {"m1", "m2", "m3"}
+    for r in feats.values():
+        assert len(r.features) == FEATURE_DIM and r.payload_bytes > 0
+    # deterministic: same payload -> same features
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert again["m1"] == feats["m1"].features
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts_ms) for r in frames} == {("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)}
+
+
+def test_decode_stubs_marked():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")

@@ -1,0 +1,121 @@
+"""Graph retrieval operator tests over a small hand-built graph with known
+structure (k-hop, shortest path, all-paths, condition chain, provenance,
+stats — SURVEY §2.C8-C16, D1/D2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+    all_paths,
+    condition_chain,
+    entity_lookup,
+    graph_stats,
+    k_hop,
+    next_chunk_join,
+    shortest_path,
+)
+
+# chain: A -r1- B -r2- C -r3- D, plus A -r4- E
+EDGES = [
+    ("A", "B", "r1"),
+    ("B", "C", "r2"),
+    ("C", "D", "r3"),
+    ("A", "E", "r4"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, rel_type string")
+
+
+def _seed(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "node_id string")
+
+
+def test_k_hop_min_hops(spark, edges):
+    out = {r.node_id: r.hops for r in k_hop(edges, _seed(spark, "A"), max_hops=3).collect()}
+    assert out == {"B": 1, "E": 1, "C": 2, "D": 3}
+
+
+def test_k_hop_rel_filter(spark, edges):
+    out = {
+        r.node_id: r.hops
+        for r in k_hop(edges, _seed(spark, "A"), 3, allowed_rel_types=["r1", "r2"]).collect()
+    }
+    assert out == {"B": 1, "C": 2}
+
+
+def test_shortest_path(spark, edges):
+    rows = shortest_path(edges, "A", "D").collect()
+    assert len(rows) == 1
+    assert rows[0].hops == 3 and rows[0].path == ["A", "B", "C", "D"]
+    assert rows[0].rels == ["r1", "r2", "r3"]
+    assert shortest_path(edges, "A", "Z").count() == 0
+    assert shortest_path(edges, "A", "A").count() == 0  # same-node guard
+
+
+def test_all_paths(spark):
+    # diamond: A-B-D and A-C-D
+    e = spark.createDataFrame(
+        [("A", "B", "x"), ("B", "D", "x"), ("A", "C", "x"), ("C", "D", "x")],
+        "src string, dst string, rel_type string",
+    )
+    rows = all_paths(e, "A", "D", max_hops=4, max_paths=5).collect()
+    paths = {tuple(r.path) for r in rows}
+    assert paths == {("A", "B", "D"), ("A", "C", "D")}
+    assert all(r.hops == 2 for r in rows)
+
+
+def test_condition_chain(spark):
+    triples = spark.createDataFrame(
+        [
+            ("Hypertension", "Condition", "TREATED_WITH", "Lisinopril", "Medication"),
+            ("Hypertension", "Condition", "TREATED_WITH", "Aspirin", "Medication"),
+            ("Hypertension", "Condition", "MANIFESTS_AS", "Headache", "Symptom"),
+            ("Asthma", "Condition", "MANIFESTS_AS", "Wheeze", "Symptom"),
+        ],
+        "subj string, subj_label string, rel_type string, obj string, obj_label string",
+    )
+    out = {r.condition: (r.medications, r.symptoms) for r in condition_chain(triples).collect()}
+    assert out["Hypertension"] == (["Aspirin", "Lisinopril"], ["Headache"])
+    assert out["Asthma"] == ([], ["Wheeze"])
+
+
+def test_next_chunk_window(spark):
+    chunks = spark.createDataFrame(
+        [("c0", "u", 0, 0), ("c1", "u", 1, 100), ("d0", "v", 0, 0)],
+        "chunk_id string, url string, chunk_idx int, start_char int",
+    )
+    out = {r.chunk_id: r.next_chunk_id for r in next_chunk_join(chunks).collect()}
+    assert out == {"c0": "c1", "c1": None, "d0": None}
+
+
+def test_graph_stats_and_lookup(spark, warehouse50):
+    root, _ = warehouse50
+    nodes = spark.read.parquet(f"{root}/nodes")
+    edges = spark.read.parquet(f"{root}/edges")
+    stats = graph_stats(nodes, edges).collect()
+    assert sum(r.n_nodes for r in stats) == nodes.count()
+    assert all(r.n_edges == edges.count() for r in stats)
+    hit = entity_lookup(nodes, "Hypertension").collect()
+    assert len(hit) == 1 and hit[0].label == "Condition"
+
+
+def test_provenance_citations(spark, warehouse50):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+        provenance_citations,
+    )
+
+    root, _ = warehouse50
+    prov = spark.read.parquet(f"{root}/provenance_edges")
+    chunks = spark.read.parquet(f"{root}/chunks")
+    out = provenance_citations(prov, chunks, limit=20)
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    confs = [r.confidence for r in rows]
+    assert confs == sorted(confs, reverse=True)
+    # every citation's entity name matching is traceable to chunk text
+    assert all(r.source_text for r in rows)

@@ -1,0 +1,106 @@
+"""End-to-end parity gates (BASELINE.md):
+  * byte-identical extracted chunk text per url vs the single-process oracle
+  * triple P/R >= 0.95 on distinct (subj, pred, obj)
+  * mention-set equality
+  * resumability: kill-and-resume completes from checkpoints
+"""
+
+from __future__ import annotations
+
+from medical_doc_knowledge_graph_system_spark.corelib.oracle import (
+    precision_recall,
+    triple_set,
+)
+
+
+def _rows(spark, root, name):
+    return spark.read.parquet(f"{root}/{name}").collect()
+
+
+def test_chunks_byte_identical(spark, warehouse50, oracle50):
+    root, _ = warehouse50
+    got = {
+        r.chunk_id: (r.url, r.chunk_idx, r.text, r.start_char, r.end_char)
+        for r in _rows(spark, root, "chunks")
+    }
+    want = {
+        c["chunk_id"]: (c["url"], c["chunk_idx"], c["text"], c["start_char"], c["end_char"])
+        for c in oracle50["chunks"]
+    }
+    assert got == want
+
+
+def test_triple_precision_recall(spark, warehouse50, oracle50):
+    root, _ = warehouse50
+    got = {(r.subj, r.pred, r.obj) for r in _rows(spark, root, "triples")}
+    want = triple_set(oracle50["triples"])
+    p, r = precision_recall(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_mentions_equal(spark, warehouse50, oracle50):
+    root, _ = warehouse50
+    got = {(r.chunk_id, r.name, r.label, r.confidence) for r in _rows(spark, root, "mentions")}
+    want = {
+        (m["chunk_id"], m["name"], m["label"], m["confidence"]) for m in oracle50["mentions"]
+    }
+    assert got == want
+
+
+def test_name_map_matches_oracle(spark, warehouse50, oracle50):
+    root, _ = warehouse50
+    got = {r.name: r.canonical for r in _rows(spark, root, "name_map")}
+    assert got == oracle50["name_map"]
+
+
+def test_nodes_edges_consistent(spark, warehouse50):
+    root, _ = warehouse50
+    nodes = _rows(spark, root, "nodes")
+    edges = _rows(spark, root, "edges")
+    node_ids = {n.node_id for n in nodes}
+    assert len(node_ids) == len(nodes)  # (label, name) unique -> unique ids
+    for e in edges:
+        assert e.src in node_ids and e.dst in node_ids
+        assert 0.0 <= e.confidence <= 1.0 and e.n_occurrences >= 1
+
+
+def test_resume_from_checkpoint(spark, pages_parquet, tmp_path):
+    """Kill-and-resume: run the first stages, delete downstream outputs,
+    resume — the pipeline must skip completed stages and finish."""
+    from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    pages = spark.read.parquet(pages_parquet)
+    stats1 = run_pipeline(spark, pages, root)
+
+    # simulate a crash after 'mentions_raw': drop everything downstream
+    wh = Warehouse(root)
+    import json
+
+    ck = wh._meta_path("_checkpoints")
+    lines = [json.loads(line) for line in open(ck)]
+    keep = {"chunks", "mentions_raw"}
+    with open(ck, "w") as f:
+        for rec in lines:
+            if rec["stage"] in keep:
+                f.write(json.dumps(rec) + "\n")
+    for stage in ("triples_raw", "name_map", "mentions", "triples", "nodes", "edges", "provenance_edges"):
+        wh.drop(stage)
+
+    stats2 = run_pipeline(spark, pages, root, resume=True)
+    for k in ("chunks", "mentions", "triples", "nodes", "edges"):
+        assert stats1[k] == stats2[k], k
+
+
+def test_partition_metrics_written(spark, warehouse50):
+    import json
+    import os
+
+    root, _ = warehouse50
+    p = os.path.join(root, "_metrics.jsonl")
+    assert os.path.exists(p)
+    recs = [json.loads(line) for line in open(p)]
+    stages = {r["stage"] for r in recs}
+    assert {"chunks", "mentions_raw", "triples"} <= stages
+    assert all(r["rows"] >= 0 and "partition_id" in r for r in recs)
