@@ -62,8 +62,10 @@ def _pages_path(sf: str) -> str:
     return p
 
 
-def run_kg_pipeline(cores: int, pages_path: str, tag: str) -> dict:
-    spark = get_spark(app_name=f"bench_{tag}", cores=cores)
+def run_kg_pipeline(cores: int, pages_path: str, tag: str, shuffle_partitions: int | None = None) -> dict:
+    # scaling runs pin shuffle partitions (sized to data, like a real
+    # cluster) so only executor parallelism varies between N and 4N
+    spark = get_spark(app_name=f"bench_{tag}", cores=cores, shuffle_partitions=shuffle_partitions)
     wh_root = f"/tmp/mdkgs_bench_wh_{tag}"
     shutil.rmtree(wh_root, ignore_errors=True)
     pages = spark.read.parquet(pages_path)
@@ -110,8 +112,8 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        lo = run_kg_pipeline(8, pages_path, "scale8")
-        hi = run_kg_pipeline(32, pages_path, "scale32")
+        lo = run_kg_pipeline(8, pages_path, "scale8", shuffle_partitions=64)
+        hi = run_kg_pipeline(32, pages_path, "scale32", shuffle_partitions=64)
         eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
         result["scaling"] = {
             "local8": lo,

@@ -84,9 +84,54 @@ def candidate_pairs(names: DataFrame, band_udf) -> DataFrame:
 
 
 def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    num_partitions: int = 8,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """nodes(name), edges(a,b) -> (name, comp).
+
+    Hybrid execution: the vertex set is *distinct names* and the edge set is
+    LSH-blocked merge candidates — usually orders of magnitude smaller than
+    the corpus. If edges fit under driver_threshold, solve exactly on the
+    driver with the same union-find the oracle uses (zero drift, one job);
+    otherwise run distributed min-label propagation (GraphFrames-style
+    iterative join). Both paths produce identical components; the distributed
+    path is exercised directly in tests.
+    """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        edge_rows = [(r.a, r.b) for r in edges.collect()]
+        names = [r.name for r in nodes.collect()]
+        parent = {n: n for n in names}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots: dict[str, str] = {}
+        for n in names:
+            r = find(n)
+            roots[r] = min(roots.get(r, n), n)  # comp = min name, as iterative path
+        comp = {n: roots[find(n)] for n in names}
+        spark = nodes.sparkSession
+        return spark.createDataFrame(
+            sorted(comp.items()), schema="name string, comp string"
+        )
+    return _cc_iterative(nodes, edges, max_iter, num_partitions)
+
+
+def _cc_iterative(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 25, num_partitions: int = 8
 ) -> DataFrame:
-    """nodes(name), edges(a,b) -> (name, comp) by min-label propagation.
+    """Distributed CC by min-label propagation over DataFrame joins.
 
     comp is the lexicographically smallest name in the component. Iterations
     localCheckpoint to keep lineage flat (SURVEY §4.2.5); loop bound is a

@@ -27,6 +27,7 @@ from .sources.warehouse import Warehouse
 
 STAGES = [
     "chunks",
+    "chunk_embeddings",
     "mentions_raw",
     "triples_raw",
     "name_map",
@@ -65,6 +66,10 @@ def run_pipeline(
 
     _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume)
     chunks = wh.read(spark, "chunks")
+
+    from .operators.embed import embed_chunks
+
+    _run_stage(wh, spark, "chunk_embeddings", lambda: embed_chunks(chunks), resume)
 
     _run_stage(wh, spark, "mentions_raw", lambda: extract_mentions(chunks), resume)
     mentions_raw = wh.read(spark, "mentions_raw")

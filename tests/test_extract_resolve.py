@@ -100,3 +100,23 @@ def test_fuzzy_and_semantic_primitives():
 
 def test_gazetteer_labels_closed():
     assert set(GAZETTEER.values()) <= set(ENTITY_LABELS)
+
+
+def test_distributed_cc_matches_driver_path(spark):
+    """The iterative min-label-propagation CC must equal the driver
+    union-find on the same graph (both paths of operators.resolve
+    connected_components)."""
+    from medical_doc_knowledge_graph_system_spark.operators.resolve import (
+        _cc_iterative,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("lonely",)], "name string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string"
+    )
+    it = {r.name: r.comp for r in _cc_iterative(nodes, edges).collect()}
+    drv = {r.name: r.comp for r in connected_components(nodes, edges).collect()}
+    assert it == drv == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "lonely": "lonely"}

@@ -1,0 +1,78 @@
+"""Retrieval engine tests: complexity classifier, entity-first retrieval,
+context bundle build, rerank caps/thresholds, prompt formatting
+(reference §3.2 lifecycle + tests/test_retrieval.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from medical_doc_knowledge_graph_system_spark.operators.retrieval import (
+    ContextBundle,
+    build_context,
+    classify_query_complexity,
+    format_context_for_prompt,
+    rerank_context_bundle,
+)
+
+
+def test_complexity_classifier():
+    # reference context_builder.py:46-59 semantics
+    assert classify_query_complexity("What is the blood pressure?") == "simple"
+    assert classify_query_complexity("How do the conditions relate?") == "complex"
+    assert classify_query_complexity("why was aspirin prescribed") == "complex"
+    assert classify_query_complexity("treatment for hypertension") == "complex"
+    assert classify_query_complexity("patient name") == "simple"
+
+
+@pytest.fixture(scope="module")
+def wh_tables(spark, warehouse50):
+    root, _ = warehouse50
+    return {
+        name: spark.read.parquet(f"{root}/{name}")
+        for name in ("chunks", "chunk_embeddings", "nodes", "edges", "provenance_edges")
+    }
+
+
+def test_build_context_returns_seeds_and_citations(wh_tables):
+    bundle = build_context("hypertension and chest pain medication", wh_tables)
+    assert bundle.seed_entities, "expected seed entities"
+    assert bundle.raw_chunks, "expected matched chunks"
+    assert bundle.citations, "expected citations"
+    # citations ordered by confidence desc (E8)
+    confs = [c.confidence for c in bundle.citations]
+    assert confs == sorted(confs, reverse=True)
+
+
+def test_rerank_caps_simple_vs_complex(wh_tables):
+    q_simple = "hypertension status"
+    bundle = build_context(q_simple, wh_tables)
+    rr = rerank_context_bundle(q_simple, bundle)
+    assert len(rr.seed_entities) <= 3
+    assert len(rr.neighborhood_nodes) <= 3
+    assert len(rr.citations) <= 3
+    assert rr.reasoning_paths == []
+
+    q_complex = "how does hypertension relate to chest pain treatment"
+    bundle_c = build_context(q_complex, wh_tables)
+    rr_c = rerank_context_bundle(q_complex, bundle_c)
+    assert len(rr_c.seed_entities) <= 6
+    assert len(rr_c.neighborhood_nodes) <= 8
+    # kept edges only touch kept nodes
+    kept = {s.node_id for s in rr_c.seed_entities} | {
+        n.node_id for n in rr_c.neighborhood_nodes
+    }
+    assert all(e.src in kept or e.dst in kept for e in rr_c.neighborhood_edges)
+
+
+def test_format_prompt(wh_tables):
+    q = "how does hypertension relate to chest pain treatment"
+    bundle = rerank_context_bundle(q, build_context(q, wh_tables))
+    text = format_context_for_prompt(bundle)
+    assert "## Entities" in text and "## Source chunks" in text
+    assert len(text) > 50
+
+
+def test_empty_seeds_graceful(spark, wh_tables):
+    bundle = build_context("zzz qqq xxx nothing matches", wh_tables)
+    assert isinstance(bundle, ContextBundle)
+    assert bundle.seed_entities == [] or bundle.seed_entities
