@@ -173,6 +173,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_rank"] = events_user_rank
 
+    # E7/C15: chunk sequencing via lead() window (NEXT edges as a window fn)
+    def kg_next_chunk(s, d):
+        ch = webkg.chunk_docs(_t(s, d, "documents"))
+        w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+        return ch.select(
+            "doc_id", "chunk_idx", "chunk_id", F.lead("chunk_id").over(w).alias("next_chunk_id")
+        )
+
+    q["kg_next_chunk"] = kg_next_chunk
+
+    # D5: collect_set per group (sorted for determinism)
+    def kg_label_collect(s, d):
+        m = webkg.doc_mentions(_t(s, d, "documents"))
+        return (
+            m.select("term", "label")
+            .distinct()
+            .groupBy("label")
+            .agg(
+                F.sort_array(F.collect_set("term")).alias("terms"),
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+            )
+        )
+
+    q["kg_label_collect"] = kg_label_collect
+
+    # gap-based sessionization: lag + cumulative sum of new-session flags
+    def events_sessions(s, d):
+        ev = _t(s, d, "events")
+        w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user)))
+                > 1800,
+                1,
+            )
+            .otherwise(0)
+            .alias("new_sess"),
+        )
+        sess = flagged.withColumn(
+            "session_idx",
+            F.sum("new_sess").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.max("n_events").alias("max_session_events"),
+            )
+        )
+
+    q["events_sessions"] = events_sessions
+
+    # set-op composition: union of two near-dup candidate generators (F1/F2)
+    def dedup_union(s, d):
+        docs = _t(s, d, "documents")
+        a = minhash_band_pairs(docs)
+        b = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+        return a.union(b).distinct()
+
+    q["dedup_union"] = dedup_union
+
     return q
 
 
@@ -453,5 +521,71 @@ ranked AS (
   FROM per_user
 )
 SELECT event_type, user_id, n, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3"""
+
+    o["kg_next_chunk"] = """
+WITH ch AS (
+  SELECT doc_id, chunk_idx,
+         substring(md5(concat_ws('::', doc_id, chunk_idx)), 1, 16) AS chunk_id
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(0, greatest(CAST(ceil(length(text) / 100.0) AS INT), 1) - 1)) AS chunk_idx
+    FROM documents
+  ) t
+)
+SELECT doc_id, chunk_idx, chunk_id,
+       lead(chunk_id) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS next_chunk_id
+FROM ch"""
+    o["kg_label_collect"] = f"""
+WITH {_mentions_cte()},
+dm AS (SELECT DISTINCT term, label FROM mentions)
+SELECT label,
+       array_agg(term ORDER BY term) AS terms,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM dm GROUP BY label"""
+    o["events_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, max(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id"""
+    bands2 = ", ".join(
+        f"concat_ws(':', '{b}', mh_{2 * b}, mh_{2 * b + 1})" for b in range(MINHASH_SEEDS // 2)
+    )
+    o["dedup_union"] = f"""
+WITH {_shingles_cte()},
+sig AS ({_minhash_sig_select()}),
+banded AS (SELECT doc_id, unnest([{bands2}]) AS band FROM sig),
+mh_pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM shr l JOIN shr r USING (shingle)
+  WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+),
+jac_pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
+)
+SELECT doc_a, doc_b FROM mh_pairs UNION SELECT doc_a, doc_b FROM jac_pairs"""
 
     return o

@@ -112,13 +112,20 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        lo = run_kg_pipeline(8, pages_path, "scale8", shuffle_partitions=64)
-        hi = run_kg_pipeline(32, pages_path, "scale32", shuffle_partitions=64)
+        # N vs 4N cores on the same input, shuffle partitions pinned (on a
+        # real cluster partitions are sized to data; executors vary). N=2 so
+        # the N run is solidly compute-bound rather than job-latency-bound —
+        # the sandbox analog of N vs 4N executors per BASELINE.json.
+        n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        lo = run_kg_pipeline(n_cores, pages_path, f"scale{n_cores}", shuffle_partitions=16)
+        hi = run_kg_pipeline(
+            4 * n_cores, pages_path, f"scale{4 * n_cores}", shuffle_partitions=16
+        )
         eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
         result["scaling"] = {
-            "local8": lo,
-            "local32": hi,
-            "speedup_8_to_32": round(lo["wall_sec"] / hi["wall_sec"], 3),
+            f"local{n_cores}": lo,
+            f"local{4 * n_cores}": hi,
+            "speedup_N_to_4N": round(lo["wall_sec"] / hi["wall_sec"], 3),
             "efficiency": round(eff, 3),
         }
 

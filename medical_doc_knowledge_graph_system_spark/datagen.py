@@ -94,3 +94,35 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
         }
     )
     pq.write_table(table, path)
+
+
+def write_pages_parquet_spark(spark, path: str, n: int, seed: int = 42) -> None:
+    """Parallel page generation via Spark (for large scaling inputs):
+    spark.range -> mapInPandas(page_row) -> parquet. Row i is identical to
+    write_pages_parquet's row i (page_row is seeded per index)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [page_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    (
+        spark.range(n)
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .mapInPandas(gen, schema=schema)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

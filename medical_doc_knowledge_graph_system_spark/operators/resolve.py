@@ -191,9 +191,32 @@ def _merge_pass(names: DataFrame, band_udf, match_udf) -> DataFrame:
     return _canonical_per_component(members)
 
 
-def build_name_map(names: DataFrame) -> DataFrame:
+def build_name_map(names: DataFrame, driver_threshold: int = 500_000) -> DataFrame:
     """distinct names(name) -> (name, canonical). Mirrors
-    corelib.resolve.build_name_map stage for stage."""
+    corelib.resolve.build_name_map stage for stage.
+
+    Hybrid execution (same rationale as connected_components): the input is
+    the *distinct name dictionary*, not the mention stream. When it fits
+    under driver_threshold, run the shared single-process resolution
+    (corelib.resolve.build_name_map — literally the oracle code) in 2 Spark
+    jobs; beyond that, the fully distributed LSH + CC path below. Identical
+    results by construction; the distributed path is exercised in tests via
+    build_name_map_distributed.
+    """
+    n = names.limit(driver_threshold + 1).count()
+    if n <= driver_threshold:
+        from ..corelib.resolve import build_name_map as oracle_name_map
+
+        collected = [r.name for r in names.collect()]
+        nm = oracle_name_map(collected)
+        return names.sparkSession.createDataFrame(
+            sorted(nm.items()), schema="name string, canonical string"
+        )
+    return build_name_map_distributed(names)
+
+
+def build_name_map_distributed(names: DataFrame) -> DataFrame:
+    """Fully distributed three-stage resolution (the 10^12-doc path)."""
     spark = names.sparkSession
     # pass 0: broadcast alias join (first-wins over fuzzy, resolver.py:111-114)
     m0 = (

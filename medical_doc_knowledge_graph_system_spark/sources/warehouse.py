@@ -107,30 +107,34 @@ class Warehouse:
             )
 
     def log_partition_metrics(self, spark: SparkSession, stage: str, table: str) -> int:
-        """Per-partition lineage: rows per input partition of the written
-        table, appended to _metrics.jsonl. Returns total rows (so callers
-        don't need a second count() job)."""
-        df = self.read(spark, table)
-        counts = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
+        """Per-partition lineage: rows per written partition (= output file)
+        of the table, appended to _metrics.jsonl. Reads parquet footers with
+        pyarrow — zero Spark jobs, O(files) metadata reads. Returns total
+        rows."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self.path(table), "**", "*.parquet"), recursive=True))
+        total = 0
         with open(self._meta_path("_metrics"), "a") as f:
-            for r in counts:
+            for i, fp in enumerate(files):
+                n = pq.ParquetFile(fp).metadata.num_rows
+                total += n
                 f.write(
                     json.dumps(
                         {
                             "stage": stage,
                             "table": table,
-                            "partition_id": r["partition_id"],
-                            "rows": r["count"],
+                            "partition_id": i,
+                            "file": os.path.basename(fp),
+                            "rows": n,
                             "logged_at": time.time(),
                         }
                     )
                     + "\n"
                 )
-        return sum(r["count"] for r in counts)
+        return total
 
     def reset_meta(self) -> None:
         for name in ("_checkpoints", "_metrics"):

@@ -1,0 +1,116 @@
+"""Structured Streaming surface.
+
+The reference is a synchronous batch system (SURVEY §2.H: no streaming
+operators), so the required analogue is resumability (pipeline checkpoints).
+This module adds the natural Spark extensions on top:
+
+  * incremental page ingest: readStream over a pages directory ->
+    foreachBatch reusing the SAME batch operators (chunk + extract) with
+    exactly-once appends via the stream checkpoint — new Common-Crawl
+    snapshots flow into mentions_raw/triples_raw without reprocessing old
+    pages; resolution + materialization run as periodic batch compaction
+    (the Kappa-style pattern).
+  * watermarked tumbling-window aggregation over the events stream —
+    the standard late-data-tolerant streaming aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.chunk import chunk_pages
+from ..operators.extract import derive_triples, extract_mentions
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Stream pages_dir (parquet files) -> append chunks/mentions/triples.
+
+    foreachBatch reuses the exact batch operators, so streaming and batch
+    ingests are byte-identical per url. The stream checkpoint gives
+    exactly-once batch replay on restart (the streaming face of the
+    pipeline's per-stage checkpoint contract).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = chunk_pages(batch_df)
+        chunks.persist()
+        mentions = extract_mentions(chunks)
+        mentions.persist()
+        triples = derive_triples(mentions)
+        chunks.write.mode("append").parquet(os.path.join(warehouse_root, "chunks"))
+        mentions.write.mode("append").parquet(
+            os.path.join(warehouse_root, "mentions_raw")
+        )
+        triples.write.mode("append").parquet(
+            os.path.join(warehouse_root, "triples_raw")
+        )
+        mentions.unpersist()
+        chunks.unpersist()
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over a stream of events files:
+    (window_start, event_type, n_events, sum_value). Late rows beyond the
+    watermark are dropped; state is bounded."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )

@@ -120,3 +120,23 @@ def test_distributed_cc_matches_driver_path(spark):
     it = {r.name: r.comp for r in _cc_iterative(nodes, edges).collect()}
     drv = {r.name: r.comp for r in connected_components(nodes, edges).collect()}
     assert it == drv == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "lonely": "lonely"}
+
+
+def test_distributed_name_map_matches_oracle(spark):
+    """The fully distributed LSH+CC resolution path must equal the shared
+    single-process implementation on the same name set."""
+    from medical_doc_knowledge_graph_system_spark.corelib.resolve import (
+        build_name_map as oracle_nm,
+    )
+    from medical_doc_knowledge_graph_system_spark.operators.resolve import (
+        build_name_map_distributed,
+    )
+
+    names = [
+        "htn", "Hypertension", "heart attack", "Myocardial Infarction",
+        "Acute Myocardial Infarction", "Aspirin", "asa", "Colonoscopy",
+        "Chest Pain", "Substernal Chest Pain", "bp", "Blood Pressure",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r.name: r.canonical for r in build_name_map_distributed(df).collect()}
+    assert got == oracle_nm(names)

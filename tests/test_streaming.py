@@ -1,0 +1,90 @@
+"""Structured Streaming tests: incremental ingest equals batch ingest
+(byte-identical per url, exactly-once on restart), watermarked windowed
+aggregate equals the batch groupBy."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.streaming.incremental import (
+    incremental_ingest,
+    windowed_event_counts,
+)
+
+
+def test_incremental_ingest_matches_batch(spark, pages_parquet, tmp_path):
+    pages_dir = str(tmp_path / "pages_stream")
+    os.makedirs(pages_dir)
+    shutil.copy(pages_parquet, os.path.join(pages_dir, "part-000.parquet"))
+
+    wh = str(tmp_path / "wh_stream")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_ingest(spark, pages_dir, wh, ckpt)
+    q.awaitTermination(120)
+
+    from medical_doc_knowledge_graph_system_spark.operators.chunk import chunk_pages
+    from medical_doc_knowledge_graph_system_spark.operators.extract import (
+        derive_triples,
+        extract_mentions,
+    )
+
+    batch_pages = spark.read.parquet(pages_parquet)
+    batch_chunks = {
+        (r.chunk_id, r.text) for r in chunk_pages(batch_pages).collect()
+    }
+    stream_chunks = {
+        (r.chunk_id, r.text) for r in spark.read.parquet(f"{wh}/chunks").collect()
+    }
+    assert stream_chunks == batch_chunks
+
+    batch_triples = {
+        (r.chunk_id, r.subj, r.pred, r.obj)
+        for r in derive_triples(extract_mentions(chunk_pages(batch_pages))).collect()
+    }
+    stream_triples = {
+        (r.chunk_id, r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(f"{wh}/triples_raw").collect()
+    }
+    assert stream_triples == batch_triples
+
+    # restart with the same checkpoint: no new files -> no duplicate appends
+    n_before = spark.read.parquet(f"{wh}/chunks").count()
+    q2 = incremental_ingest(spark, pages_dir, wh, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(f"{wh}/chunks").count() == n_before
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    events_src = "/root/testdata/sf0.001/events.parquet"
+    events_dir = str(tmp_path / "events_stream")
+    os.makedirs(events_dir)
+    shutil.copy(events_src, os.path.join(events_dir, "part-000.parquet"))
+
+    out = windowed_event_counts(spark, events_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from ev_counts").collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(events_src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    assert got == want
