@@ -1,0 +1,83 @@
+"""Physical plan assertions: predicate pushdown reaches the parquet scan,
+small dimensions broadcast, top-k plans as TakeOrderedAndProject, column
+pruning works — the plans we designed for, not just plans that pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.functions import webkg
+from medical_doc_knowledge_graph_system_spark.functions.textfns import with_token_stats
+from medical_doc_knowledge_graph_system_spark.plans.checks import (
+    assert_in_plan,
+    plan_string,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushed_to_parquet_scan(lineitem):
+    q = lineitem.where(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag")
+    p = assert_in_plan(q, "PushedFilters")
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning(docs):
+    q = with_token_stats(docs)
+    p = plan_string(q)
+    # scan must read only doc_id + text; untouched columns pruned
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_gazetteer_join_broadcasts(docs):
+    p = plan_string(webkg.doc_mentions(docs))
+    assert "Broadcast" in p  # gazetteer dimension ships to executors
+
+
+def test_topk_is_take_ordered(docs):
+    p = plan_string(webkg.cooccur_topk(docs))
+    assert "TakeOrderedAndProject" in p  # no full sort for ORDER BY+LIMIT
+
+
+def test_remap_join_broadcasts(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.resolve import remap
+
+    big = spark.createDataFrame([("a", 1)], "name string, x int")
+    nm = spark.createDataFrame([("a", "b")], "name string, canonical string")
+    p = plan_string(remap(big, nm, "name"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_pattern_join_broadcasts(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.extract import derive_triples
+
+    mentions = spark.createDataFrame(
+        [("c1", "u", "Aspirin", "Medication", 0.9, 0, "gazetteer")],
+        "chunk_id string, url string, name string, label string, confidence double, start_char int, method string",
+    )
+    p = plan_string(derive_triples(mentions))
+    assert "BroadcastHashJoin" in p
+
+
+def test_whole_stage_codegen_in_text_path(docs):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_quality_score,
+    )
+
+    p = plan_string(with_quality_score(docs))
+    # quality scoring is pure column expressions: a single Project over the
+    # parquet scan, no Python evaluation anywhere in the plan (higher-order
+    # filter() lambdas don't codegen, but they stay JVM-side)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Scan parquet" in p and "Project" in p
