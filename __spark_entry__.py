@@ -232,6 +232,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessions"] = events_sessions
 
+    # A2/A3: JSON scan + flatten (events.props is a JSON string column)
+    def events_json(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.select(
+                "event_type",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+            .groupBy("event_type", F.floor(F.col("k") / 10).cast("int").alias("k_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    q["events_json"] = events_json
+
+    # D6/D7: mean + Bessel-corrected sample stddev per group
+    def events_stats(s, d):
+        ev = _t(s, d, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+
+    q["events_stats"] = events_stats
+
     # set-op composition: union of two near-dup candidate generators (F1/F2)
     def dedup_union(s, d):
         docs = _t(s, d, "documents")
@@ -587,5 +613,20 @@ jac_pairs AS (
   WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
 )
 SELECT doc_a, doc_b FROM mh_pairs UNION SELECT doc_a, doc_b FROM jac_pairs"""
+
+    o["events_json"] = """
+SELECT event_type,
+       CAST(floor(CAST(props->>'k' AS INT) / 10.0) AS INT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2"""
+    o["events_stats"] = """
+SELECT event_type,
+       round(avg(value), 4) AS avg_value,
+       round(stddev_samp(value), 4) AS stddev_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type"""
 
     return o
