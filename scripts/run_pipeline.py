@@ -1,0 +1,53 @@
+"""Cluster entrypoint for the KG construction pipeline.
+
+Deployment shape per BASELINE.json: package the library and submit —
+
+    zip -r mdkgs.zip medical_doc_knowledge_graph_system_spark/
+    spark-submit --py-files mdkgs.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \
+        scripts/run_pipeline.py \
+        --pages s3://bucket/pages/ --warehouse s3://bucket/kg_warehouse/ [--resume]
+
+On a cluster the SparkSession comes from spark-submit; locally this script
+falls back to the tuned local builder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")
+    ap.add_argument("--warehouse", required=True, help="output warehouse root")
+    ap.add_argument("--resume", action="store_true", help="resume from stage checkpoints")
+    ap.add_argument("--cores", default=None, help="local-mode cores (ignored under spark-submit)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from medical_doc_knowledge_graph_system_spark.session import get_spark
+
+        spark = get_spark(app_name="kg_pipeline", cores=args.cores)
+
+    from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+
+    pages = spark.read.parquet(args.pages)
+    stats = run_pipeline(spark, pages, args.warehouse, resume=args.resume)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
