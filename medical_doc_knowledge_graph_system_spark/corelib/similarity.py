@@ -89,13 +89,29 @@ def minhash_band_keys(name: str) -> list[str]:
 # -- deterministic embedding + cosine --------------------------------------------
 
 
+_GRAM_CACHE: dict[str, tuple[int, float]] = {}
+_GRAM_CACHE_MAX = 2_000_000  # bound worker memory on open-vocabulary corpora
+
+
+def _gram_feature(g: str, dim: int) -> tuple[int, float]:
+    key = g if dim == EMBED_DIM else (g, dim)
+    hit = _GRAM_CACHE.get(key)
+    if hit is None:
+        h = _md5_int("emb|" + g)
+        hit = (h % dim, 1.0 if (h >> 32) & 1 else -1.0)
+        if len(_GRAM_CACHE) >= _GRAM_CACHE_MAX:
+            _GRAM_CACHE.clear()
+        _GRAM_CACHE[key] = hit
+    return hit
+
+
 def embed_name(name: str, dim: int = EMBED_DIM) -> list[float]:
-    """Char-3-gram feature hashing, signed, L2-normalized."""
+    """Char-3-gram feature hashing, signed, L2-normalized. Gram features are
+    memoized — corpora have far fewer distinct grams than gram occurrences,
+    so the md5 runs once per distinct gram per worker."""
     vec = [0.0] * dim
     for g in char_ngrams(name):
-        h = _md5_int("emb|" + g)
-        idx = h % dim
-        sign = 1.0 if (h >> 32) & 1 else -1.0
+        idx, sign = _gram_feature(g, dim)
         vec[idx] += sign
     norm = math.sqrt(sum(v * v for v in vec))
     if norm == 0.0:
