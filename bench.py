@@ -117,9 +117,22 @@ def main() -> None:
         # the N run is solidly compute-bound rather than job-latency-bound —
         # the sandbox analog of N vs 4N executors per BASELINE.json.
         n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        lo = run_kg_pipeline(n_cores, pages_path, f"scale{n_cores}", shuffle_partitions=16)
+        scale_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0"))
+        scale_path = pages_path
+        if scale_pages:
+            cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+            scale_path = os.path.join(cache, f"pages_{scale_pages}.parquet")
+            if not os.path.exists(scale_path):
+                from medical_doc_knowledge_graph_system_spark.datagen import (
+                    write_pages_parquet_spark,
+                )
+
+                s = get_spark(app_name="bench_gen", cores=cpus)
+                write_pages_parquet_spark(s, scale_path, scale_pages)
+                s.stop()
+        lo = run_kg_pipeline(n_cores, scale_path, f"scale{n_cores}", shuffle_partitions=16)
         hi = run_kg_pipeline(
-            4 * n_cores, pages_path, f"scale{4 * n_cores}", shuffle_partitions=16
+            4 * n_cores, scale_path, f"scale{4 * n_cores}", shuffle_partitions=16
         )
         eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
         result["scaling"] = {

@@ -42,7 +42,11 @@ def run_pipeline(pages: list[dict]) -> dict:
         row = {**m, "name": name_map.get(m["name"], m["name"])}
         key = (row["chunk_id"], row["name"], row["label"])
         prev = best.get(key)
-        if prev is None or row["confidence"] > prev["confidence"]:
+        # deterministic representative: max confidence, then min start_char
+        if prev is None or (row["confidence"], -row["start_char"]) > (
+            prev["confidence"],
+            -prev["start_char"],
+        ):
             best[key] = row
     mentions = [best[k] for k in sorted(best)]
 

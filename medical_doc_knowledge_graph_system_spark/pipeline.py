@@ -91,12 +91,28 @@ def run_pipeline(
 
     def make_mentions():
         remapped = remap(mentions_raw, name_map, "name")
-        # post-resolution within-chunk (name, label) dedup keeping max
-        # confidence (reference: entity_resolver.py:71-82)
-        return remapped.groupBy("chunk_id", "url", "name", "label").agg(
-            F.max("confidence").alias("confidence"),
-            F.min("start_char").alias("start_char"),
-            F.min("method").alias("method"),
+        # post-resolution within-chunk (name, label) dedup keeping the max-
+        # confidence row, ties broken by min start_char — same total order as
+        # the oracle (reference dedup: entity_resolver.py:71-82)
+        best = F.max(
+            F.struct(
+                F.col("confidence"),
+                (-F.col("start_char")).alias("neg_start"),
+                F.col("method"),
+            )
+        )
+        return (
+            remapped.groupBy("chunk_id", "url", "name", "label")
+            .agg(best.alias("b"))
+            .select(
+                "chunk_id",
+                "url",
+                "name",
+                "label",
+                F.col("b.confidence").alias("confidence"),
+                (-F.col("b.neg_start")).cast("int").alias("start_char"),
+                F.col("b.method").alias("method"),
+            )
         )
 
     _run_stage(wh, spark, "mentions", make_mentions, resume)

@@ -40,9 +40,13 @@ def test_triple_precision_recall(spark, warehouse50, oracle50):
 
 def test_mentions_equal(spark, warehouse50, oracle50):
     root, _ = warehouse50
-    got = {(r.chunk_id, r.name, r.label, r.confidence) for r in _rows(spark, root, "mentions")}
+    got = {
+        (r.chunk_id, r.name, r.label, r.confidence, r.start_char)
+        for r in _rows(spark, root, "mentions")
+    }
     want = {
-        (m["chunk_id"], m["name"], m["label"], m["confidence"]) for m in oracle50["mentions"]
+        (m["chunk_id"], m["name"], m["label"], m["confidence"], m["start_char"])
+        for m in oracle50["mentions"]
     }
     assert got == want
 
