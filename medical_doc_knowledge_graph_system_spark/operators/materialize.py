@@ -32,6 +32,32 @@ def node_id(label_col, name_col):
     return F.substring(F.sha2(F.concat_ws("::", label_col, name_col), 256), 1, 16)
 
 
+def dedup_mentions(remapped: DataFrame) -> DataFrame:
+    """Post-resolution within-chunk (name, label) dedup keeping the max-
+    confidence row, ties broken by min start_char — the same total order the
+    oracle uses (reference: entity_resolver.py:71-82)."""
+    best = F.max(
+        F.struct(
+            F.col("confidence"),
+            (-F.col("start_char")).alias("neg_start"),
+            F.col("method"),
+        )
+    )
+    return (
+        remapped.groupBy("chunk_id", "url", "name", "label")
+        .agg(best.alias("b"))
+        .select(
+            "chunk_id",
+            "url",
+            "name",
+            "label",
+            F.col("b.confidence").alias("confidence"),
+            (-F.col("b.neg_start")).cast("int").alias("start_char"),
+            F.col("b.method").alias("method"),
+        )
+    )
+
+
 def build_nodes(mentions: DataFrame) -> DataFrame:
     """Resolved mentions -> one row per (label, name)."""
     return salted_agg(

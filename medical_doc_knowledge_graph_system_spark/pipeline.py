@@ -89,31 +89,10 @@ def run_pipeline(
     _run_stage(wh, spark, "name_map", make_name_map, resume)
     name_map = wh.read(spark, "name_map")
 
+    from .operators.materialize import dedup_mentions
+
     def make_mentions():
-        remapped = remap(mentions_raw, name_map, "name")
-        # post-resolution within-chunk (name, label) dedup keeping the max-
-        # confidence row, ties broken by min start_char — same total order as
-        # the oracle (reference dedup: entity_resolver.py:71-82)
-        best = F.max(
-            F.struct(
-                F.col("confidence"),
-                (-F.col("start_char")).alias("neg_start"),
-                F.col("method"),
-            )
-        )
-        return (
-            remapped.groupBy("chunk_id", "url", "name", "label")
-            .agg(best.alias("b"))
-            .select(
-                "chunk_id",
-                "url",
-                "name",
-                "label",
-                F.col("b.confidence").alias("confidence"),
-                (-F.col("b.neg_start")).cast("int").alias("start_char"),
-                F.col("b.method").alias("method"),
-            )
-        )
+        return dedup_mentions(remap(mentions_raw, name_map, "name"))
 
     _run_stage(wh, spark, "mentions", make_mentions, resume)
     mentions = wh.read(spark, "mentions")

@@ -95,6 +95,39 @@ def incremental_ingest(
     return writer.start()
 
 
+def compact_graph(spark: SparkSession, warehouse_root: str) -> dict:
+    """Periodic batch compaction after incremental ingest: re-resolve over
+    the accumulated raw tables and MERGE the graph tables by their natural
+    keys (nodes on (label, name), edges on (src, dst, rel_type) — the
+    reference's uniqueness-constraint upsert identities,
+    app/graph/schema_setup.py:18-28). Safe to run repeatedly; the streaming
+    appends plus this compaction give the same graph as a batch run."""
+    from pyspark.sql import functions as F
+
+    from ..operators.materialize import build_edges, build_nodes, dedup_mentions
+    from ..operators.resolve import build_name_map, remap
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(warehouse_root)
+    mentions_raw = wh.read(spark, "mentions_raw")
+    triples_raw = wh.read(spark, "triples_raw")
+    names = (
+        mentions_raw.select("name")
+        .union(triples_raw.select(F.col("subj").alias("name")))
+        .union(triples_raw.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    name_map = build_name_map(names).localCheckpoint()
+    mentions = dedup_mentions(remap(mentions_raw, name_map, "name"))
+    triples = remap(triples_raw, name_map, "subj", "obj")
+    wh.merge_upsert(build_nodes(mentions), "nodes", ["label", "name"])
+    wh.merge_upsert(build_edges(triples), "edges", ["src", "dst", "rel_type"])
+    return {
+        "nodes": wh.read(spark, "nodes").count(),
+        "edges": wh.read(spark, "edges").count(),
+    }
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_dir: str,

@@ -57,6 +57,46 @@ def test_incremental_ingest_matches_batch(spark, pages_parquet, tmp_path):
     assert spark.read.parquet(f"{wh}/chunks").count() == n_before
 
 
+def test_compact_graph_matches_batch(spark, pages_parquet, warehouse50, tmp_path):
+    """Streaming appends + compaction == batch pipeline graph."""
+    import os
+
+    from medical_doc_knowledge_graph_system_spark.streaming.incremental import (
+        compact_graph,
+    )
+
+    pages_dir = str(tmp_path / "pages_c")
+    os.makedirs(pages_dir)
+    shutil.copy(pages_parquet, os.path.join(pages_dir, "part-000.parquet"))
+    wh = str(tmp_path / "wh_c")
+    q = incremental_ingest(spark, pages_dir, wh, str(tmp_path / "ck_c"))
+    q.awaitTermination(120)
+
+    stats = compact_graph(spark, wh)
+    # re-run: idempotent
+    stats2 = compact_graph(spark, wh)
+    assert stats == stats2
+
+    batch_root, _ = warehouse50
+    batch_nodes = {
+        (r.label, r.name, r.n_mentions)
+        for r in spark.read.parquet(f"{batch_root}/nodes").collect()
+    }
+    got_nodes = {
+        (r.label, r.name, r.n_mentions) for r in spark.read.parquet(f"{wh}/nodes").collect()
+    }
+    assert got_nodes == batch_nodes
+    batch_edges = {
+        (r.src, r.dst, r.rel_type, r.n_occurrences)
+        for r in spark.read.parquet(f"{batch_root}/edges").collect()
+    }
+    got_edges = {
+        (r.src, r.dst, r.rel_type, r.n_occurrences)
+        for r in spark.read.parquet(f"{wh}/edges").collect()
+    }
+    assert got_edges == batch_edges
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     events_src = "/root/testdata/sf0.001/events.parquet"
     events_dir = str(tmp_path / "events_stream")
