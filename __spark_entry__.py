@@ -258,6 +258,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_stats"] = events_stats
 
+    # multi-dimensional aggregation: ROLLUP
+    def tpch_rollup(s, d):
+        li = _t(s, d, "lineitem")
+        return li.rollup("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+
+    q["tpch_rollup"] = tpch_rollup
+
+    # pivot: event_type counts as columns per user
+    def events_pivot(s, d):
+        ev = _t(s, d, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        p = ev.groupBy("user_id").pivot("event_type", types).count()
+        return p.select(
+            "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+        )
+
+    q["events_pivot"] = events_pivot
+
+    # set operations: INTERSECT / EXCEPT over doc-id sets
+    def docs_setops(s, d):
+        docs = _t(s, d, "documents")
+        toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+        has_spark = docs.where(F.array_contains(toks, "spark")).select("doc_id")
+        is_en = docs.where(F.col("lang") == "en").select("doc_id")
+        has_slow = docs.where(F.array_contains(toks, "slow")).select("doc_id")
+        return has_spark.intersect(is_en).exceptAll(has_slow).select("doc_id")
+
+    q["docs_setops"] = docs_setops
+
     # set-op composition: union of two near-dup candidate generators (F1/F2)
     def dedup_union(s, d):
         docs = _t(s, d, "documents")
@@ -614,6 +646,28 @@ jac_pairs AS (
 )
 SELECT doc_a, doc_b FROM mh_pairs UNION SELECT doc_a, doc_b FROM jac_pairs"""
 
+    o["tpch_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    o["events_pivot"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id"""
+    o["docs_setops"] = """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks, lang FROM documents)
+SELECT doc_id FROM t WHERE list_contains(toks, 'spark')
+INTERSECT
+SELECT doc_id FROM t WHERE lang = 'en'
+EXCEPT ALL
+SELECT doc_id FROM t WHERE list_contains(toks, 'slow')"""
     o["events_json"] = """
 SELECT event_type,
        CAST(floor(CAST(props->>'k' AS INT) / 10.0) AS INT) AS k_bucket,

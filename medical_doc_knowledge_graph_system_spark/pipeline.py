@@ -26,6 +26,7 @@ from .operators.resolve import build_name_map, remap
 from .sources.warehouse import Warehouse
 
 STAGES = [
+    "documents",
     "chunks",
     "chunk_embeddings",
     "mentions_raw",
@@ -63,6 +64,22 @@ def run_pipeline(
         for s in STAGES:
             wh.drop(s)
     t_start = time.time()
+
+    # documents dim table (reference A4: Document node per doc_id with audit
+    # metadata, app/graph/queries.py:9-16 — here a projection of pages)
+    _run_stage(
+        wh,
+        spark,
+        "documents",
+        lambda: pages.select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.length(F.coalesce("text", F.lit(""))).alias("text_chars"),
+            F.isnull("text").alias("from_html"),
+        ).dropDuplicates(["url"]),
+        resume,
+    )
 
     _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume)
     chunks = wh.read(spark, "chunks")

@@ -1,0 +1,81 @@
+"""Skew-handling and edge-case tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.corelib.textproc import chunk_page
+from medical_doc_knowledge_graph_system_spark.operators.skew import (
+    salted_agg,
+    salted_count,
+    salted_join_big_small,
+)
+
+
+def test_salted_count_equals_plain(spark):
+    # Zipf-skewed key: 'hot' dominates
+    rows = [("hot" if i % 10 else f"cold{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string")
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r["count"] for r in salted_count(df, "k").collect()}
+    assert salted == plain
+
+
+def test_salted_agg_equals_plain(spark):
+    rows = [("hot" if i % 5 else "cold", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r.k: (r.n, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    got = {
+        r.k: (r.n, r.mx)
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            partial_aggs=[F.count(F.lit(1)).alias("__c"), F.max("v").alias("__m")],
+            final_aggs=[F.sum("__c").cast("long").alias("n"), F.max("__m").alias("mx")],
+        ).collect()
+    }
+    assert got == plain
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.createDataFrame(
+        [("hot" if i % 3 else f"k{i}", i) for i in range(1000)], "k string, x int"
+    )
+    small = spark.createDataFrame([("hot", 1), ("k1", 2), ("missing", 3)], "k string, y int")
+    plain = {(r.k, r.x, r.y) for r in big.join(small, "k", "left").collect()}
+    got = {(r.k, r.x, r.y) for r in salted_join_big_small(big, small, "k").collect()}
+    assert got == plain
+
+
+def test_chunker_edge_cases():
+    # null text and null html -> no chunks, no crash
+    assert chunk_page("u", None, None) == []
+    # html-only page chunks from stripped text
+    out = chunk_page("u", None, b"<html><body><p>hello world</p></body></html>")
+    assert len(out) == 1 and out[0]["text"] == "hello world"
+    # pathological whitespace / unicode survive deterministically
+    weird = "café — résumé\n\n中文 text"
+    a, b = chunk_page("u", weird), chunk_page("u", weird)
+    assert a == b and len(a) == 2
+
+
+def test_pipeline_head_entity_skew_counts(spark, warehouse50, oracle50):
+    """The Zipf head entity's mention count (salted aggregation path) must
+    equal the oracle's plain count."""
+    root, _ = warehouse50
+    nodes = {
+        (r.label, r.name): r.n_mentions
+        for r in spark.read.parquet(f"{root}/nodes").collect()
+    }
+    from collections import Counter
+
+    want = Counter((m["label"], m["name"]) for m in oracle50["mentions"])
+    assert nodes == dict(want)
+    # sanity: the head entity really is the hottest key
+    head = max(nodes.items(), key=lambda kv: kv[1])
+    assert head[0][1] == "Hypertension"
