@@ -32,16 +32,24 @@ HEADLINE = [
     "kg_mentions",
     "kg_triples",
     "kg_cooccur_topk",
+    "kg_khop2",
     "kg_chunks",
     "text_quality",
+    "text_langid",
+    "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_topk",
+    "sim_neardup",
     "sim_ivf_topk",
     "events_hourly",
+    "events_sessions",
+    "events_pivot",
     "tpch_pricing",
+    "tpch_rollup",
     "tpch_top_customers",
+    "docs_setops",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
