@@ -40,12 +40,21 @@ STAGES = [
 ]
 
 
+# table layout for scale: low-cardinality dims get directory partitions
+# (partition pruning on label / rel_type point queries); chunk-family tables
+# get url-sorted files (parquet min/max stats -> file skipping on url).
+_PARTITION_BY = {"nodes": ["label"], "edges": ["rel_type"]}
+_SORT_WITHIN = {"chunks", "mentions", "mentions_raw", "triples", "triples_raw", "provenance_edges"}
+
+
 def _run_stage(wh: Warehouse, spark: SparkSession, stage: str, make, resume: bool) -> None:
     if resume and wh.checkpoint_done(stage) and wh.exists(stage):
         return
     t0 = time.time()
     df = make()
-    wh.write(df, stage)
+    if stage in _SORT_WITHIN:
+        df = df.sortWithinPartitions("url")
+    wh.write(df, stage, partition_by=_PARTITION_BY.get(stage))
     wall_ms = (time.time() - t0) * 1000
     rows = wh.log_partition_metrics(spark, stage, stage)
     wh.mark_checkpoint(stage, "complete", rows, wall_ms)
