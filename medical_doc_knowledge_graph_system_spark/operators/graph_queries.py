@@ -176,11 +176,16 @@ def condition_chain(edges: DataFrame) -> DataFrame:
 
 
 def provenance_citations(
-    provenance_edges: DataFrame, chunks: DataFrame, limit: int | None = None
+    provenance_edges: DataFrame,
+    chunks: DataFrame,
+    documents: DataFrame | None = None,
+    limit: int | None = None,
 ) -> DataFrame:
-    """Citations: SOURCED_FROM ⋈ chunks, ordered by confidence desc
-    (reference C14, app/retrieval/provenance.py:19-47). The BELONGS_TO hop to
-    documents is the url column on chunks (SURVEY §1.4)."""
+    """Citations: SOURCED_FROM ⋈ chunks [⋈ documents], ordered by confidence
+    desc (reference C14, app/retrieval/provenance.py:19-47: entity ->
+    SOURCED_FROM -> chunk -> BELONGS_TO -> document). The BELONGS_TO hop is
+    the url column on chunks (SURVEY §1.4); passing the documents dim
+    completes the 3-way join with document metadata."""
     out = (
         provenance_edges.join(
             chunks.select("chunk_id", F.col("text").alias("source_text"), "start_char"),
@@ -194,8 +199,15 @@ def provenance_citations(
             "confidence",
             "extraction_method",
         )
-        .orderBy(F.desc("confidence"), "entity_name", "source_url")
     )
+    if documents is not None:
+        out = out.join(
+            documents.select(
+                F.col("url").alias("source_url"), "warc_ts", F.col("lang").alias("doc_lang")
+            ),
+            "source_url",
+        )
+    out = out.orderBy(F.desc("confidence"), "entity_name", "source_url")
     return out.limit(limit) if limit else out
 
 

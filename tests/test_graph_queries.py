@@ -112,10 +112,11 @@ def test_provenance_citations(spark, warehouse50):
     root, _ = warehouse50
     prov = spark.read.parquet(f"{root}/provenance_edges")
     chunks = spark.read.parquet(f"{root}/chunks")
-    out = provenance_citations(prov, chunks, limit=20)
+    docs = spark.read.parquet(f"{root}/documents")
+    out = provenance_citations(prov, chunks, documents=docs, limit=20)
     rows = out.collect()
     assert 0 < len(rows) <= 20
     confs = [r.confidence for r in rows]
     assert confs == sorted(confs, reverse=True)
-    # every citation's entity name matching is traceable to chunk text
-    assert all(r.source_text for r in rows)
+    # every citation traceable: chunk text + document metadata present (C14)
+    assert all(r.source_text and r.warc_ts is not None for r in rows)
