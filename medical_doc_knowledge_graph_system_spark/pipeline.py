@@ -104,13 +104,10 @@ def run_pipeline(
     triples_raw = wh.read(spark, "triples_raw")
 
     def make_name_map():
-        names = (
-            mentions_raw.select("name")
-            .union(triples_raw.select(F.col("subj").alias("name")))
-            .union(triples_raw.select(F.col("obj").alias("name")))
-            .distinct()
-        )
-        return build_name_map(names)
+        # triples' subj/obj are mention names by construction (derive_triples
+        # is a self-join of mentions), so mentions_raw alone covers the
+        # distinct-name dictionary — no need to scan triples_raw.
+        return build_name_map(mentions_raw.select("name").distinct())
 
     _run_stage(wh, spark, "name_map", make_name_map, resume)
     name_map = wh.read(spark, "name_map")

@@ -111,13 +111,9 @@ def compact_graph(spark: SparkSession, warehouse_root: str) -> dict:
     wh = Warehouse(warehouse_root)
     mentions_raw = wh.read(spark, "mentions_raw")
     triples_raw = wh.read(spark, "triples_raw")
-    names = (
-        mentions_raw.select("name")
-        .union(triples_raw.select(F.col("subj").alias("name")))
-        .union(triples_raw.select(F.col("obj").alias("name")))
-        .distinct()
-    )
-    name_map = build_name_map(names).localCheckpoint()
+    # triples' subj/obj ⊆ mention names (derive_triples is a mentions
+    # self-join), so mentions_raw covers the dictionary
+    name_map = build_name_map(mentions_raw.select("name").distinct()).localCheckpoint()
     mentions = dedup_mentions(remap(mentions_raw, name_map, "name"))
     triples = remap(triples_raw, name_map, "subj", "obj")
     wh.merge_upsert(build_nodes(mentions), "nodes", ["label", "name"])
