@@ -43,17 +43,21 @@ def k_hop(
         adj = adj.where(F.col("rel_type").isin(allowed_rel_types))
     adj = adj.select("x", "y").distinct()
 
-    frontier = seeds.select(F.col("node_id").alias("y")).distinct()
+    # frontiers are broadcast while small (seed neighborhoods usually are);
+    # beyond the threshold fall back to a shuffle join — a BFS frontier on a
+    # web graph can explode, and force-broadcasting it would OOM executors.
+    broadcast_limit = 100_000
+
+    frontier = seeds.select(F.col("node_id").alias("y")).distinct().localCheckpoint()
+    frontier_n = frontier.count()
     reached = frontier.select("y", F.lit(0).alias("hops"))
     for hop in range(1, max_hops + 1):
-        nxt = (
-            adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
-            .select(adj.y.alias("y"))
-            .distinct()
-        )
+        f = frontier.hint("broadcast") if frontier_n <= broadcast_limit else frontier
+        nxt = adj.join(f, adj.x == f.y).select(adj.y.alias("y")).distinct()
         # min-hop semantics: drop nodes already reached at a smaller hop
         nxt = nxt.join(reached.select("y"), "y", "left_anti").localCheckpoint()
-        if nxt.isEmpty():
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
         reached = reached.union(nxt.select("y", F.lit(hop).alias("hops")))
         frontier = nxt

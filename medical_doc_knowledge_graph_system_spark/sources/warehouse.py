@@ -69,6 +69,28 @@ class Warehouse:
         shutil.rmtree(self.path(name))
         os.rename(tmp, self.path(name))
 
+    def compact_table(
+        self, spark: SparkSession, name: str, target_file_mb: int = 128
+    ) -> int:
+        """Coalesce a table's small files toward target_file_mb per file
+        (streaming appends produce one file per microbatch; at scale this is
+        the standard maintenance op — Iceberg's rewrite_data_files).
+        Returns the new file count."""
+        import glob
+
+        p = self.path(name)
+        size = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+        n_files = max(1, round(size / (target_file_mb * 1024 * 1024)))
+        df = self.read(spark, name)
+        tmp = self.path(f"__tmp_{name}")
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p)
+        os.rename(tmp, p)
+        return n_files
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.isdir(p):

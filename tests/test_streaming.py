@@ -128,3 +128,59 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState chunk dedup: a chunk re-delivered in a later
+    microbatch is emitted exactly once."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+        dedup_chunk_stream,
+    )
+
+    src = str(tmp_path / "chunk_stream")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        t = pa.table(
+            {
+                "chunk_id": pa.array([r[0] for r in rows], pa.string()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "chunk_idx": pa.array([r[2] for r in rows], pa.int32()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(src, name))
+
+    write_batch("b0.parquet", [("c1", "u1", 0, "a"), ("c2", "u1", 1, "b"), ("c3", "u2", 0, "c")])
+
+    schema = "chunk_id string, url string, chunk_idx int, text string"
+    sink = str(tmp_path / "dedup_sink")
+
+    def run_stream():
+        q = (
+            dedup_chunk_stream(
+                spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    got1 = [r.chunk_id for r in spark.read.parquet(sink).collect()]
+    assert sorted(got1) == ["c1", "c2", "c3"]
+
+    # second delivery: c2 and c3 repeated, c4 new — state survives via the
+    # stream checkpoint; only the genuinely new chunk is emitted
+    write_batch("b1.parquet", [("c2", "u1", 1, "b"), ("c3", "u2", 0, "c"), ("c4", "u2", 1, "d")])
+    run_stream()
+    got2 = [r.chunk_id for r in spark.read.parquet(sink).collect()]
+    assert sorted(got2) == ["c1", "c2", "c3", "c4"], got2

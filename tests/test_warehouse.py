@@ -38,3 +38,19 @@ def test_checkpoint_roundtrip(tmp_path):
     assert wh.checkpoint_done("stage1")
     wh.mark_checkpoint("stage1", "failed", rows=0, wall_ms=1.0)
     assert not wh.checkpoint_done("stage1")  # latest record wins
+
+
+def test_compact_table(spark, tmp_path):
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.range(10000).selectExpr("id", "id * 2 as v")
+    df.repartition(20).write.parquet(wh.path("t"))
+    import glob, os
+
+    before = len(glob.glob(os.path.join(wh.path("t"), "*.parquet")))
+    assert before >= 20
+    wh.compact_table(spark, "t")
+    after = len(glob.glob(os.path.join(wh.path("t"), "*.parquet")))
+    assert after < before
+    assert wh.read(spark, "t").count() == 10000
