@@ -151,10 +151,17 @@ def _cc_iterative(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # salted two-phase min: a head entity (Zipf skew) has huge degree, so
+        # a plain groupBy("x") would funnel its whole neighbor list through
+        # one reducer (north_rule: salted entity-hash keys in union-find).
+        joined = edges_bi.join(lbl, edges_bi.y == lbl.name).withColumn(
+            "__salt", F.pmod(F.xxhash64("y"), F.lit(16))
+        )
         nbr = (
-            edges_bi.join(lbl, edges_bi.y == lbl.name)
+            joined.groupBy("x", "__salt")
+            .agg(F.min("comp").alias("__pc"))
             .groupBy("x")
-            .agg(F.min("comp").alias("nbr_comp"))
+            .agg(F.min("__pc").alias("nbr_comp"))
         )
         new_lbl = (
             lbl.join(nbr, lbl.name == nbr.x, "left")

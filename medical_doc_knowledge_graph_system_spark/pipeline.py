@@ -65,8 +65,15 @@ def run_pipeline(
     pages: DataFrame,
     warehouse_root: str,
     resume: bool = False,
+    lang_filter: str | None = None,
 ) -> dict:
-    """Run chunk -> extract -> resolve -> materialize; returns stats dict."""
+    """Run chunk -> extract -> resolve -> materialize; returns stats dict.
+
+    lang_filter (e.g. "en") restricts ingestion to one language — the
+    predicate lands in the parquet scan (PushedFilters), so skipped pages
+    are never read."""
+    if lang_filter:
+        pages = pages.where(F.col("lang") == lang_filter)
     wh = Warehouse(warehouse_root)
     if not resume:
         wh.reset_meta()
