@@ -14,6 +14,7 @@ from the last complete stage — north_rule resumability):
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,7 +53,7 @@ def _run_stage(wh: Warehouse, spark: SparkSession, stage: str, make, resume: boo
         return
     t0 = time.time()
     df = make()
-    if stage in _SORT_WITHIN:
+    if stage.split("__g")[0] in _SORT_WITHIN:
         df = df.sortWithinPartitions("url")
     wh.write(df, stage, partition_by=_PARTITION_BY.get(stage))
     wall_ms = (time.time() - t0) * 1000
@@ -66,6 +67,7 @@ def run_pipeline(
     warehouse_root: str,
     resume: bool = False,
     lang_filter: str | None = None,
+    url_groups: int = 1,
 ) -> dict:
     """Run chunk -> extract -> resolve -> materialize; returns stats dict.
 
@@ -79,6 +81,10 @@ def run_pipeline(
         wh.reset_meta()
         for s in STAGES:
             wh.drop(s)
+        import glob as _glob
+
+        for shard in _glob.glob(wh.path("chunks__g*")):
+            wh.drop(os.path.basename(shard))
     t_start = time.time()
 
     # documents dim table (reference A4: Document node per doc_id with audit
@@ -97,7 +103,18 @@ def run_pipeline(
         resume,
     )
 
-    _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume)
+    if url_groups <= 1:
+        _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume)
+    else:
+        # per-partition-group checkpointing (north_rule): pages are processed
+        # in url-hash groups, each materialized + checkpointed independently,
+        # so a crash loses at most one group's work and restart anti-joins
+        # completed groups (by skipping their checkpoints).
+        for g in range(url_groups):
+            grp = pages.where(F.pmod(F.xxhash64("url"), F.lit(url_groups)) == g)
+            _run_stage(
+                wh, spark, f"chunks__g{g}", lambda grp=grp: chunk_pages(grp), resume
+            )
     chunks = wh.read(spark, "chunks")
 
     from .operators.embed import embed_chunks
@@ -148,6 +165,10 @@ def run_pipeline(
             rec = json.loads(line)
             if rec["status"] == "complete":
                 stats[rec["stage"]] = rec["rows"]
+    if url_groups > 1:
+        stats["chunks"] = sum(
+            stats.get(f"chunks__g{g}", 0) for g in range(url_groups)
+        )
     stats["wall_sec"] = round(wall, 3)
     stats["triples_per_sec"] = round(stats["triples"] / wall, 2) if wall > 0 else None
     return stats

@@ -36,7 +36,17 @@ class Warehouse:
         return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.path(name))
+        """Read a table; a table may be stored as url-hash partition-group
+        shards (`name__g0`, `name__g1`, ...) written by group-checkpointed
+        stages — transparently read as their union."""
+        if self.exists(name):
+            return spark.read.parquet(self.path(name))
+        import glob
+
+        shards = sorted(glob.glob(self.path(f"{name}__g*")))
+        if shards:
+            return spark.read.parquet(*shards)
+        return spark.read.parquet(self.path(name))  # surface the normal error
 
     def write(
         self,

@@ -108,3 +108,48 @@ def test_partition_metrics_written(spark, warehouse50):
     stages = {r["stage"] for r in recs}
     assert {"chunks", "mentions_raw", "triples"} <= stages
     assert all(r["rows"] >= 0 and "partition_id" in r for r in recs)
+
+
+def test_url_group_checkpointing(spark, pages_parquet, warehouse50, tmp_path):
+    """Per-partition-group resume: ingest in 3 url-hash groups; kill one
+    group's checkpoint; resume recomputes only that group and the final
+    graph equals the ungrouped run."""
+    import json
+    import os
+
+    from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    pages = spark.read.parquet(pages_parquet)
+    root = str(tmp_path / "wh_g")
+    stats = run_pipeline(spark, pages, root, url_groups=3)
+
+    base_root, base_stats = warehouse50
+    assert stats["chunks"] == base_stats["chunks"]
+    got = {
+        (r.chunk_id, r.text) for r in spark.read.parquet(f"{root}/chunks__g0")
+        .union(spark.read.parquet(f"{root}/chunks__g1"))
+        .union(spark.read.parquet(f"{root}/chunks__g2"))
+        .collect()
+    }
+    want = {(r.chunk_id, r.text) for r in spark.read.parquet(f"{base_root}/chunks").collect()}
+    assert got == want
+
+    # simulate crash during group 1: drop its output + checkpoint record
+    wh = Warehouse(root)
+    ck = wh._meta_path("_checkpoints")
+    recs = [json.loads(l) for l in open(ck)]
+    with open(ck, "w") as f:
+        for rec in recs:
+            if rec["stage"] not in ("chunks__g1",) and rec["stage"] not in (
+                "mentions_raw", "triples_raw", "name_map", "mentions",
+                "triples", "nodes", "edges", "provenance_edges",
+            ):
+                f.write(json.dumps(rec) + "\n")
+    for s in ("chunks__g1", "mentions_raw", "triples_raw", "name_map",
+              "mentions", "triples", "nodes", "edges", "provenance_edges"):
+        wh.drop(s)
+
+    stats2 = run_pipeline(spark, pages, root, resume=True, url_groups=3)
+    assert stats2["chunks"] == stats["chunks"]
+    assert stats2["triples"] == stats["triples"]
