@@ -30,6 +30,13 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True, help="output warehouse root")
     ap.add_argument("--resume", action="store_true", help="resume from stage checkpoints")
     ap.add_argument("--cores", default=None, help="local-mode cores (ignored under spark-submit)")
+    ap.add_argument("--lang", default=None, help="optional language filter (pushdown)")
+    ap.add_argument(
+        "--url-groups",
+        type=int,
+        default=1,
+        help="ingest in N url-hash partition groups with per-group checkpoints",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,7 +52,14 @@ def main() -> None:
     from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
 
     pages = spark.read.parquet(args.pages)
-    stats = run_pipeline(spark, pages, args.warehouse, resume=args.resume)
+    stats = run_pipeline(
+        spark,
+        pages,
+        args.warehouse,
+        resume=args.resume,
+        lang_filter=args.lang,
+        url_groups=args.url_groups,
+    )
     print(json.dumps(stats))
 
 
