@@ -1,0 +1,102 @@
+"""Deterministic evaluation harness + report.
+
+The reference's evaluation (app/evaluation/harness.py, metrics.py,
+report.py) scores 11 gold questions with an LLM judge and aggregates
+mean + Bessel-corrected std per strategy, then renders a markdown report.
+The LLM-judge metrics are replaced by deterministic correctness metrics
+(SURVEY §3.3 / §5.2): triple precision/recall vs the shared oracle, chunk
+byte-identity rate, and graph statistics; the aggregation (avg +
+stddev_samp, D6/D7) and the report shape carry over.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .corelib.oracle import precision_recall, run_pipeline as oracle_run, triple_set
+from .sources.warehouse import Warehouse
+
+
+def evaluate(spark: SparkSession, warehouse_root: str, pages_rows: list[dict]) -> dict:
+    """Score a materialized warehouse against the single-process oracle run
+    on the same pages. Returns the metrics dict (also see render_report)."""
+    wh = Warehouse(warehouse_root)
+    oracle = oracle_run(pages_rows)
+
+    sp_chunks = {
+        r.chunk_id: r.text for r in wh.read(spark, "chunks").collect()
+    }
+    o_chunks = {c["chunk_id"]: c["text"] for c in oracle["chunks"]}
+    matched = sum(1 for k, v in o_chunks.items() if sp_chunks.get(k) == v)
+    byte_identity = matched / len(o_chunks) if o_chunks else 1.0
+
+    got = {
+        (r.subj, r.pred, r.obj) for r in wh.read(spark, "triples").collect()
+    }
+    p, r = precision_recall(got, triple_set(oracle["triples"]))
+
+    conf_stats = (
+        wh.read(spark, "triples")
+        .agg(
+            F.round(F.avg("confidence"), 4).alias("avg_conf"),
+            F.round(F.stddev_samp("confidence"), 4).alias("std_conf"),
+        )
+        .collect()[0]
+    )
+    label_counts = {
+        row.label: row.n
+        for row in wh.read(spark, "nodes")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "timestamp": time.time(),
+        "n_pages": len(pages_rows),
+        "chunk_byte_identity": round(byte_identity, 6),
+        "triple_precision": round(p, 6),
+        "triple_recall": round(r, 6),
+        "n_triples_distinct": len(got),
+        "confidence_mean": conf_stats.avg_conf,
+        "confidence_std_samp": conf_stats.std_conf,  # Bessel ddof=1 (D7)
+        "nodes_by_label": dict(sorted(label_counts.items())),
+        "gates": {
+            "byte_identity_exact": byte_identity == 1.0,
+            "pr_at_least_0_95": p >= 0.95 and r >= 0.95,
+        },
+    }
+
+
+def render_report(metrics: dict) -> str:
+    """Markdown report (shape modeled on app/evaluation/report.py:11-99)."""
+    lines = [
+        "# KG pipeline evaluation report",
+        "",
+        f"- pages: {metrics['n_pages']}",
+        f"- chunk byte-identity vs oracle: {metrics['chunk_byte_identity']:.4f}"
+        f" ({'PASS' if metrics['gates']['byte_identity_exact'] else 'FAIL'})",
+        f"- triple precision: {metrics['triple_precision']:.4f}"
+        f" / recall: {metrics['triple_recall']:.4f}"
+        f" ({'PASS' if metrics['gates']['pr_at_least_0_95'] else 'FAIL'} @ 0.95)",
+        f"- distinct triples: {metrics['n_triples_distinct']}",
+        f"- confidence mean ± std (ddof=1): {metrics['confidence_mean']}"
+        f" ± {metrics['confidence_std_samp']}",
+        "",
+        "## Nodes by label",
+        "",
+        "| label | nodes |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in metrics["nodes_by_label"].items()]
+    return "\n".join(lines)
+
+
+def write_report(metrics: dict, json_path: str, md_path: str) -> None:
+    with open(json_path, "w") as f:
+        json.dump(metrics, f, indent=2)
+    with open(md_path, "w") as f:
+        f.write(render_report(metrics))

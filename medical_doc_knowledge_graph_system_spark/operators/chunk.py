@@ -35,26 +35,41 @@ CHUNK_SCHEMA = T.StructType(
 _COLS = [f.name for f in CHUNK_SCHEMA.fields]
 
 
-def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows: list[dict] = []
-        htmls = pdf["html"] if "html" in pdf.columns else [None] * len(pdf)
-        for url, text, html in zip(pdf["url"], pdf["text"], htmls):
-            rows.extend(chunk_page(url, text, html))
-        yield pd.DataFrame(rows, columns=_COLS)
+def _make_chunk_batches(strategy: str):
+    def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strategy == "soap":
+            from ..corelib.soap import chunk_soap_note
+
+        for pdf in batches:
+            rows: list[dict] = []
+            htmls = pdf["html"] if "html" in pdf.columns else [None] * len(pdf)
+            for url, text, html in zip(pdf["url"], pdf["text"], htmls):
+                if strategy == "soap":
+                    rows.extend(chunk_soap_note(text or "", url))
+                else:
+                    rows.extend(chunk_page(url, text, html))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return _chunk_batches
 
 
-def chunk_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def chunk_pages(
+    pages: DataFrame, num_partitions: int | None = None, strategy: str = "web"
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> chunks DataFrame.
 
     Repartitions on url-hash first (north_rule: explicit repartitioning on
     url-hash) so a page's chunks are colocated for extraction and the
     byte-identity check never shuffles text.
+
+    strategy="web" (default): boilerplate strip + paragraph/window chunking.
+    strategy="soap": the reference's SOAP-section-aware chunker
+    (corelib.soap) for users migrating reference inputs verbatim.
     """
     n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism * 2
     cols = ["url", "text"] + (["html"] if "html" in pages.columns else [])
     return (
         pages.select(*cols)
         .repartition(n, F.xxhash64("url"))
-        .mapInPandas(_chunk_batches, schema=CHUNK_SCHEMA)
+        .mapInPandas(_make_chunk_batches(strategy), schema=CHUNK_SCHEMA)
     )
