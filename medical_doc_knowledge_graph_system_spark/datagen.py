@@ -101,7 +101,7 @@ def write_pages_parquet_spark(spark, path: str, n: int, seed: int = 42) -> None:
     spark.range -> mapInPandas(page_row) -> parquet. Row i is identical to
     write_pages_parquet's row i (page_row is seeded per index)."""
     import pandas as pd
-    from pyspark.sql import functions as F
+
     from pyspark.sql import types as T
 
     schema = T.StructType(

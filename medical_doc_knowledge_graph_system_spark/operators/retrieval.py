@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..corelib.similarity import cosine, embed_name
-from .embed import embed_udf
+
 from .graph_queries import k_hop
 from .simquery import cosine_score_col
 

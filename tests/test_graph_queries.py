@@ -5,7 +5,7 @@ stats — SURVEY §2.C8-C16, D1/D2)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
     all_paths,
