@@ -18,14 +18,40 @@ from functools import lru_cache
 from .gazetteer import REL_PATTERNS, surface_forms
 
 
+def _trie_pattern(words: list[str]) -> str:
+    """Trie-compressed alternation preserving longest-match-at-position.
+
+    Python `re` alternation is O(alternatives) per position; a character
+    trie shares prefixes so the scan cost is O(match length). Greedy
+    `(?:...)?` suffixes at terminal nodes make the engine try the longer
+    continuation first, reproducing longest-first alternation exactly.
+    """
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # terminal marker
+
+    def render(node: dict) -> str:
+        term = "" in node
+        children = {k: v for k, v in node.items() if k != ""}
+        if not children:
+            return ""
+        alts = [re.escape(ch) + render(sub) for ch, sub in sorted(children.items())]
+        body = alts[0] if len(alts) == 1 and not term else "(?:" + "|".join(alts) + ")"
+        return body + ("?" if term else "")
+
+    return render(trie)
+
+
 @lru_cache(maxsize=1)
 def _compiled() -> tuple[re.Pattern, dict[str, tuple[str, str, float]]]:
     forms = surface_forms()
-    # longest-first alternation so "nitroglycerin sl" beats "nitroglycerin"
-    # and "heart attack" beats nothing shorter inside it.
-    alts = sorted(forms, key=len, reverse=True)
+    # trie alternation: "nitroglycerin sl" still beats "nitroglycerin" and
+    # "heart attack" beats any shorter form at the same position.
     pat = re.compile(
-        r"(?<![A-Za-z0-9])(" + "|".join(re.escape(a) for a in alts) + r")(?![A-Za-z0-9])",
+        r"(?<![A-Za-z0-9])(" + _trie_pattern(sorted(forms)) + r")(?![A-Za-z0-9])",
         re.IGNORECASE,
     )
     return pat, forms
@@ -34,19 +60,18 @@ def _compiled() -> tuple[re.Pattern, dict[str, tuple[str, str, float]]]:
 def extract_mentions(chunk_text: str) -> list[dict]:
     """[{name, label, confidence, start_char}] — deterministic scan.
 
-    Non-overlapping longest-first matches at token boundaries; names are the
-    canonical gazetteer forms (abbreviations expanded at detection time, the
-    way the reference's prompt instructs the LLM, extractor.py:43,122-128).
+    Non-overlapping longest-first matches at token boundaries (the trie
+    pattern above); names are the canonical gazetteer forms for direct hits
+    and the raw surface for alias hits — abbreviation expansion is the
+    resolver's broadcast alias join (reference pass 0,
+    entity_resolver.py:111-114; alias set from the prompt rule table,
+    extractor.py:43,122-128).
     """
     pat, forms = _compiled()
     out: list[dict] = []
     for m in pat.finditer(chunk_text):
         surface = m.group(1)
         canonical, label, conf = forms[surface.lower()]
-        # direct gazetteer hits emit the canonical spelling; alias hits emit
-        # the raw surface form — mapping alias -> canonical is the resolver's
-        # broadcast alias join (reference pass 0, entity_resolver.py:111-114),
-        # which must see real work (BASELINE.json: broadcast alias dictionary).
         name = canonical if surface.lower() == canonical.lower() else surface
         out.append(
             {"name": name, "label": label, "confidence": conf, "start_char": m.start()}

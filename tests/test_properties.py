@@ -104,3 +104,28 @@ def test_mentions_within_bounds(text):
     for m in extract_mentions(text):
         assert 0 <= m["start_char"] < len(text)
         assert 0.0 <= m["confidence"] <= 1.0
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_trie_pattern_equals_naive_alternation(text):
+    """The trie-compressed gazetteer pattern must match exactly like the
+    naive longest-first alternation it replaces."""
+    import re
+
+    from medical_doc_knowledge_graph_system_spark.corelib.extract import _compiled
+    from medical_doc_knowledge_graph_system_spark.corelib.gazetteer import (
+        surface_forms,
+    )
+
+    forms = surface_forms()
+    naive = re.compile(
+        r"(?<![A-Za-z0-9])("
+        + "|".join(re.escape(a) for a in sorted(forms, key=len, reverse=True))
+        + r")(?![A-Za-z0-9])",
+        re.IGNORECASE,
+    )
+    trie, _ = _compiled()
+    assert [(m.start(), m.group(1).lower()) for m in trie.finditer(text)] == [
+        (m.start(), m.group(1).lower()) for m in naive.finditer(text)
+    ]
