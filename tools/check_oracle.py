@@ -35,6 +35,9 @@ def _norm(v) -> str:
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
+        import os
+        if os.environ.get("STRICT_FLOATS"):
+            return repr(v)
         return f"{v:.6g}"
     if isinstance(v, list):
         return "[" + ",".join(_norm(x) for x in v) + "]"
