@@ -258,6 +258,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_stats"] = events_stats
 
+    # reproducible sampling: hash-threshold sample (the training-data way —
+    # stable across runs/engines, unlike rand()-based sampling)
+    def docs_sample(s, d):
+        docs = _t(s, d, "documents")
+        return docs.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "28"
+        ).select("doc_id", "lang", "n_chars")
+
+    q["docs_sample"] = docs_sample
+
+    # exact interpolated quantiles per group
+    def events_quantiles(s, d):
+        ev = _t(s, d, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+
+    q["events_quantiles"] = events_quantiles
+
     # multi-dimensional aggregation: ROLLUP
     def tpch_rollup(s, d):
         li = _t(s, d, "lineitem")
@@ -646,6 +666,16 @@ jac_pairs AS (
 )
 SELECT doc_a, doc_b FROM mh_pairs UNION SELECT doc_a, doc_b FROM jac_pairs"""
 
+    o["docs_sample"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'"""
+    o["events_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type"""
     o["tpch_rollup"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
