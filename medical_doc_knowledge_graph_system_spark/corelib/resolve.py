@@ -23,6 +23,7 @@ from collections.abc import Iterable
 
 from .gazetteer import ALIASES
 from .similarity import (
+    MAX_LSH_BUCKET,
     fuzzy_match,
     minhash_band_keys,
     semantic_match,
@@ -41,18 +42,22 @@ def canonical_choice(names: Iterable[str]) -> str:
 
 
 def candidate_pairs(
-    names: list[str], band_fn=minhash_band_keys
+    names: list[str], band_fn=minhash_band_keys, max_bucket: int = MAX_LSH_BUCKET
 ) -> list[tuple[str, str]]:
-    """LSH-blocked candidate pairs: names sharing any band key."""
+    """LSH-blocked candidate pairs: names sharing any band key.
+
+    Buckets larger than max_bucket are skipped (non-discriminative band —
+    see similarity.MAX_LSH_BUCKET); identical logic in the Spark stage.
+    """
     buckets: dict[str, list[str]] = defaultdict(list)
     for n in names:
         for key in band_fn(n):
             buckets[key].append(n)
     pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
-        if len(members) < 2:
-            continue
         ms = sorted(set(members))
+        if len(ms) < 2 or len(ms) > max_bucket:
+            continue
         for i, a in enumerate(ms):
             for b in ms[i + 1 :]:
                 pairs.add((a, b))

@@ -33,8 +33,15 @@ SEMANTIC_THRESHOLD = 0.85   # reference: entity_resolver.py:44
 MINHASH_K = 16              # minhash functions
 MINHASH_BAND_ROWS = 2       # rows per band -> 8 bands
 EMBED_DIM = 64
-SIMHASH_BITS = 16
-SIMHASH_BAND_BITS = 4       # -> 4 bands
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8       # -> 4 bands of 256 buckets each
+
+# LSH bucket cap: a band bucket larger than this is non-discriminative
+# (template words shared by thousands of names); its pairs are dropped.
+# Genuinely similar pairs share several independent bands, so recall loss is
+# negligible while candidate count stays near-linear. Shared by the oracle
+# and the Spark stage — parity by construction.
+MAX_LSH_BUCKET = 32
 
 
 def _md5_int(s: str) -> int:

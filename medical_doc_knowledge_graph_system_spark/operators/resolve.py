@@ -67,12 +67,25 @@ def candidate_pairs(names: DataFrame, band_udf) -> DataFrame:
     """names(name) -> (a, b) pairs sharing any LSH band key, a < b, distinct.
 
     The banded frame is checkpointed so the band UDF runs once, not once per
-    self-join side."""
+    self-join side. Buckets larger than similarity.MAX_LSH_BUCKET are dropped
+    before the self-join (non-discriminative bands would otherwise produce
+    O(bucket^2) pairs on template-heavy name sets) — the exact rule the
+    oracle's corelib.resolve.candidate_pairs applies, so parity holds.
+    """
+    from ..corelib.similarity import MAX_LSH_BUCKET
+
     banded = names.select(
         "name", F.explode(band_udf("name")).alias("band")
     ).localCheckpoint()
-    left = banded.alias("l")
-    right = banded.alias("r")
+    small_bands = (
+        banded.groupBy("band")
+        .agg(F.count_distinct("name").alias("__n"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= MAX_LSH_BUCKET))
+        .select("band")
+    )
+    pruned = banded.join(small_bands, "band", "left_semi")
+    left = pruned.alias("l")
+    right = pruned.alias("r")
     return (
         left.join(
             right,
