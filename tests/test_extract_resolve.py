@@ -140,3 +140,25 @@ def test_distributed_name_map_matches_oracle(spark):
     df = spark.createDataFrame([(n,) for n in names], "name string")
     got = {r.name: r.canonical for r in build_name_map_distributed(df).collect()}
     assert got == oracle_nm(names)
+
+
+def test_distributed_name_map_template_heavy(spark):
+    """LSH must stay near-linear on template-heavy name sets (shared words
+    make naive banding degenerate to O(n^2) candidates) — regression for the
+    bucket-cap rule; result must still equal the oracle."""
+    from medical_doc_knowledge_graph_system_spark.corelib.resolve import (
+        build_name_map as oracle_nm,
+    )
+    from medical_doc_knowledge_graph_system_spark.operators.resolve import (
+        build_name_map_distributed,
+    )
+
+    names = sorted(
+        {f"Entity {chr(65 + i % 26)} Number {i}" for i in range(700)}
+        | {f"Entity {chr(65 + i % 26)} Number {i} Inc" for i in range(0, 700, 3)}
+    )
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r.name: r.canonical for r in build_name_map_distributed(df).collect()}
+    want = oracle_nm(names)
+    assert got == want
+    assert sum(1 for k, v in want.items() if k != v) > 100  # real merges happened
