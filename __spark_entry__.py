@@ -103,8 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk"] = lambda s, d: topk_cosine(
         _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5
     )
+    # bits pinned to 8 to match the oracle SQL; at corpus scale raise bits
+    # (buckets = 2^bits) so bucket sizes stay bounded
     q["sim_neardup"] = lambda s, d: neardup_pairs_signblock(
-        _dbl_emb(_t(s, d, "embeddings")), threshold=0.25
+        _dbl_emb(_t(s, d, "embeddings")), threshold=0.25, bits=8
     )
     q["sim_ivf_topk"] = lambda s, d: topk_cosine_ivf(
         _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5, n_cells=16
