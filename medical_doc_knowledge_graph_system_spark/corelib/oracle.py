@@ -20,6 +20,21 @@ def run_pipeline(pages: list[dict]) -> dict:
     "name_map": {...}} with the same field names the Spark tables use.
     Mentions/triples carry canonical (resolved) names.
     """
+    # re-crawled urls: latest crawl wins (same rule as pipeline.run_pipeline;
+    # null warc_ts sorts last, like Spark's desc_nulls_last)
+    import datetime as _dt
+
+    def _key(p: dict) -> tuple:
+        ts = p.get("warc_ts") or _dt.datetime.min
+        return (ts, p.get("text") or "")
+
+    latest: dict[str, dict] = {}
+    for p in pages:
+        prev = latest.get(p["url"])
+        if prev is None or _key(p) > _key(prev):
+            latest[p["url"]] = p
+    pages = [latest[u] for u in sorted(latest)]
+
     chunks: list[dict] = []
     for p in pages:
         chunks.extend(chunk_page(p["url"], p.get("text"), p.get("html")))

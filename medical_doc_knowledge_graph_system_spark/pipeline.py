@@ -76,6 +76,19 @@ def run_pipeline(
     are never read."""
     if lang_filter:
         pages = pages.where(F.col("lang") == lang_filter)
+    # re-crawled urls: latest crawl wins (reference upsert identity —
+    # Document/SourceChunk MERGE by natural key, app/graph/queries.py:9-31;
+    # deterministic tiebreak on the text for equal timestamps)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.coalesce("text", F.lit("")))
+    )
+    pages = (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     wh = Warehouse(warehouse_root)
     if not resume:
         wh.reset_meta()

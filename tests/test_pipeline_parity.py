@@ -153,3 +153,38 @@ def test_url_group_checkpointing(spark, pages_parquet, warehouse50, tmp_path):
     stats2 = run_pipeline(spark, pages, root, resume=True, url_groups=3)
     assert stats2["chunks"] == stats["chunks"]
     assert stats2["triples"] == stats["triples"]
+
+
+def test_recrawled_urls_latest_wins(spark, tmp_path):
+    """Duplicate urls (re-crawls): the latest warc_ts version is ingested
+    once — reference MERGE-by-key upsert semantics (queries.py:9-31) — and
+    Spark matches the oracle on the deduped corpus."""
+    import datetime as dt
+
+    from medical_doc_knowledge_graph_system_spark.corelib.oracle import (
+        run_pipeline as oracle_run,
+    )
+    from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+
+    rows = [
+        ("https://x/1", dt.datetime(2025, 1, 1), None, "old text about Aspirin", "en"),
+        ("https://x/1", dt.datetime(2025, 1, 2), None, "new text about Hypertension", "en"),
+        ("https://x/2", dt.datetime(2025, 1, 1), None, "Peter Fern takes Metformin", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    root = str(tmp_path / "wh_dup")
+    run_pipeline(spark, pages, root)
+    chunks = {(r.chunk_id, r.text) for r in spark.read.parquet(f"{root}/chunks").collect()}
+    texts = {t for _, t in chunks}
+    assert "new text about Hypertension" in texts
+    assert "old text about Aspirin" not in texts  # superseded crawl dropped
+
+    oracle = oracle_run(
+        [
+            {"url": u, "warc_ts": ts, "text": t}
+            for u, ts, _, t, _ in rows
+        ]
+    )
+    assert chunks == {(c["chunk_id"], c["text"]) for c in oracle["chunks"]}
