@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from medical_doc_knowledge_graph_system_spark.functions import webkg
 from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+    MAX_DEDUP_BUCKET,
     MINHASH_SEEDS,
     exact_dup_flags_expr,
     minhash_band_pairs,
@@ -185,7 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_next_chunk"] = kg_next_chunk
 
-    # D5: collect_set per group (sorted for determinism)
+    # D5: collect_set per group (sorted + joined to a scalar string — the
+    # driver's canonicalizer hashes column values and can't hash list cells)
     def kg_label_collect(s, d):
         m = webkg.doc_mentions(_t(s, d, "documents"))
         return (
@@ -193,7 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .distinct()
             .groupBy("label")
             .agg(
-                F.sort_array(F.collect_set("term")).alias("terms"),
+                F.array_join(F.sort_array(F.collect_set("term")), "|").alias("terms"),
                 F.count(F.lit(1)).cast("long").alias("n_terms"),
             )
         )
@@ -366,6 +368,28 @@ def _minhash_sig_select(k: int = MINHASH_SEEDS) -> str:
     return f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
 
 
+def _mh_pairs_ctes() -> str:
+    """CTE chain sig->banded->pairs matching minhash_band_pairs: full pairwise
+    within buckets of <= MAX_DEDUP_BUCKET docs, star (bucket-min -> doc) in
+    larger buckets. Shares the cap constant with the Spark side."""
+    bands = ", ".join(
+        f"concat_ws(':', '{b}', mh_{2 * b}, mh_{2 * b + 1})" for b in range(MINHASH_SEEDS // 2)
+    )
+    return f"""
+sig AS ({_minhash_sig_select()}),
+banded AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig),
+bstats AS (SELECT band, COUNT(*) AS bkt_n, min(doc_id) AS bkt_min FROM banded GROUP BY band),
+tagged AS (SELECT b.doc_id, b.band, s.bkt_n, s.bkt_min FROM banded b JOIN bstats s USING (band)),
+small AS (SELECT band, doc_id FROM tagged WHERE bkt_n <= {MAX_DEDUP_BUCKET}),
+mh_pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM small l JOIN small r ON l.band = r.band AND l.doc_id < r.doc_id
+  UNION
+  SELECT bkt_min AS doc_a, doc_id AS doc_b
+  FROM tagged WHERE bkt_n > {MAX_DEDUP_BUCKET} AND doc_id <> bkt_min
+)"""
+
+
 def _dot(a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
@@ -471,15 +495,9 @@ SELECT doc_id, md5(text) AS text_hash,
        (COUNT(*) OVER (PARTITION BY md5(text))) > 1 AS is_dup
 FROM documents"""
     o["dedup_minhash_sig"] = f"WITH {_shingles_cte()} {_minhash_sig_select()}"
-    bands = ", ".join(
-        f"concat_ws(':', '{b}', mh_{2 * b}, mh_{2 * b + 1})" for b in range(MINHASH_SEEDS // 2)
-    )
     o["dedup_minhash_pairs"] = f"""
-WITH {_shingles_cte()},
-sig AS ({_minhash_sig_select()}),
-banded AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id"""
+WITH {_shingles_cte()},{_mh_pairs_ctes()}
+SELECT DISTINCT doc_a, doc_b FROM mh_pairs"""
     o["dedup_ngram_jaccard"] = f"""
 WITH {_shingles_cte()},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
@@ -619,7 +637,7 @@ FROM ch"""
 WITH {_mentions_cte()},
 dm AS (SELECT DISTINCT term, label FROM mentions)
 SELECT label,
-       array_agg(term ORDER BY term) AS terms,
+       string_agg(term, '|' ORDER BY term) AS terms,
        CAST(COUNT(*) AS BIGINT) AS n_terms
 FROM dm GROUP BY label"""
     o["events_sessions"] = """
@@ -642,17 +660,8 @@ per_sess AS (
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, max(n_events) AS max_session_events
 FROM per_sess GROUP BY user_id"""
-    bands2 = ", ".join(
-        f"concat_ws(':', '{b}', mh_{2 * b}, mh_{2 * b + 1})" for b in range(MINHASH_SEEDS // 2)
-    )
     o["dedup_union"] = f"""
-WITH {_shingles_cte()},
-sig AS ({_minhash_sig_select()}),
-banded AS (SELECT doc_id, unnest([{bands2}]) AS band FROM sig),
-mh_pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
-),
+WITH {_shingles_cte()},{_mh_pairs_ctes()},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
 rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),

@@ -23,6 +23,16 @@ from .textfns import tokens_col
 MINHASH_SEEDS = 8
 SHINGLE_N = 3
 
+# Band-bucket size above which the LSH self-join switches from all-pairs to a
+# star (band-min doc -> every other doc in the bucket). A Common-Crawl
+# boilerplate cluster of 10^6 near-identical pages shares every band; full
+# pairwise there is O(10^12) pairs, the star is O(10^6) and keeps the bucket
+# connected for the transitive-closure/connected-components consumer. Same
+# rule in the DuckDB oracle (parity by construction). Mirrors the
+# MAX_LSH_BUCKET fix in corelib/similarity.py:44 (resolution's band join hit
+# the identical blow-up on template-heavy names, BENCH.md).
+MAX_DEDUP_BUCKET = 100
+
 
 def exact_dup_flags_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc exact-dup flag: (doc_id, text_hash, is_dup) via a window count
@@ -80,9 +90,20 @@ def minhash_signatures(
 
 
 def minhash_band_pairs(
-    df: DataFrame, text_col: str = "text", k: int = MINHASH_SEEDS, band_rows: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_SEEDS,
+    band_rows: int = 2,
+    max_bucket: int = MAX_DEDUP_BUCKET,
 ) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) sharing any minhash band."""
+    """LSH candidate pairs (doc_a < doc_b) sharing any minhash band.
+
+    Buckets with <= max_bucket members produce full pairwise candidates;
+    larger buckets produce a star centered on the bucket's min doc_id
+    (k-1 pairs instead of k^2/2) so a boilerplate mega-cluster can't blow up
+    the self-join — cluster membership is still recoverable by transitive
+    closure over the star edges.
+    """
     sigs = minhash_signatures(df, text_col, k)
     bands = F.array(
         *[
@@ -95,12 +116,21 @@ def minhash_band_pairs(
         ]
     )
     banded = sigs.select("doc_id", F.explode(bands).alias("band"))
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+    stats = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("bkt_min")
     )
+    # one shuffle on band; the stats join is co-partitioned with the self-join
+    tagged = banded.join(stats, "band")
+    small = tagged.where(F.col("bkt_n") <= max_bucket).select("band", "doc_id")
+    l, r = small.alias("l"), small.alias("r")
+    pairs_small = l.join(
+        r, (F.col("l.band") == F.col("r.band")) & (F.col("l.doc_id") < F.col("r.doc_id"))
+    ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    pairs_star = (
+        tagged.where((F.col("bkt_n") > max_bucket) & (F.col("doc_id") != F.col("bkt_min")))
+        .select(F.col("bkt_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairs_small.union(pairs_star).distinct()
 
 
 def ngram_jaccard_pairs(

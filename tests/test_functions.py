@@ -45,6 +45,30 @@ def test_minhash_identical_docs_always_pair(spark, docs):
     assert (0, 1) in pairs  # identical docs share every band
 
 
+def test_minhash_template_heavy_bucket_cap(spark):
+    """A boilerplate cluster bigger than MAX_DEDUP_BUCKET must produce a
+    linear star (n-1 pairs connecting every member), never the quadratic
+    all-pairs set — the band self-join blow-up guard (VERDICT r01 #2)."""
+    n = 150  # > MAX_DEDUP_BUCKET = 100
+    boiler = "cookie policy accept all cookies terms of service privacy"
+    rows = [(i, boiler, len(boiler)) for i in range(n)]
+    rows += [(1000, "totally unrelated text about distributed query engines", 54)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_band_pairs(docs).collect()]
+    # identical docs share every band -> one oversized bucket per band ->
+    # the same star each time, deduped to exactly n-1 edges from doc 0
+    assert len(pairs) == n - 1
+    assert all(a == 0 for a, _ in pairs)
+    assert {b for _, b in pairs} == set(range(1, n))  # star keeps cluster connected
+
+
+def test_minhash_small_buckets_stay_pairwise(spark, docs):
+    """Below the cap the candidate set is unchanged (full pairwise)."""
+    capped = {(r.doc_a, r.doc_b) for r in minhash_band_pairs(docs).collect()}
+    uncapped = {(r.doc_a, r.doc_b) for r in minhash_band_pairs(docs, max_bucket=10**9).collect()}
+    assert capped == uncapped
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0

@@ -68,6 +68,20 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        # The driver's canonicalizer (pandas sort_values -> factorize) can't
+        # hash list/dict cells — reject them here so the local gate can never
+        # pass an output the driver gate would error on.
+        bad_cells = {
+            scols[i]
+            for r in srows[:100]
+            for i, v in enumerate(r)
+            if isinstance(v, (list, dict, set))
+        }
+        if bad_cells:
+            print(f"FAIL {name}: non-hashable output columns {sorted(bad_cells)} "
+                  "(driver canonicalizer rejects list/dict cells — join to a string)")
+            failures.append(name)
+            continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
