@@ -21,12 +21,15 @@ def run_pipeline(pages: list[dict]) -> dict:
     Mentions/triples carry canonical (resolved) names.
     """
     # re-crawled urls: latest crawl wins (same rule as pipeline.run_pipeline;
-    # null warc_ts sorts last, like Spark's desc_nulls_last)
+    # null warc_ts sorts last, like Spark's desc_nulls_last; final tiebreak
+    # on md5(html) so two html-only crawls with equal ts pick the same row
+    # as the Spark window)
     import datetime as _dt
+    import hashlib as _hl
 
     def _key(p: dict) -> tuple:
         ts = p.get("warc_ts") or _dt.datetime.min
-        return (ts, p.get("text") or "")
+        return (ts, p.get("text") or "", _hl.md5(p.get("html") or b"").hexdigest())
 
     latest: dict[str, dict] = {}
     for p in pages:

@@ -178,10 +178,12 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: bit j is the sign of the sum over tokens
+    """60-bit SimHash per document: bit j is the sign of the sum over tokens
     of (bit j of md5-derived token hash ? +1 : -1). Pure column expressions;
-    the token hash uses the first 16 hex chars of md5 (= 64 bits), identical
-    in DuckDB.
+    the token hash uses the first 15 hex chars of md5 (= 60 bits) — NOT 16:
+    the DuckDB oracle casts '0x'-prefixed hex to signed BIGINT, and 60 bits
+    keeps both the token hash and the reconstructed simhash inside signed
+    63-bit headroom on both engines.
     """
     tok = tokens_col(text_col)
     exploded = df.select("doc_id", F.explode(F.array_distinct(tok)).alias("token"))

@@ -36,6 +36,22 @@ from ..corelib.similarity import (
 )
 
 
+# Exactly the characters Python str.strip() removes (str.isspace() == True),
+# so the distributed alias-join key normalization matches corelib.resolve.
+# alias_canonical's name.lower().strip() byte for byte — F.trim strips ASCII
+# space only, and Java's \s misses \x1c-\x1f and unicode spaces.
+_PY_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def _strip_lower(col) -> F.Column:
+    """Columnar equivalent of Python name.lower().strip()."""
+    return F.btrim(F.lower(col), F.lit(_PY_WHITESPACE))
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def _minhash_bands(names: pd.Series) -> pd.Series:
     return names.map(minhash_band_keys)
@@ -197,6 +213,14 @@ def _cc_iterative(
         lbl = new_lbl.drop("changed")
         if changed == 0:
             break
+    else:
+        # Returning partially-propagated labels would silently split
+        # components (name_map drift vs the oracle's union-find) — fail loud.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} iterations; "
+            "a component has diameter > max_iter — raise max_iter or switch "
+            "to large-star/small-star propagation"
+        )
     return lbl
 
 
@@ -250,7 +274,7 @@ def build_name_map_distributed(names: DataFrame) -> DataFrame:
     m0 = (
         names.join(
             F.broadcast(alias_dim(spark)),
-            F.lower(F.trim(F.col("name"))) == F.col("alias_key"),
+            _strip_lower(F.col("name")) == F.col("alias_key"),
             "left",
         )
         .select("name", F.coalesce("alias_canonical", "name").alias("m0"))

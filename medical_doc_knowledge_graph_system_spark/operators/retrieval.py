@@ -33,6 +33,10 @@ RETRIEVAL_TOP_K = 5
 RETRIEVAL_SCORE_THRESHOLD = 0.35
 RERANK_THRESHOLD = 0.25
 
+# Hard cap on neighborhood edges pulled to the driver per bundle — matches the
+# reference's largest retrieval-stage LIMIT (k_hop_expansion.py:47).
+MAX_BUNDLE_EDGES = 100
+
 # reference app/retrieval/context_builder.py:40-45
 _COMPLEX_KEYWORDS = {
     "how", "why", "relate", "relationship", "explain", "connection",
@@ -201,7 +205,11 @@ def build_context(
 
     nbr_ids = {r.node_id for r in merged_nodes} | set(seed_ids)
     id_frame = spark.createDataFrame([(i,) for i in sorted(nbr_ids)], "node_id string")
-    # F2: edges touching the kept neighborhood (semi-join each side)
+    # F2: edges touching the kept neighborhood (semi-join each side).
+    # Deterministic top-N before collect: a hub node in a web graph can touch
+    # millions of edges, and every reference retrieval stage is LIMIT-capped
+    # (k_hop_expansion.py:47 LIMIT 100, relationship_filter.py:46 LIMIT 50) —
+    # never pull an unbounded edge set to the driver.
     kept_edges = (
         edges.join(id_frame.withColumnRenamed("node_id", "src"), "src", "left_semi")
         .unionByName(
@@ -210,6 +218,8 @@ def build_context(
             )
         )
         .dropDuplicates(["src", "dst", "rel_type"])
+        .orderBy("src", "dst", "rel_type")
+        .limit(MAX_BUNDLE_EDGES)
     ).collect()
 
     paths = (

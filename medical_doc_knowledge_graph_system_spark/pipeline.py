@@ -78,11 +78,14 @@ def run_pipeline(
         pages = pages.where(F.col("lang") == lang_filter)
     # re-crawled urls: latest crawl wins (reference upsert identity —
     # Document/SourceChunk MERGE by natural key, app/graph/queries.py:9-31;
-    # deterministic tiebreak on the text for equal timestamps)
+    # deterministic tiebreak on the text, then md5(html) for html-only pages
+    # with equal timestamps — same total order as corelib.oracle._key)
     from pyspark.sql import Window
 
     w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.coalesce("text", F.lit("")))
+        F.desc("warc_ts"),
+        F.desc(F.coalesce("text", F.lit(""))),
+        F.desc(F.md5(F.coalesce(F.col("html"), F.lit(b"")))),
     )
     pages = (
         pages.withColumn("__rn", F.row_number().over(w))

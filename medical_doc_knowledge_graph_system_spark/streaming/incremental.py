@@ -5,11 +5,12 @@ operators), so the required analogue is resumability (pipeline checkpoints).
 This module adds the natural Spark extensions on top:
 
   * incremental page ingest: readStream over a pages directory ->
-    foreachBatch reusing the SAME batch operators (chunk + extract) with
-    exactly-once appends via the stream checkpoint — new Common-Crawl
-    snapshots flow into mentions_raw/triples_raw without reprocessing old
-    pages; resolution + materialization run as periodic batch compaction
-    (the Kappa-style pattern).
+    foreachBatch reusing the SAME batch operators (chunk + extract), with
+    idempotent per-batch-directory writes (overwrite of batch_id=N) so that
+    checkpoint replay after a crash yields exactly-once table contents —
+    new Common-Crawl snapshots flow into mentions_raw/triples_raw without
+    reprocessing old pages; resolution + materialization run as periodic
+    batch compaction (the Kappa-style pattern).
   * watermarked tumbling-window aggregation over the events stream —
     the standard late-data-tolerant streaming aggregate.
 """
@@ -54,12 +55,15 @@ def incremental_ingest(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
 ):
-    """Stream pages_dir (parquet files) -> append chunks/mentions/triples.
+    """Stream pages_dir (parquet files) -> chunks/mentions/triples tables.
 
     foreachBatch reuses the exact batch operators, so streaming and batch
-    ingests are byte-identical per url. The stream checkpoint gives
-    exactly-once batch replay on restart (the streaming face of the
-    pipeline's per-stage checkpoint contract).
+    ingests are byte-identical per url. Writes are idempotent: each batch
+    lands in its own batch_id=N partition directory with mode overwrite, so
+    a batch replayed after a crash (foreachBatch is at-least-once — the
+    stream checkpoint commits AFTER the function returns) rewrites the same
+    directory instead of appending duplicates. Checkpoint replay + idempotent
+    writes = exactly-once table contents.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -70,13 +74,12 @@ def incremental_ingest(
         mentions = extract_mentions(chunks)
         mentions.persist()
         triples = derive_triples(mentions)
-        chunks.write.mode("append").parquet(os.path.join(warehouse_root, "chunks"))
-        mentions.write.mode("append").parquet(
-            os.path.join(warehouse_root, "mentions_raw")
-        )
-        triples.write.mode("append").parquet(
-            os.path.join(warehouse_root, "triples_raw")
-        )
+        # batch_id is stable across replays of the same epoch — overwrite of
+        # the per-batch partition dir makes the replayed write a no-op
+        for df, table in ((chunks, "chunks"), (mentions, "mentions_raw"), (triples, "triples_raw")):
+            df.write.mode("overwrite").parquet(
+                os.path.join(warehouse_root, table, f"batch_id={batch_id}")
+            )
         mentions.unpersist()
         chunks.unpersist()
 

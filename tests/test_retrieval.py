@@ -5,6 +5,7 @@ context bundle build, rerank caps/thresholds, prompt formatting
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from medical_doc_knowledge_graph_system_spark.operators.retrieval import (
     ContextBundle,
@@ -62,6 +63,25 @@ def test_rerank_caps_simple_vs_complex(wh_tables):
         n.node_id for n in rr_c.neighborhood_nodes
     }
     assert all(e.src in kept or e.dst in kept for e in rr_c.neighborhood_edges)
+
+
+def test_hub_node_bundle_edges_bounded(spark, wh_tables):
+    """A hub node with thousands of incident edges must not flood the driver:
+    neighborhood_edges is capped at MAX_BUNDLE_EDGES (VERDICT r01 #3)."""
+    from medical_doc_knowledge_graph_system_spark.operators.retrieval import MAX_BUNDLE_EDGES
+
+    hub_id = wh_tables["nodes"].limit(1).collect()[0].node_id
+    fan = spark.range(5000).select(
+        F.lit(hub_id).alias("src"),
+        F.concat(F.lit("synthetic_leaf_"), F.col("id")).alias("dst"),
+        F.lit("TREATED_WITH").alias("rel_type"),
+        F.lit(0.9).alias("confidence"),
+        F.lit(1).cast("long").alias("n_occurrences"),
+    )
+    tables = dict(wh_tables)
+    tables["edges"] = wh_tables["edges"].select(fan.columns).unionByName(fan)
+    bundle = build_context("hypertension and chest pain medication", tables)
+    assert len(bundle.neighborhood_edges) <= MAX_BUNDLE_EDGES
 
 
 def test_format_prompt(wh_tables):

@@ -56,6 +56,22 @@ def test_incremental_ingest_matches_batch(spark, pages_parquet, tmp_path):
     q2.awaitTermination(60)
     assert spark.read.parquet(f"{wh}/chunks").count() == n_before
 
+    # crash-replay window: batch written but stream commit not yet recorded
+    # (foreachBatch is at-least-once). Deleting the commit marker forces the
+    # engine to replay the batch with the SAME batch_id on restart; the
+    # per-batch-directory overwrite must keep table contents exactly-once.
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q3 = incremental_ingest(spark, pages_dir, wh, ckpt)
+    q3.awaitTermination(60)
+    assert spark.read.parquet(f"{wh}/chunks").count() == n_before
+    assert spark.read.parquet(f"{wh}/triples_raw").count() == len(batch_triples)
+
 
 def test_compact_graph_matches_batch(spark, pages_parquet, warehouse50, tmp_path):
     """Streaming appends + compaction == batch pipeline graph."""
