@@ -57,8 +57,8 @@ def _compiled() -> tuple[re.Pattern, dict[str, tuple[str, str, float]]]:
     return pat, forms
 
 
-def extract_mentions(chunk_text: str) -> list[dict]:
-    """[{name, label, confidence, start_char}] — deterministic scan.
+def extract_mentions(chunk_text: str, open_vocab: bool = False) -> list[dict]:
+    """[{name, label, confidence, start_char, method}] — deterministic scan.
 
     Non-overlapping longest-first matches at token boundaries (the trie
     pattern above); names are the canonical gazetteer forms for direct hits
@@ -66,16 +66,39 @@ def extract_mentions(chunk_text: str) -> list[dict]:
     resolver's broadcast alias join (reference pass 0,
     entity_resolver.py:111-114; alias set from the prompt rule table,
     extractor.py:43,122-128).
+
+    With open_vocab=True, corelib.ner's capitalized-span channel runs too
+    (the reference's LLM can emit any name, extractor.py:138-180); the
+    gazetteer wins on span overlap — a dictionary hit is higher-precision
+    than a heuristic candidate covering the same characters.
     """
     pat, forms = _compiled()
     out: list[dict] = []
+    spans: list[tuple[int, int]] = []
     for m in pat.finditer(chunk_text):
         surface = m.group(1)
         canonical, label, conf = forms[surface.lower()]
         name = canonical if surface.lower() == canonical.lower() else surface
         out.append(
-            {"name": name, "label": label, "confidence": conf, "start_char": m.start()}
+            {
+                "name": name,
+                "label": label,
+                "confidence": conf,
+                "start_char": m.start(),
+                "method": "gazetteer",
+            }
         )
+        spans.append((m.start(), m.end()))
+    if open_vocab:
+        from .ner import extract_open_mentions
+
+        for om in extract_open_mentions(chunk_text):
+            o_start = om["start_char"]
+            o_end = o_start + len(om["name"])
+            if any(o_start < e and s < o_end for s, e in spans):
+                continue
+            out.append({**om, "method": "open_ner"})
+        out.sort(key=lambda m: (m["start_char"], m["name"]))
     return out
 
 
@@ -114,13 +137,15 @@ def extract_triples(mentions: list[dict]) -> list[dict]:
     return [best[k] for k in sorted(best)]
 
 
-def extract_chunk(chunk_id: str, url: str, chunk_text: str) -> tuple[list[dict], list[dict]]:
+def extract_chunk(
+    chunk_id: str, url: str, chunk_text: str, open_vocab: bool = False
+) -> tuple[list[dict], list[dict]]:
     """(mentions, triples) for one chunk, rows carrying provenance keys.
 
     Mentions are deduplicated on (name, label) keeping max confidence within
     the chunk (reference: entity_resolver.py:71-82 applies this per chunk).
     """
-    raw = extract_mentions(chunk_text)
+    raw = extract_mentions(chunk_text, open_vocab=open_vocab)
     best_m: dict[tuple[str, str], dict] = {}
     for m in raw:
         key = (m["name"], m["label"])
@@ -135,7 +160,7 @@ def extract_chunk(chunk_id: str, url: str, chunk_text: str) -> tuple[list[dict],
             "start_char": m["start_char"],
             "chunk_id": chunk_id,
             "url": url,
-            "method": "gazetteer",
+            "method": m["method"],
         }
         for m in (best_m[k] for k in sorted(best_m))
     ]

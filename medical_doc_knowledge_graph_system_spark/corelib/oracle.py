@@ -13,12 +13,13 @@ from .resolve import build_name_map
 from .textproc import chunk_page
 
 
-def run_pipeline(pages: list[dict]) -> dict:
+def run_pipeline(pages: list[dict], open_vocab: bool = False) -> dict:
     """pages: [{url, text, html(optional bytes)}] -> dict of row lists.
 
     Returns {"chunks": [...], "mentions": [...], "triples": [...],
     "name_map": {...}} with the same field names the Spark tables use.
-    Mentions/triples carry canonical (resolved) names.
+    Mentions/triples carry canonical (resolved) names. open_vocab mirrors
+    pipeline.run_pipeline's flag (corelib.ner channel on both sides).
     """
     # re-crawled urls: latest crawl wins (same rule as pipeline.run_pipeline;
     # null warc_ts sorts last, like Spark's desc_nulls_last; final tiebreak
@@ -45,7 +46,7 @@ def run_pipeline(pages: list[dict]) -> dict:
     mentions: list[dict] = []
     triples: list[dict] = []
     for c in chunks:
-        m, t = extract_chunk(c["chunk_id"], c["url"], c["text"])
+        m, t = extract_chunk(c["chunk_id"], c["url"], c["text"], open_vocab=open_vocab)
         mentions.extend(m)
         triples.extend(t)
 

@@ -56,8 +56,13 @@ def token_sort_key(name: str) -> str:
 
 
 def token_sort_ratio(a: str, b: str) -> float:
-    """Sorted-token similarity in [0, 100]."""
-    sa, sb = token_sort_key(a), token_sort_key(b)
+    """Sorted-token similarity in [0, 100].
+
+    SequenceMatcher.ratio() is not argument-symmetric (b-side junk
+    heuristics), so the two keys are compared in sorted order — making the
+    function a true symmetric similarity regardless of call order.
+    """
+    sa, sb = sorted((token_sort_key(a), token_sort_key(b)))
     if not sa and not sb:
         return 100.0
     return 100.0 * difflib.SequenceMatcher(None, sa, sb).ratio()

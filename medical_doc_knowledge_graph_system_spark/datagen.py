@@ -31,13 +31,40 @@ _LANGS = ["en", "en", "en", "en", "es", "de", "fr", "zh"]
 
 _HEAD_ENTITY = "Hypertension"  # Zipf head: appears in most pages
 
+# open-vocabulary material: synthetic names built stem+stem+suffix so the
+# corelib.ner suffix classifier labels them and the dictionary grows with
+# the corpus (the reference's LLM extractor is open-vocabulary). Every even
+# index is a base form, every odd index its near-variant (extra 'o' before
+# the suffix) — fuzzy resolution must merge the pair, giving the distributed
+# LSH+CC path real work.
+_NOVEL_STEMS = [
+    "card", "vex", "zilor", "mentra", "talvo", "brunex", "xanthe", "polda",
+    "drev", "fenix", "qorim", "lumen", "vastra", "nortel", "galdo", "rivex",
+]
+_NOVEL_SUFFIXES = ["pril", "statin", "olol", "azole", "itis", "osis", "emia", "oscopy"]
+
+
+def novel_pool(n: int) -> list[str]:
+    """First n deterministic novel entity names (base/variant interleaved)."""
+    out: list[str] = []
+    j = 0
+    while len(out) < n:
+        s1 = _NOVEL_STEMS[j % len(_NOVEL_STEMS)]
+        s2 = _NOVEL_STEMS[(j // len(_NOVEL_STEMS)) % len(_NOVEL_STEMS)]
+        suf = _NOVEL_SUFFIXES[j % len(_NOVEL_SUFFIXES)]
+        out.append((s1 + s2 + suf).capitalize())
+        if len(out) < n:
+            out.append((s1 + s2 + "o" + suf).capitalize())
+        j += 1
+    return out[:n]
+
 
 def _surfaces() -> list[str]:
     # canonical names + alias spellings, stable order
     return sorted(GAZETTEER) + sorted(ALIASES)
 
 
-def page_row(i: int, seed: int = 42) -> dict:
+def page_row(i: int, seed: int = 42, novel_vocab: int = 0) -> dict:
     rng = random.Random(f"{seed}|{i}")
     surfaces = _surfaces()
     paras = []
@@ -53,6 +80,14 @@ def page_row(i: int, seed: int = 42) -> dict:
                 words.insert(rng.randint(0, len(words)), surf)
             sents.append(" ".join(words).capitalize() + ".")
         paras.append(" ".join(sents))
+    if novel_vocab > 0:
+        # appended AFTER the base text so novel_vocab=0 rows stay byte-identical
+        pool = novel_pool(novel_vocab)
+        extra = [
+            f"Treatment with {rng.choice(pool)} was recorded alongside {rng.choice(pool)}."
+            for _ in range(rng.randint(1, 3))
+        ]
+        paras.append(" ".join(extra))
     body = "\n\n".join(paras)
 
     url = f"https://site{i % 997:03d}.example.com/page/{i}"
@@ -71,19 +106,19 @@ def page_row(i: int, seed: int = 42) -> dict:
     return {"url": url, "warc_ts": ts, "html": None, "text": body, "lang": lang}
 
 
-def gen_pages(n: int, seed: int = 42) -> list[dict]:
-    return [page_row(i, seed) for i in range(n)]
+def gen_pages(n: int, seed: int = 42, novel_vocab: int = 0) -> list[dict]:
+    return [page_row(i, seed, novel_vocab) for i in range(n)]
 
 
 PAGES_FOR_SF = {0.001: 200, 0.01: 2000, 0.1: 20000}
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
+def write_pages_parquet(path: str, n: int, seed: int = 42, novel_vocab: int = 0) -> None:
     """Write the pages table as parquet with pyarrow (no Spark needed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = gen_pages(n, seed)
+    rows = gen_pages(n, seed, novel_vocab)
     table = pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
@@ -96,7 +131,9 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
     pq.write_table(table, path)
 
 
-def write_pages_parquet_spark(spark, path: str, n: int, seed: int = 42) -> None:
+def write_pages_parquet_spark(
+    spark, path: str, n: int, seed: int = 42, novel_vocab: int = 0
+) -> None:
     """Parallel page generation via Spark (for large scaling inputs):
     spark.range -> mapInPandas(page_row) -> parquet. Row i is identical to
     write_pages_parquet's row i (page_row is seeded per index)."""
@@ -116,7 +153,7 @@ def write_pages_parquet_spark(spark, path: str, n: int, seed: int = 42) -> None:
 
     def gen(batches):
         for pdf in batches:
-            rows = [page_row(int(i), seed) for i in pdf["id"]]
+            rows = [page_row(int(i), seed, novel_vocab) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     (

@@ -41,24 +41,30 @@ MENTION_SCHEMA = T.StructType(
 _MCOLS = [f.name for f in MENTION_SCHEMA.fields]
 
 
-def _mention_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows: list[dict] = []
-        for cid, url, text in zip(pdf["chunk_id"], pdf["url"], pdf["text"]):
-            mentions, _ = extract_chunk(cid, url, text)
-            rows.extend(mentions)
-        yield pd.DataFrame(rows, columns=_MCOLS)
+def _mention_batches_fn(open_vocab: bool):
+    def _mention_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for cid, url, text in zip(pdf["chunk_id"], pdf["url"], pdf["text"]):
+                mentions, _ = extract_chunk(cid, url, text, open_vocab=open_vocab)
+                rows.extend(mentions)
+            yield pd.DataFrame(rows, columns=_MCOLS)
+
+    return _mention_batches
 
 
-def extract_mentions(chunks: DataFrame) -> DataFrame:
+def extract_mentions(chunks: DataFrame, open_vocab: bool = False) -> DataFrame:
     """chunks -> mentions(chunk_id, url, name, label, confidence, start_char, method).
 
     Within-chunk (name, label) dedup keeps max confidence (reference:
     entity_resolver.py:71-82). Empty chunks were already dropped by the
-    chunker (extractor.py:176-177 semantics).
+    chunker (extractor.py:176-177 semantics). open_vocab=True adds the
+    corelib.ner capitalized-span channel (reference's LLM is open-vocabulary,
+    extractor.py:138-180) — the name dictionary then grows with the corpus
+    and resolution's distributed LSH+CC path becomes the production path.
     """
     return chunks.select("chunk_id", "url", "text").mapInPandas(
-        _mention_batches, schema=MENTION_SCHEMA
+        _mention_batches_fn(open_vocab), schema=MENTION_SCHEMA
     )
 
 

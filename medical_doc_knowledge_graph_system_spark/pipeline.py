@@ -68,12 +68,20 @@ def run_pipeline(
     resume: bool = False,
     lang_filter: str | None = None,
     url_groups: int = 1,
+    open_vocab: bool = False,
+    resolve_driver_threshold: int = 500_000,
 ) -> dict:
     """Run chunk -> extract -> resolve -> materialize; returns stats dict.
 
     lang_filter (e.g. "en") restricts ingestion to one language — the
     predicate lands in the parquet scan (PushedFilters), so skipped pages
-    are never read."""
+    are never read.
+
+    open_vocab adds the capitalized-span NER channel (corelib.ner) to the
+    gazetteer extractor — the reference's LLM extractor is open-vocabulary
+    (extractor.py:138-180), so on a real web corpus the name dictionary
+    grows with the input and resolution runs its fully distributed LSH+CC
+    path once it crosses resolve_driver_threshold distinct names."""
     if lang_filter:
         pages = pages.where(F.col("lang") == lang_filter)
     # re-crawled urls: latest crawl wins (reference upsert identity —
@@ -137,7 +145,13 @@ def run_pipeline(
 
     _run_stage(wh, spark, "chunk_embeddings", lambda: embed_chunks(chunks), resume)
 
-    _run_stage(wh, spark, "mentions_raw", lambda: extract_mentions(chunks), resume)
+    _run_stage(
+        wh,
+        spark,
+        "mentions_raw",
+        lambda: extract_mentions(chunks, open_vocab=open_vocab),
+        resume,
+    )
     mentions_raw = wh.read(spark, "mentions_raw")
 
     _run_stage(wh, spark, "triples_raw", lambda: derive_triples(mentions_raw), resume)
@@ -147,7 +161,10 @@ def run_pipeline(
         # triples' subj/obj are mention names by construction (derive_triples
         # is a self-join of mentions), so mentions_raw alone covers the
         # distinct-name dictionary — no need to scan triples_raw.
-        return build_name_map(mentions_raw.select("name").distinct())
+        return build_name_map(
+            mentions_raw.select("name").distinct(),
+            driver_threshold=resolve_driver_threshold,
+        )
 
     _run_stage(wh, spark, "name_map", make_name_map, resume)
     name_map = wh.read(spark, "name_map")

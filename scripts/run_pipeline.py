@@ -37,6 +37,17 @@ def main() -> None:
         default=1,
         help="ingest in N url-hash partition groups with per-group checkpoints",
     )
+    ap.add_argument(
+        "--open-vocab",
+        action="store_true",
+        help="add the capitalized-span NER channel to the gazetteer extractor",
+    )
+    ap.add_argument(
+        "--resolve-driver-threshold",
+        type=int,
+        default=500_000,
+        help="distinct-name count above which resolution runs fully distributed",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +70,8 @@ def main() -> None:
         resume=args.resume,
         lang_filter=args.lang,
         url_groups=args.url_groups,
+        open_vocab=args.open_vocab,
+        resolve_driver_threshold=args.resolve_driver_threshold,
     )
     print(json.dumps(stats))
 
