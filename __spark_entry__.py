@@ -32,8 +32,13 @@ from medical_doc_knowledge_graph_system_spark.functions.dedup import (
 )
 from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
     neardup_pairs_signblock,
+    rerank_score_filter_cap,
     topk_cosine,
     topk_cosine_ivf,
+)
+from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+    all_paths,
+    shortest_path,
 )
 from medical_doc_knowledge_graph_system_spark.functions.textfns import (
     LANG_MARKERS,
@@ -112,6 +117,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ivf_topk"] = lambda s, d: topk_cosine_ivf(
         _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5, n_cells=16
     )
+    # multi-band OR-amplified variant (bands over disjoint dims 1-24): the
+    # scale path — a near-dup pair missed by one band's sign flip is caught
+    # by the others; recall vs exact all-pairs is measured in bench.py
+    q["sim_neardup_bands"] = lambda s, d: neardup_pairs_signblock(
+        _dbl_emb(_t(s, d, "embeddings")), threshold=0.25, bits=8, n_bands=3
+    )
+    # nprobe=2: probe the query's two nearest cells (recall knob; params for
+    # a large corpus come from auto_ivf_params(N): cells ~ sqrt(N))
+    q["sim_ivf_probe2"] = lambda s, d: topk_cosine_ivf(
+        _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5, n_cells=16, nprobe=2
+    )
+
+    # E3 rerank shape: score vs query embedding, threshold-prune, sort desc,
+    # cap per element class (reference context_builder.py:164-278)
+    def rerank_class_cap(s, d):
+        emb = _dbl_emb(_t(s, d, "embeddings"))
+        qv = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+        return rerank_score_filter_cap(
+            emb.where(F.col("vec_id") != 0), qv, threshold=0.25, cap=8
+        )
+
+    q["rerank_class_cap"] = rerank_class_cap
 
     # relational coverage: windows, joins, aggregations
     def events_hourly(s, d):
@@ -201,6 +230,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_label_collect"] = kg_label_collect
+
+    def _kg_edges(s, d):
+        return webkg.doc_triples(_t(s, d, "documents")).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), F.col("pred").alias("rel_type")
+        )
+
+    # C11: BFS shortest path over the term graph (driver-orchestrated frontier
+    # loop with visited anti-join; deterministic lexicographically-min path).
+    # Arrays are '|'-joined for the driver's hasher (same rule as
+    # kg_label_collect); the oracle enumerates simple paths recursively and
+    # picks (min hops, min path) — proven equivalent in graph_queries.py.
+    def kg_shortest_path(s, d):
+        sp = shortest_path(_kg_edges(s, d), "slow", "table", max_hops=4)
+        return sp.select(
+            "hops",
+            F.array_join("path", "|").alias("path_str"),
+            F.array_join("rels", "|").alias("rels_str"),
+        )
+
+    q["kg_shortest_path"] = kg_shortest_path
+
+    # C12: all simple paths <= 3 hops, ORDER BY (hops, path) LIMIT 5
+    def kg_paths(s, d):
+        ap = all_paths(_kg_edges(s, d), "slow", "table", max_hops=3, max_paths=5)
+        return ap.select(
+            "hops",
+            F.array_join("path", "|").alias("path_str"),
+            F.array_join("rels", "|").alias("rels_str"),
+        )
+
+    q["kg_paths"] = kg_paths
 
     # gap-based sessionization: lag + cumulative sum of new-session flags
     def events_sessions(s, d):
@@ -582,6 +642,73 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"""
+    band_keys = ", ".join(
+        "'{b}:' || concat_ws('', {bits})".format(
+            b=b,
+            bits=", ".join(
+                f"CASE WHEN embedding[{b * 8 + i + 1}] >= 0 THEN '1' ELSE '0' END"
+                for i in range(8)
+            ),
+        )
+        for b in range(3)
+    )
+    o["sim_neardup_bands"] = f"""
+WITH keyed AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+bands AS (SELECT vec_id, unnest([{band_keys}]) AS blk FROM keyed),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bands l JOIN bands r USING (blk)
+  WHERE l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b,
+       round({_cos("a.embedding", "b.embedding")}, 4) AS score
+FROM cand JOIN keyed a ON a.vec_id = vec_a JOIN keyed b ON b.vec_id = vec_b
+WHERE round({_cos("a.embedding", "b.embedding")}, 4) >= 0.25"""
+    o["sim_ivf_probe2"] = f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM e ORDER BY vec_id LIMIT 16),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, cents.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_cos("e.embedding", "cents.c_emb")}, 6) DESC,
+                                     cents.cell ASC) AS rn
+  FROM e, cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+qprobe AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_embedding, cents.cell AS q_cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_cos("e.embedding", "cents.c_emb")}, 6) DESC,
+                                     cents.cell ASC) AS qrn
+  FROM e, cents WHERE e.vec_id < 5
+),
+probes AS (SELECT query_id, q_embedding, q_cell FROM qprobe WHERE qrn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_cos("p.q_embedding", "a.embedding")}, 4) AS score
+  FROM assigned a JOIN probes p ON a.cell = p.q_cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"""
+    o["rerank_class_cap"] = f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding, label FROM embeddings),
+qv AS (SELECT embedding AS q_embedding FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.label AS class, e.vec_id,
+         round({_cos("qv.q_embedding", "e.embedding")}, 4) AS score
+  FROM e, qv WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT class, vec_id, score,
+         row_number() OVER (PARTITION BY class ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored WHERE score >= 0.25
+)
+SELECT class, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 8"""
 
     o["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_str,
@@ -640,6 +767,31 @@ SELECT label,
        string_agg(term, '|' ORDER BY term) AS terms,
        CAST(COUNT(*) AS BIGINT) AS n_terms
 FROM dm GROUP BY label"""
+    # Simple-path enumeration oracle for the BFS operators: min (hops, path,
+    # rels) over all simple paths == the BFS result (every prefix of a
+    # shortest path is itself shortest, and min-per-node prefixes compose to
+    # the global min path — see graph_queries.shortest_path).
+    _paths_rec = f"""
+WITH RECURSIVE {_triples_cte()},
+und AS (
+  SELECT subj AS x, obj AS y, pred AS rel FROM triples
+  UNION
+  SELECT obj AS x, subj AS y, pred AS rel FROM triples
+),
+paths(y, path, rels, hops) AS (
+  SELECT 'slow', ['slow'], []::VARCHAR[], 0
+  UNION ALL
+  SELECT u.y, list_append(p.path, u.y), list_append(p.rels, u.rel), p.hops + 1
+  FROM paths p JOIN und u ON u.x = p.y
+  WHERE NOT list_contains(p.path, u.y) AND p.hops < {{max_hops}} AND p.y <> 'table'
+)
+SELECT CAST(hops AS INT) AS hops,
+       array_to_string(path, '|') AS path_str,
+       array_to_string(rels, '|') AS rels_str
+FROM paths WHERE y = 'table'
+ORDER BY hops, path, rels LIMIT {{lim}}"""
+    o["kg_shortest_path"] = _paths_rec.format(max_hops=4, lim=1)
+    o["kg_paths"] = _paths_rec.format(max_hops=3, lim=5)
     o["events_sessions"] = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,

@@ -42,7 +42,12 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk",
     "sim_neardup",
+    "sim_neardup_bands",
     "sim_ivf_topk",
+    "sim_ivf_probe2",
+    "rerank_class_cap",
+    "kg_shortest_path",
+    "kg_paths",
     "events_hourly",
     "events_sessions",
     "events_pivot",
@@ -91,6 +96,85 @@ def run_kg_pipeline(cores: int, pages_path: str, tag: str, shuffle_partitions: i
     }
 
 
+def measure_ann_recall(spark, sf_dir: str) -> dict:
+    """Recall of the approximate similarity paths vs their exact baselines
+    (VERDICT r1 #5: the approximations must publish a measured recall, like
+    the reference publishes retrieval quality, README.md:57-61).
+
+      * IVF top-k recall@5 over 50 query vectors, at the driver-query params
+        (16 cells / nprobe 2) and at auto_ivf_params(N).
+      * sign-block near-dup recall on PLANTED twins: this corpus's max
+        natural pairwise cosine is 0.60, so near-dup ground truth is planted
+        deterministically (200 perturbed copies at cos ~ 0.97) and recall is
+        measured at the design threshold 0.9 with (bits, n_bands) from
+        signblock_params — the operating regime of hyperplane LSH. (The
+        threshold-0.25 driver queries are blocking-semantics correctness
+        checks, not a recall claim: no sign-LSH family can block cos 0.25.)
+    """
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        auto_ivf_params,
+        neardup_pairs_signblock,
+        signblock_params,
+        topk_cosine,
+        topk_cosine_ivf,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r.query_id, r.vec_id) for r in topk_cosine(emb, q, k=5).collect()}
+    out: dict = {"n_vectors": n}
+    auto_cells, auto_probe = auto_ivf_params(n)
+    for tag, (cells, nprobe) in {
+        "ivf_16c_2p": (16, 2),
+        f"ivf_auto_{auto_cells}c_{auto_probe}p": (auto_cells, auto_probe),
+    }.items():
+        got = {
+            (r.query_id, r.vec_id)
+            for r in topk_cosine_ivf(emb, q, k=5, n_cells=cells, nprobe=nprobe).collect()
+        }
+        out[f"recall_at5_{tag}"] = round(len(got & exact) / len(exact), 4)
+
+    import numpy as np
+
+    thresh = 0.9
+    n_plant = 200
+    twin_off = 1_000_000
+    base = {
+        r.vec_id: np.array(r.embedding)
+        for r in emb.where(F.col("vec_id") < n_plant).collect()
+    }
+    rng = np.random.default_rng(0)
+    twins, truth = [], set()
+    for vid in sorted(base):
+        v = base[vid] / np.linalg.norm(base[vid])
+        t = v + 0.25 * rng.standard_normal(v.shape) / np.sqrt(v.shape[0])
+        cos = float(v @ t / np.linalg.norm(t))
+        if cos >= thresh:
+            truth.add((vid, vid + twin_off))
+        twins.append((vid + twin_off, [float(x) for x in t]))
+    planted = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(twins, "vec_id long, embedding array<double>")
+    )
+    bits, n_bands = signblock_params(thresh, target_recall=0.9)
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in neardup_pairs_signblock(
+            planted, threshold=thresh, bits=bits, n_bands=n_bands
+        ).collect()
+    }
+    out["neardup_planted_pairs"] = len(truth)
+    out["neardup_lsh_params"] = f"{bits}bits_x_{n_bands}bands"
+    out["neardup_recall_planted"] = round(len(found & truth) / len(truth), 4) if truth else 1.0
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -117,6 +201,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
     result["queries"] = timings
+    result["ann_recall"] = measure_ann_recall(spark, sf_dir)
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

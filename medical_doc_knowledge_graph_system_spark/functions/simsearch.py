@@ -54,34 +54,89 @@ def topk_cosine(
     )
 
 
-def sign_block_key(emb_col, bits: int = 8):
-    """Blocking key from the sign pattern of the first `bits` dimensions."""
+def auto_signblock_bits(n: int, target_bucket: int = 1024) -> int:
+    """Blocking bits scaled to corpus size: 2^bits buckets sized so the
+    expected bucket holds ~target_bucket vectors (bucket pair-join stays
+    O(N * target_bucket), never O(N^2)). Clamped to [4, 24] — beyond 24 bits
+    the key would consume more leading dimensions than a 64-d embedding can
+    spare across 3 bands."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
+
+
+def signblock_params(
+    threshold: float, target_recall: float = 0.9, bits: int = 6, dims: int = 64
+) -> tuple[int, int]:
+    """(bits, n_bands) sized for >= target_recall on pairs at cosine >=
+    threshold, under the hyperplane-LSH model: P(sign match on one dim) =
+    1 - arccos(t)/pi; a band collides iff all `bits` dims match; bands read
+    disjoint dim sets, so recall = 1 - (1 - p^bits)^n_bands. n_bands is
+    capped at dims // bits (disjoint bands can't exceed the embedding dim)."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p**bits
+    if p_band >= 1.0:
+        return bits, 1
+    n = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return bits, max(1, min(n, dims // bits))
+
+
+def sign_block_key(emb_col, bits: int = 8, band: int = 0):
+    """Blocking key from the sign pattern of `bits` dimensions; band b reads
+    dims [b*bits+1 .. b*bits+bits], so distinct bands are disjoint dimension
+    sets (independent hash families, the classic banded-LSH construction)."""
     return F.concat_ws(
         "",
         *[
-            F.when(F.element_at(emb_col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.element_at(emb_col, band * bits + i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for i in range(bits)
         ],
     )
 
 
 def neardup_pairs_signblock(
-    embeddings: DataFrame, threshold: float = 0.95, bits: int = 8
+    embeddings: DataFrame, threshold: float = 0.95, bits: int = 8, n_bands: int = 1
 ) -> DataFrame:
     """Near-duplicate vector pairs: sign-pattern block, then exact cosine
-    verify on within-block pairs only. (vec_a, vec_b, score)."""
-    keyed = embeddings.select(
-        "vec_id", "embedding", sign_block_key(F.col("embedding"), bits).alias("blk")
+    verify on within-block pairs only. (vec_a, vec_b, score).
+
+    With n_bands > 1 each vector lands in one bucket per band (bands read
+    disjoint leading dimensions); a pair is a candidate if it collides in ANY
+    band — multi-band OR-amplification, so a near-dup pair differing in sign
+    on one band's dims is still caught by the others (single-band misses it).
+    Candidates are deduped across bands BEFORE the cosine verify so each pair
+    is scored once."""
+    bands = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(b)), sign_block_key(F.col("embedding"), bits, band=b)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("blk"),
     )
-    l = keyed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "blk"
+    l = bands.select(F.col("vec_id").alias("vec_a"), "blk")
+    r = bands.select(F.col("vec_id").alias("vec_b"), "blk")
+    cand = (
+        l.join(r, "blk")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    r = keyed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "blk"
-    )
-    pairs = l.join(r, "blk").where(F.col("vec_a") < F.col("vec_b"))
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        pairs.select(
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 4).alias("score"),
@@ -113,18 +168,49 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+def auto_ivf_params(n: int) -> tuple[int, int]:
+    """(n_cells, nprobe) scaled to corpus size: cells ≈ sqrt(N) keeps both
+    the centroid broadcast and the per-cell scan at O(sqrt(N)); nprobe grows
+    slowly (2 + log10) to hold recall as cell boundaries sharpen."""
+    import math
+
+    n_cells = max(4, 2 ** math.ceil(math.log2(max(math.isqrt(max(n, 1)), 2))))
+    nprobe = min(n_cells, 2 + math.ceil(math.log10(max(n, 10))) // 2)
+    return n_cells, nprobe
+
+
 def topk_cosine_ivf(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF top-k: probe only the query's own cell (nprobe=1). Approximate —
-    documented recall tradeoff vs topk_cosine; at scale each probe touches
-    1/n_cells of the data."""
+    """IVF top-k: probe the query's nprobe nearest cells. Approximate —
+    recall vs topk_cosine is measured in bench.py (BENCH.md); at scale each
+    probe touches nprobe/n_cells of the data. Use auto_ivf_params(N) to size
+    n_cells ≈ sqrt(N) and nprobe for a large corpus."""
     assigned = ivf_assign(embeddings, n_cells)
-    q = assigned.join(
-        queries.select(F.col("query_id").alias("vec_id"), "q_embedding"), "vec_id"
-    ).select(F.col("vec_id").alias("query_id"), "q_embedding", F.col("cell").alias("q_cell"))
+    cents = (
+        embeddings.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+    qv = queries.select("query_id", "q_embedding")
+    q_scored = qv.join(F.broadcast(cents)).select(
+        "query_id",
+        "q_embedding",
+        F.col("cell").alias("q_cell"),
+        F.round(cosine_col(F.col("q_embedding"), F.col("c_emb")), 6).alias("qcs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcs"), F.asc("q_cell"))
+    probes = (
+        q_scored.withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= nprobe)
+        .select("query_id", "q_embedding", "q_cell")
+    )
     scored = (
-        assigned.join(F.broadcast(q), assigned.cell == q.q_cell)
+        assigned.join(F.broadcast(probes), assigned.cell == probes.q_cell)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -137,4 +223,31 @@ def topk_cosine_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def rerank_score_filter_cap(
+    items: DataFrame,
+    query_vec: DataFrame,
+    threshold: float = 0.25,
+    cap: int = 8,
+    class_col: str = "label",
+) -> DataFrame:
+    """E3 rerank shape as a distributed DataFrame op (reference
+    app/retrieval/context_builder.py:164-278: score each context element vs
+    the query embedding, drop below threshold, sort desc, cap PER ELEMENT
+    CLASS). items: (vec_id, embedding, <class_col>); query_vec: a 1-row
+    (q_embedding) dim broadcast to every item. Returns
+    (class, vec_id, score, rank) with rank <= cap inside each class."""
+    scored = items.crossJoin(F.broadcast(query_vec)).select(
+        F.col(class_col).alias("class"),
+        "vec_id",
+        F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 4).alias("score"),
+    )
+    w = Window.partitionBy("class").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.where(F.col("score") >= threshold)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cap)
+        .select("class", "vec_id", "score", "rank")
     )

@@ -96,15 +96,21 @@ def shortest_path(
             )
         )
         hits = expanded.where(F.col("y") == dst_id)
-        first = hits.orderBy("path").limit(1).collect()
+        first = hits.orderBy("path", "rels").limit(1).collect()
         if first:
             r = first[0]
             return spark.createDataFrame(
                 [(hop, r.path, r.rels)], "hops int, path array<string>, rels array<string>"
             )
+        # keep the lexicographically-min path per node (not an arbitrary one):
+        # every prefix of a shortest path is itself a shortest path to its
+        # endpoint, and min-per-node prefixes compose to the global min path,
+        # so the returned path is deterministic and oracle-comparable
         frontier = (
             expanded.join(visited, "y", "left_anti")
-            .dropDuplicates(["y"])
+            .groupBy("y")
+            .agg(F.min(F.struct("path", "rels")).alias("pr"))
+            .select("y", F.col("pr.path").alias("path"), F.col("pr.rels").alias("rels"))
             .localCheckpoint()
         )
         if frontier.isEmpty():
@@ -144,7 +150,7 @@ def all_paths(
         frontier = expanded.where(F.col("y") != dst_id)
         if frontier.isEmpty():
             break
-    return found.orderBy("hops", "path").limit(max_paths)
+    return found.orderBy("hops", "path", "rels").limit(max_paths)
 
 
 def condition_chain(edges: DataFrame) -> DataFrame:

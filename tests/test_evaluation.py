@@ -30,6 +30,21 @@ def test_evaluate_gates_pass(spark, warehouse50, pages50, tmp_path):
     assert os.path.getsize(mp) > 100
 
 
+def test_evaluate_sampled_above_max_pages(spark, warehouse50, pages50):
+    """Above max_pages the harness url-hash-samples both sides with the
+    identical md5-threshold rule, so gates still hold on the subset and no
+    full-table collect happens on a large warehouse."""
+    root, _ = warehouse50
+    m = evaluate(spark, root, pages50, max_pages=20)
+    assert m["sampled"] is True
+    assert 0 < m["n_pages"] < 50          # deterministic hash subset
+    assert m["gates"]["byte_identity_exact"] and m["gates"]["pr_at_least_0_95"]
+    # same call is deterministic (hash sampling, not rand())
+    m2 = evaluate(spark, root, pages50, max_pages=20)
+    assert m2["n_pages"] == m["n_pages"]
+    assert m2["n_triples_distinct"] == m["n_triples_distinct"]
+
+
 def test_soap_strategy_pipeline(spark):
     """End-to-end with the SOAP chunking strategy over note-shaped pages."""
     from medical_doc_knowledge_graph_system_spark.operators.chunk import chunk_pages

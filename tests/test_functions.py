@@ -108,6 +108,96 @@ def test_neardup_signblock(spark, vecs):
     assert pairs == {(0, 1)}  # 3 is in a different sign block; 2 fails cosine
 
 
+def test_neardup_multiband_recovers_single_band_miss(spark):
+    # u and v agree everywhere except a sign flip in dim 1: band 0 (dims 1-2)
+    # separates them, band 1 (dims 3-4) collides — multi-band catches the
+    # pair a single band misses, and multiband candidates are a superset
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        neardup_pairs_signblock as nps,
+    )
+
+    rows = [
+        (0, [0.01, 1.0, 1.0, 1.0]),
+        (1, [-0.01, 1.0, 1.0, 1.0]),
+    ]
+    vecs2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert nps(vecs2, threshold=0.9, bits=2, n_bands=1).count() == 0
+    multi = {(r.vec_a, r.vec_b) for r in nps(vecs2, threshold=0.9, bits=2, n_bands=2).collect()}
+    assert multi == {(0, 1)}
+
+
+def test_auto_scale_params():
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        auto_ivf_params,
+        auto_signblock_bits,
+    )
+
+    # bits grow with N (bounded bucket size), clamped to the dims available
+    assert auto_signblock_bits(1_000) <= auto_signblock_bits(1_000_000)
+    assert auto_signblock_bits(10**12) <= 24
+    # expected bucket population n / 2^bits stays near target
+    for n in (10**6, 10**9):
+        assert n / 2 ** auto_signblock_bits(n) <= 1024
+    # cells ~ sqrt(N), nprobe >= 2 and never exceeds n_cells
+    for n in (100, 10**6, 10**10):
+        cells, nprobe = auto_ivf_params(n)
+        assert cells >= max(4, int(n**0.5) // 2) and 1 <= nprobe <= cells
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    # probing more cells can only add candidates -> recall vs exact top-k is
+    # non-decreasing in nprobe
+    import random
+
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        topk_cosine,
+        topk_cosine_ivf,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r.query_id, r.vec_id) for r in topk_cosine(emb, q, k=5).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in topk_cosine_ivf(emb, q, k=5, n_cells=8, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # nprobe == n_cells probes everything == exact
+
+
+def test_rerank_score_filter_cap(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        rerank_score_filter_cap,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "seed"),
+        (2, [0.9, 0.1], "seed"),
+        (3, [0.0, 1.0], "seed"),   # orthogonal -> below threshold, dropped
+        (4, [1.0, 0.1], "node"),
+        (5, [1.0, 0.2], "node"),
+        (6, [1.0, 0.3], "node"),   # capped out at cap=2 (lowest score)
+    ]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    qv = spark.createDataFrame([([1.0, 0.0],)], "q_embedding array<double>")
+    out = rerank_score_filter_cap(items, qv, threshold=0.25, cap=2).collect()
+    by_class = {}
+    for r in out:
+        by_class.setdefault(r["class"], []).append(r.vec_id)
+    assert by_class["seed"] == [1, 2]          # 3 thresholded out
+    assert set(by_class["node"]) == {4, 5}     # 6 capped (lowest cosine)
+    assert all(r.rank <= 2 for r in out)
+
+
 def test_multimodal_features(spark):
     rows = [
         ("m1", "image", b"\x89PNG fake bytes", (64, 64, None, None, "image/png")),

@@ -57,6 +57,18 @@ def test_shortest_path(spark, edges):
     assert shortest_path(edges, "A", "A").count() == 0  # same-node guard
 
 
+def test_shortest_path_picks_lexicographic_min(spark):
+    # two equal-hop routes A-B-D and A-C-D: must return the min path, not an
+    # arbitrary one (the frontier keeps min(struct(path, rels)) per node so
+    # the result is deterministic and oracle-comparable)
+    e = spark.createDataFrame(
+        [("A", "C", "x"), ("C", "D", "x"), ("A", "B", "x"), ("B", "D", "x")],
+        "src string, dst string, rel_type string",
+    )
+    rows = shortest_path(e, "A", "D").collect()
+    assert rows[0].path == ["A", "B", "D"] and rows[0].hops == 2
+
+
 def test_all_paths(spark):
     # diamond: A-B-D and A-C-D
     e = spark.createDataFrame(
