@@ -195,11 +195,19 @@ def provenance_citations(
     desc (reference C14, app/retrieval/provenance.py:19-47: entity ->
     SOURCED_FROM -> chunk -> BELONGS_TO -> document). The BELONGS_TO hop is
     the url column on chunks (SURVEY §1.4); passing the documents dim
-    completes the 3-way join with document metadata."""
+    completes the 3-way join with document metadata.
+
+    The join keys include url alongside chunk_id — semantically redundant
+    (chunk_id is a pure function of (url, chunk_idx)) but it lets url-hash
+    bucketed warehouse tables co-locate the join with NO Exchange (Spark
+    accepts HashPartitioning(url) for join keys ⊇ {url})."""
     out = (
         provenance_edges.join(
-            chunks.select("chunk_id", F.col("text").alias("source_text"), "start_char"),
-            provenance_edges.dst == chunks.chunk_id,
+            chunks.select(
+                "url", "chunk_id", F.col("text").alias("source_text"), "start_char"
+            ),
+            on=(provenance_edges.dst == chunks.chunk_id)
+            & (provenance_edges.url == chunks.url),
         )
         .select(
             F.col("name").alias("entity_name"),

@@ -43,19 +43,33 @@ STAGES = [
 
 # table layout for scale: low-cardinality dims get directory partitions
 # (partition pruning on label / rel_type point queries); chunk-family tables
-# get url-sorted files (parquet min/max stats -> file skipping on url).
+# get url-sorted files (parquet min/max stats -> file skipping on url) — or,
+# with bucket_by_url > 0, url-hash bucketed tables (Iceberg bucket(N, url)
+# analogue) so every url-keyed join/window downstream is shuffle-free.
 _PARTITION_BY = {"nodes": ["label"], "edges": ["rel_type"]}
 _SORT_WITHIN = {"chunks", "mentions", "mentions_raw", "triples", "triples_raw", "provenance_edges"}
 
 
-def _run_stage(wh: Warehouse, spark: SparkSession, stage: str, make, resume: bool) -> None:
+def _run_stage(
+    wh: Warehouse,
+    spark: SparkSession,
+    stage: str,
+    make,
+    resume: bool,
+    bucket_by_url: int = 0,
+) -> None:
     if resume and wh.checkpoint_done(stage) and wh.exists(stage):
         return
     t0 = time.time()
     df = make()
-    if stage.split("__g")[0] in _SORT_WITHIN:
-        df = df.sortWithinPartitions("url")
-    wh.write(df, stage, partition_by=_PARTITION_BY.get(stage))
+    base = stage.split("__g")[0]
+    if base in _SORT_WITHIN and bucket_by_url > 0 and "__g" not in stage:
+        # bucketed writer repartitions on url + sorts within bucket itself
+        wh.write_bucketed(df, stage, n_buckets=bucket_by_url, bucket_col="url")
+    else:
+        if base in _SORT_WITHIN:
+            df = df.sortWithinPartitions("url")
+        wh.write(df, stage, partition_by=_PARTITION_BY.get(stage))
     wall_ms = (time.time() - t0) * 1000
     rows = wh.log_partition_metrics(spark, stage, stage)
     wh.mark_checkpoint(stage, "complete", rows, wall_ms)
@@ -70,6 +84,7 @@ def run_pipeline(
     url_groups: int = 1,
     open_vocab: bool = False,
     resolve_driver_threshold: int = 500_000,
+    bucket_by_url: int = 0,
 ) -> dict:
     """Run chunk -> extract -> resolve -> materialize; returns stats dict.
 
@@ -81,7 +96,14 @@ def run_pipeline(
     gazetteer extractor — the reference's LLM extractor is open-vocabulary
     (extractor.py:138-180), so on a real web corpus the name dictionary
     grows with the input and resolution runs its fully distributed LSH+CC
-    path once it crosses resolve_driver_threshold distinct names."""
+    path once it crosses resolve_driver_threshold distinct names.
+
+    bucket_by_url > 0 writes the chunk-family tables as url-hash bucketed
+    tables with that many buckets (Iceberg bucket(N, url) analogue, SURVEY
+    §4.2.6): url-keyed joins and windows over them (provenance citations,
+    next-chunk, chunk⋈mention families) then run with NO Exchange — at 100 TB
+    that removes the dominant shuffle from every downstream graph query.
+    Mutually inert with url_groups > 1 (group shards stay plain parquet)."""
     if lang_filter:
         pages = pages.where(F.col("lang") == lang_filter)
     # re-crawled urls: latest crawl wins (reference upsert identity —
@@ -124,11 +146,10 @@ def run_pipeline(
             F.length(F.coalesce("text", F.lit(""))).alias("text_chars"),
             F.isnull("text").alias("from_html"),
         ).dropDuplicates(["url"]),
-        resume,
-    )
+        resume, bucket_by_url=bucket_by_url)
 
     if url_groups <= 1:
-        _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume)
+        _run_stage(wh, spark, "chunks", lambda: chunk_pages(pages), resume, bucket_by_url=bucket_by_url)
     else:
         # per-partition-group checkpointing (north_rule): pages are processed
         # in url-hash groups, each materialized + checkpointed independently,
@@ -137,24 +158,22 @@ def run_pipeline(
         for g in range(url_groups):
             grp = pages.where(F.pmod(F.xxhash64("url"), F.lit(url_groups)) == g)
             _run_stage(
-                wh, spark, f"chunks__g{g}", lambda grp=grp: chunk_pages(grp), resume
-            )
+                wh, spark, f"chunks__g{g}", lambda grp=grp: chunk_pages(grp), resume, bucket_by_url=bucket_by_url)
     chunks = wh.read(spark, "chunks")
 
     from .operators.embed import embed_chunks
 
-    _run_stage(wh, spark, "chunk_embeddings", lambda: embed_chunks(chunks), resume)
+    _run_stage(wh, spark, "chunk_embeddings", lambda: embed_chunks(chunks), resume, bucket_by_url=bucket_by_url)
 
     _run_stage(
         wh,
         spark,
         "mentions_raw",
         lambda: extract_mentions(chunks, open_vocab=open_vocab),
-        resume,
-    )
+        resume, bucket_by_url=bucket_by_url)
     mentions_raw = wh.read(spark, "mentions_raw")
 
-    _run_stage(wh, spark, "triples_raw", lambda: derive_triples(mentions_raw), resume)
+    _run_stage(wh, spark, "triples_raw", lambda: derive_triples(mentions_raw), resume, bucket_by_url=bucket_by_url)
     triples_raw = wh.read(spark, "triples_raw")
 
     def make_name_map():
@@ -166,7 +185,7 @@ def run_pipeline(
             driver_threshold=resolve_driver_threshold,
         )
 
-    _run_stage(wh, spark, "name_map", make_name_map, resume)
+    _run_stage(wh, spark, "name_map", make_name_map, resume, bucket_by_url=bucket_by_url)
     name_map = wh.read(spark, "name_map")
 
     from .operators.materialize import dedup_mentions
@@ -174,19 +193,17 @@ def run_pipeline(
     def make_mentions():
         return dedup_mentions(remap(mentions_raw, name_map, "name"))
 
-    _run_stage(wh, spark, "mentions", make_mentions, resume)
+    _run_stage(wh, spark, "mentions", make_mentions, resume, bucket_by_url=bucket_by_url)
     mentions = wh.read(spark, "mentions")
 
     _run_stage(
-        wh, spark, "triples", lambda: remap(triples_raw, name_map, "subj", "obj"), resume
-    )
+        wh, spark, "triples", lambda: remap(triples_raw, name_map, "subj", "obj"), resume, bucket_by_url=bucket_by_url)
     triples = wh.read(spark, "triples")
 
-    _run_stage(wh, spark, "nodes", lambda: build_nodes(mentions), resume)
-    _run_stage(wh, spark, "edges", lambda: build_edges(triples), resume)
+    _run_stage(wh, spark, "nodes", lambda: build_nodes(mentions), resume, bucket_by_url=bucket_by_url)
+    _run_stage(wh, spark, "edges", lambda: build_edges(triples), resume, bucket_by_url=bucket_by_url)
     _run_stage(
-        wh, spark, "provenance_edges", lambda: build_provenance_edges(mentions), resume
-    )
+        wh, spark, "provenance_edges", lambda: build_provenance_edges(mentions), resume, bucket_by_url=bucket_by_url)
 
     wall = time.time() - t_start
     # stage row counts from the checkpoint log (no extra count jobs)

@@ -17,6 +17,14 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def physical_plan_string(df: DataFrame) -> str:
+    """Single-line-per-node physical plan (simple mode). Use this for
+    node+argument substring assertions like "Exchange hashpartitioning" —
+    formatted mode splits node names and arguments onto separate lines, which
+    makes such assertions pass vacuously."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def assert_in_plan(df: DataFrame, *needles: str) -> str:
     p = plan_string(df)
     missing = [n for n in needles if n not in p]

@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # accept HashPartitioning on a subset of the join keys for
+        # co-partitioned joins: lets url-bucketed warehouse tables join on
+        # (url, chunk_id) with no Exchange. Safe here — the subset key (url)
+        # is the bucketing key itself, so per-partition skew is identical to
+        # the bucket layout already chosen.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

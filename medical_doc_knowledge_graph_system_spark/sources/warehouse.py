@@ -14,6 +14,7 @@ stage completion and `_metrics` records per-partition row counts + wall time
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -37,7 +38,12 @@ class Warehouse:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Read a table; a table may be stored as url-hash partition-group
         shards (`name__g0`, `name__g1`, ...) written by group-checkpointed
-        stages — transparently read as their union."""
+        stages — transparently read as their union. Tables written with
+        write_bucketed are read through the catalog so their bucketing
+        survives into the plan (shuffle-free joins/windows on the bucket
+        key)."""
+        if os.path.exists(self._bucket_meta_path(name)):
+            return self.read_bucketed(spark, name)
         if self.exists(name):
             return spark.read.parquet(self.path(name))
         import glob
@@ -46,6 +52,86 @@ class Warehouse:
         if shards:
             return spark.read.parquet(*shards)
         return spark.read.parquet(self.path(name))  # surface the normal error
+
+    # -- bucketed tables (Iceberg bucket-partitioning analogue) ---------------
+    #
+    # SURVEY §4.2.6 targets Iceberg `bucket(N, url)` partitioning so that
+    # chunk-family joins co-locate without a shuffle. No Iceberg jar exists in
+    # this sandbox, so the same physical property is obtained with Spark's
+    # native bucketed tables: saveAsTable + bucketBy/sortBy, registered in the
+    # session catalog with the data files at an external LOCATION under the
+    # warehouse root. A restarted session re-registers the table from the
+    # persisted bucket spec (the reference's 9 uniqueness constraints,
+    # app/graph/schema_setup.py:18-28, are the natural-key analogue).
+
+    def _table_ident(self, name: str) -> str:
+        # catalog is session-global; qualify by warehouse root so two
+        # Warehouse instances in one session can't collide
+        tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        return f"bw_{tag}_{name}"
+
+    def _bucket_meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.bucket.json")
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        n_buckets: int,
+        bucket_col: str = "url",
+        sort_col: str | None = None,
+    ) -> None:
+        """Write `name` as a Spark bucketed table: hash-bucketed on
+        `bucket_col` into `n_buckets` files, sorted by `sort_col` within each
+        bucket (file-level min/max stats -> file skipping on point lookups).
+
+        The pre-write repartition uses the same HashPartitioning the bucketed
+        writer requires, so each task owns exactly one bucket -> one file per
+        bucket, which is what lets downstream scans report both the hash
+        partitioning AND the sort order (no Sort before a sort-merge join).
+        """
+        sort_col = sort_col or bucket_col
+        spark = df.sparkSession
+        tbl = self._table_ident(name)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        self.drop(name)
+        from pyspark.sql import functions as F
+
+        (
+            df.repartition(n_buckets, F.col(bucket_col))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(sort_col)
+            .option("path", self.path(name))
+            .saveAsTable(tbl)
+        )
+        meta = {
+            "n_buckets": n_buckets,
+            "bucket_col": bucket_col,
+            "sort_col": sort_col,
+            "schema_json": spark.table(tbl).schema.json(),
+        }
+        with open(self._bucket_meta_path(name), "w") as f:
+            json.dump(meta, f)
+
+    def read_bucketed(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read a bucketed table, re-registering it in the catalog from the
+        persisted bucket spec if this is a fresh session (resume path)."""
+        tbl = self._table_ident(name)
+        if not spark.catalog.tableExists(tbl):
+            from pyspark.sql import types as T
+
+            with open(self._bucket_meta_path(name)) as f:
+                meta = json.load(f)
+            schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+            spark.sql(
+                f"CREATE TABLE {tbl} ({schema.toDDL()}) USING PARQUET "
+                f"CLUSTERED BY ({meta['bucket_col']}) "
+                f"SORTED BY ({meta['sort_col']}) "
+                f"INTO {meta['n_buckets']} BUCKETS "
+                f"LOCATION '{self.path(name)}'"
+            )
+        return spark.table(tbl)
 
     def write(
         self,
@@ -75,6 +161,20 @@ class Warehouse:
         merged = kept.unionByName(df.dropDuplicates(keys))
         tmp = self.path(f"__tmp_{name}")
         merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self._bucket_meta_path(name)):
+            # preserve the table's bucket layout through the merge (Iceberg
+            # MERGE INTO keeps bucket partitioning; so do we)
+            with open(self._bucket_meta_path(name)) as f:
+                meta = json.load(f)
+            self.write_bucketed(
+                spark.read.parquet(tmp),
+                name,
+                n_buckets=meta["n_buckets"],
+                bucket_col=meta["bucket_col"],
+                sort_col=meta["sort_col"],
+            )
+            shutil.rmtree(tmp)
+            return
         shutil.rmtree(self.path(name))
         os.rename(tmp, self.path(name))
 
@@ -88,6 +188,10 @@ class Warehouse:
         import glob
 
         p = self.path(name)
+        if os.path.exists(self._bucket_meta_path(name)):
+            # bucketed tables are written one-file-per-bucket; coalescing
+            # would destroy the bucket layout — nothing to compact
+            return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
         size = sum(
             os.path.getsize(f)
             for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
@@ -104,6 +208,9 @@ class Warehouse:
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
+        bm = self._bucket_meta_path(name)
+        if os.path.exists(bm):
+            os.remove(bm)
 
     # -- checkpoints & per-partition metrics (north_rule resumability) --------
 

@@ -48,6 +48,13 @@ def main() -> None:
         default=500_000,
         help="distinct-name count above which resolution runs fully distributed",
     )
+    ap.add_argument(
+        "--bucket-by-url",
+        type=int,
+        default=0,
+        help="write chunk-family tables url-hash bucketed into N buckets "
+        "(Iceberg bucket(N,url) analogue; downstream url joins shuffle-free)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +79,7 @@ def main() -> None:
         url_groups=args.url_groups,
         open_vocab=args.open_vocab,
         resolve_driver_threshold=args.resolve_driver_threshold,
+        bucket_by_url=args.bucket_by_url,
     )
     print(json.dumps(stats))
 

@@ -188,3 +188,42 @@ def test_recrawled_urls_latest_wins(spark, tmp_path):
         ]
     )
     assert chunks == {(c["chunk_id"], c["text"]) for c in oracle["chunks"]}
+
+
+def test_bucketed_pipeline_matches_plain(spark, pages_parquet, warehouse50, tmp_path):
+    """bucket_by_url writes the chunk-family tables url-hash bucketed; the
+    graph must be identical to the plain-parquet run and downstream url-keyed
+    joins must plan with no Exchange."""
+    from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+        provenance_citations,
+    )
+    from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    pages = spark.read.parquet(pages_parquet)
+    root = str(tmp_path / "wh_b")
+    stats = run_pipeline(spark, pages, root, bucket_by_url=4)
+    base_root, base_stats = warehouse50
+    for k in ("chunks", "mentions", "triples", "nodes", "edges", "provenance_edges"):
+        assert stats[k] == base_stats[k], k
+
+    wh = Warehouse(root)
+    got = {(r.chunk_id, r.text) for r in wh.read(spark, "chunks").collect()}
+    want = {
+        (r.chunk_id, r.text)
+        for r in spark.read.parquet(f"{base_root}/chunks").collect()
+    }
+    assert got == want
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cites = provenance_citations(
+            wh.read(spark, "provenance_edges"), wh.read(spark, "chunks")
+        )
+        plan = cites._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert cites.count() == stats["provenance_edges"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -81,3 +81,62 @@ def test_whole_stage_codegen_in_text_path(docs):
     # filter() lambdas don't codegen, but they stay JVM-side)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Scan parquet" in p and "Project" in p
+
+
+def test_bucketed_chunk_family_join_no_exchange(spark, tmp_path_factory):
+    """url-hash bucketed warehouse tables co-locate the chunk-family joins:
+    provenance ⋈ chunks and the next-chunk window both plan with NO Exchange
+    (SURVEY §4.2.6 Iceberg bucket(N, url) analogue). This is the shuffle that
+    dominates downstream graph queries at 100 TB."""
+    from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+        next_chunk_join,
+        provenance_citations,
+    )
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("bwh")))
+    chunks = spark.createDataFrame(
+        [
+            (f"c{i}", f"u{i % 20}", i // 20, f"text {i}", "body", 0, 10)
+            for i in range(100)
+        ],
+        "chunk_id string, url string, chunk_idx int, text string, "
+        "section string, start_char int, end_char int",
+    )
+    prov = spark.createDataFrame(
+        [
+            (f"n{i}", f"c{i}", "SOURCED_FROM", f"name{i}", "Condition", 0.9,
+             "gazetteer", f"u{i % 20}")
+            for i in range(100)
+        ],
+        "src string, dst string, rel_type string, name string, label string, "
+        "confidence double, extraction_method string, url string",
+    )
+    wh.write_bucketed(chunks, "chunks", n_buckets=4)
+    wh.write_bucketed(prov, "provenance_edges", n_buckets=4)
+    bc = wh.read(spark, "chunks")
+    bp = wh.read(spark, "provenance_edges")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cites = provenance_citations(bp, bc)
+        # orderBy adds a range Exchange at the very top (global sort); the
+        # join itself must not shuffle — strip the sort by checking the join
+        # subtree via the unsorted variant
+        joined = bp.join(
+            bc.select("url", "chunk_id"),
+            on=(bp.dst == bc.chunk_id) & (bp.url == bc.url),
+        )
+        p = physical_plan_string(joined)
+        assert "Exchange" not in p, p
+        assert "Bucketed: true" in p, p
+        assert joined.count() == 100
+        assert cites.count() == 100
+        pw = physical_plan_string(next_chunk_join(bc))
+        assert "Exchange" not in pw, pw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -54,3 +54,56 @@ def test_compact_table(spark, tmp_path):
     after = len(glob.glob(os.path.join(wh.path("t"), "*.parquet")))
     assert after < before
     assert wh.read(spark, "t").count() == 10000
+
+
+def test_bucketed_write_read_reregister(spark, tmp_path):
+    """Bucketed tables (Iceberg bucket(N, url) analogue): roundtrip, catalog
+    re-registration after a 'restart' (catalog entry gone, files + persisted
+    bucket spec remain), and drop() cleaning the spec."""
+    import os
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame(
+        [(f"u{i % 20}", i) for i in range(100)], "url string, v int"
+    )
+    wh.write_bucketed(df, "t", n_buckets=4)
+    assert wh.read(spark, "t").count() == 100
+    # one file per bucket (what makes scans report sorted hash partitioning)
+    import glob
+
+    files = glob.glob(os.path.join(wh.path("t"), "*.parquet"))
+    assert len(files) == 4
+
+    # simulate a fresh session: catalog entry dropped, files + meta survive
+    spark.sql(f"DROP TABLE {wh._table_ident('t')}")
+    got = wh.read(spark, "t")
+    assert got.count() == 100
+    assert got.where("url = 'u3'").count() == 5
+    # re-registered table carries the bucket spec (a plain filter scan shows
+    # Bucketed: false by design — autoBucketedScan skips it when no operator
+    # needs the partitioning; the join plan test covers the beneficial case)
+    desc = spark.sql(f"DESCRIBE EXTENDED {wh._table_ident('t')}").collect()
+    desc_map = {r.col_name: r.data_type for r in desc}
+    assert desc_map.get("Num Buckets") == "4"
+    assert "url" in desc_map.get("Bucket Columns", "")
+
+    wh.drop("t")
+    assert not os.path.exists(wh._bucket_meta_path("t"))
+
+
+def test_merge_upsert_preserves_bucketing(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    df1 = spark.createDataFrame([("u1", 1), ("u2", 1)], "url string, v int")
+    wh.write_bucketed(df1, "t", n_buckets=2)
+    df2 = spark.createDataFrame([("u2", 2), ("u3", 2)], "url string, v int")
+    wh.merge_upsert(df2, "t", ["url"])
+    got = {r.url: r.v for r in wh.read(spark, "t").collect()}
+    assert got == {"u1": 1, "u2": 2, "u3": 2}
+    import os
+
+    assert os.path.exists(wh._bucket_meta_path("t"))
+    desc = {r.col_name: r.data_type for r in spark.sql(
+        f"DESCRIBE EXTENDED {wh._table_ident('t')}").collect()}
+    assert desc.get("Num Buckets") == "2"
+    # compaction is a no-op on bucketed layout (1 file per bucket already)
+    assert wh.compact_table(spark, "t") == 2
