@@ -40,6 +40,11 @@ from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
     all_paths,
     shortest_path,
 )
+from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
 from medical_doc_knowledge_graph_system_spark.functions.textfns import (
     LANG_MARKERS,
     _EN_STOPWORDS,
@@ -382,6 +387,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.union(b).distinct()
 
     q["dedup_union"] = dedup_union
+
+    # multimodal plumbing, driver-gated: binary payload column -> Arrow
+    # mapInPandas feature extraction, exercising the exact schema/batch path
+    # the stubbed real codecs use. The md5 digest variant exists so DuckDB
+    # can verify the identical bytes->features transform (md5 is the one
+    # digest both engines share); payloads derive deterministically from the
+    # documents table (no external data).
+    def mm_features(s, d):
+        media = media_from_documents(_t(s, d, "documents"))
+        feats = extract_features(media, algo="md5", double_precision=True)
+        return feats.select(
+            "media_id",
+            "kind",
+            "payload_bytes",
+            F.round(F.element_at("features", 1), 4).alias("f0"),
+            F.round(F.element_at("features", 9), 4).alias("f8"),
+        )
+
+    q["mm_features"] = mm_features
+
+    # video frame-sampling: 1 -> N explode over sampled timestamps (the
+    # frame decode itself is the stubbed part; the plan is pure columns)
+    def mm_frame_sample(s, d):
+        media = media_from_documents(_t(s, d, "documents"))
+        return frame_sample_plan(media, every_ms=1000)
+
+    q["mm_frame_sample"] = mm_frame_sample
 
     return q
 
@@ -828,6 +860,22 @@ jac_pairs AS (
   WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8
 )
 SELECT doc_a, doc_b FROM mh_pairs UNION SELECT doc_a, doc_b FROM jac_pairs"""
+
+    # multimodal: md5-digest features over utf-8 payload bytes (md5(text) in
+    # DuckDB hashes the same bytes Spark's encode(text,'UTF-8') ships to the
+    # pandas UDF); features[i] = digest_byte[i]/255.0 computed in doubles on
+    # both sides, rounded 4dp
+    o["mm_features"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(strlen(text) AS INT) AS payload_bytes,
+       round(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0, 4) AS f0,
+       round(CAST(('0x' || substr(md5(text), 17, 2)) AS INT) / 255.0, 4) AS f8
+FROM documents"""
+    o["mm_frame_sample"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(unnest(generate_series(0, greatest(CAST(n_chars % 9000 AS INT) + 1000 - 1, 0), 1000)) AS INT) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2"""
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars

@@ -60,37 +60,90 @@ def decode_audio(payload: bytes) -> object:
     raise NotImplementedError("audio decode requires soundfile/ffmpeg; not available here")
 
 
-def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM, algo: str = "sha256") -> list[float]:
     """Deterministic byte-level feature vector standing in for the decoded
-    feature extractor — exercises the exact same schema / batching path."""
+    feature extractor — exercises the exact same schema / batching path.
+
+    algo="md5" limits dim to 16 (md5 digest = 16 bytes); it exists so the
+    driver-gated query can be oracle-checked in DuckDB, which has md5 but not
+    sha256 over the same byte view (CLAUDE.md hash-parity invariant)."""
     if not payload:
         return [0.0] * dim
-    d = hashlib.sha256(payload).digest()
+    d = hashlib.new(algo, payload).digest()
     return [d[i] / 255.0 for i in range(dim)]
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "payload_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                "features": [_fake_features(p) for p in pdf["payload"]],
-            }
-        )
+def _make_feature_batches(algo: str):
+    def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "features": [_fake_features(p, algo=algo) for p in pdf["payload"]],
+                }
+            )
+
+    return _feature_batches
 
 
-def extract_features(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    num_partitions: int | None = None,
+    algo: str = "sha256",
+    double_precision: bool = False,
+) -> DataFrame:
     """media (MEDIA_SCHEMA) -> per-item feature vectors via mapInPandas.
 
     Partitions on media_id hash so feature extraction never shuffles
-    payload bytes more than once; binary stays off the driver."""
+    payload bytes more than once; binary stays off the driver.
+
+    double_precision=True emits the feature array as array<double> — the
+    oracle-compared variant (floats are compared bit-exact after 4dp
+    rounding, which requires computing in doubles on both sides)."""
     n = num_partitions or media.sparkSession.sparkContext.defaultParallelism
+    schema = FEATURE_SCHEMA
+    if double_precision:
+        schema = T.StructType(
+            [
+                f
+                if f.name != "features"
+                else T.StructField("features", T.ArrayType(T.DoubleType()), False)
+                for f in FEATURE_SCHEMA.fields
+            ]
+        )
     return (
         media.select("media_id", "kind", "payload")
         .repartition(n, F.xxhash64("media_id"))
-        .mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+        .mapInPandas(_make_feature_batches(algo), schema=schema)
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table derived from the documents table —
+    the fixture for multimodal plumbing tests and the driver-gated queries
+    (no external data; payload = utf-8 bytes of the text, kind round-robins
+    by doc_id, video duration derived from n_chars)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(kind == "image", F.lit(640)).cast("int").alias("width"),
+            F.when(kind == "image", F.lit(480)).cast("int").alias("height"),
+            F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(kind == "video", (F.col("n_chars") % 9000 + 1000))
+            .cast("int")
+            .alias("duration_ms"),
+            F.concat(F.lit("fake/"), kind).alias("mime"),
+        ).alias("meta"),
     )
 
 

@@ -220,3 +220,35 @@ def test_multimodal_features(spark):
 def test_decode_stubs_marked():
     with pytest.raises(NotImplementedError):
         decode_image(b"x")
+
+
+def test_media_from_documents_and_md5_features(spark):
+    """media_from_documents emits MEDIA_SCHEMA-conformant rows from the
+    documents table; the md5/double feature variant matches a hashlib oracle
+    byte-for-byte (the driver-gated mm_features path)."""
+    import hashlib
+
+    from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en", "web", 10), (1, "gamma", "en", "web", 5),
+         (2, "delta eps", "fr", "web", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == [f.name for f in MEDIA_SCHEMA.fields]
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows["0"].kind == "image" and rows["0"].meta.width == 640
+    assert rows["1"].kind == "audio" and rows["1"].meta.sample_rate == 16000
+    assert rows["2"].kind == "video" and rows["2"].meta.duration_ms == 9 % 9000 + 1000
+
+    feats = {
+        r.media_id: r
+        for r in extract_features(media, algo="md5", double_precision=True).collect()
+    }
+    for mid, text in [("0", "alpha beta"), ("1", "gamma"), ("2", "delta eps")]:
+        d = hashlib.md5(text.encode()).digest()
+        assert feats[mid].payload_bytes == len(text.encode())
+        assert feats[mid].features == [d[i] / 255.0 for i in range(FEATURE_DIM)]
