@@ -415,6 +415,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_frame_sample"] = mm_frame_sample
 
+    # H: Structured Streaming, driver-gated — a watermarked tumbling-window
+    # aggregate drains the events table with Trigger.AvailableNow into a
+    # complete-mode memory sink; the drained result must equal the batch
+    # GROUP BY (the DuckDB oracle is the same SQL as events_hourly).
+    def stream_hourly(s, d):
+        import hashlib as _h
+
+        from medical_doc_knowledge_graph_system_spark.streaming.incremental import (
+            run_windowed_counts_available_now,
+        )
+
+        qn = "stream_hourly_" + _h.md5(d.encode()).hexdigest()[:8]
+        return run_windowed_counts_available_now(
+            s, os.path.join(d, "events.parquet"), qn
+        )
+
+    q["stream_hourly"] = stream_hourly
+
     return q
 
 
@@ -749,6 +767,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_str,
        round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2"""
+    # streaming variant drains to the identical aggregate — same oracle
+    o["stream_hourly"] = o["events_hourly"]
     o["tpch_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -46,6 +46,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_ivf_probe2",
     "rerank_class_cap",
+    "mm_features",
+    "mm_frame_sample",
     "kg_shortest_path",
     "kg_paths",
     "events_hourly",
@@ -175,6 +177,45 @@ def measure_ann_recall(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_bucketed_join(wh_root: str, cpus: int) -> dict:
+    """Bucketed-warehouse payoff (SURVEY §4.2.6 / VERDICT r1 #6): the
+    provenance ⋈ chunks join over the plain parquet warehouse shuffles both
+    sides; over the url-hash bucketed copy it plans with zero hash Exchange.
+    Reports wall seconds + hash-exchange counts for both layouts. Wall times
+    are single-run (VM steal noise up to 2x) — the exchange counts are the
+    durable claim; at 100 TB the removed shuffle is the dominant cost."""
+    from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+        provenance_citations,
+    )
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    spark = get_spark(
+        app_name="bench_bucketed",
+        cores=cpus,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    plain = Warehouse(wh_root)
+    bucketed = Warehouse(wh_root + "_bucketed")
+    for t in ("provenance_edges", "chunks"):
+        bucketed.write_bucketed(plain.read(spark, t), t, n_buckets=cpus)
+
+    out: dict = {"n_buckets": cpus}
+    for tag, wh in (("plain", plain), ("bucketed", bucketed)):
+        cites = provenance_citations(
+            wh.read(spark, "provenance_edges"), wh.read(spark, "chunks")
+        )
+        plan = cites._jdf.queryExecution().executedPlan().toString()
+        t0 = time.time()
+        n = cites.count()
+        out[tag] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "rows": n,
+            "hash_exchanges": plan.count("Exchange hashpartitioning"),
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -203,6 +244,8 @@ def main() -> None:
     result["queries"] = timings
     result["ann_recall"] = measure_ann_recall(spark, sf_dir)
     spark.stop()
+
+    result["bucketed_join"] = measure_bucketed_join(f"/tmp/mdkgs_bench_wh_main{cpus}", cpus)
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # N vs 4N cores on the same input, shuffle partitions pinned (on a

@@ -146,3 +146,59 @@ def windowed_event_counts(
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+def run_windowed_counts_available_now(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Execute the windowed streaming aggregate over an existing events
+    parquet (file or directory) with Trigger.AvailableNow and a
+    complete-mode memory sink; returns the drained result as a batch
+    DataFrame.
+
+    This is the driver-gated entry for the streaming family: AvailableNow
+    processes everything currently present and stops, so the result is
+    deterministic and equal to the batch GROUP BY — exactly what the DuckDB
+    oracle checks. File-source quirks handled: a single-file path streams
+    via its parent directory + pathGlobFilter (the file source requires a
+    directory basePath), and a timestamp_ntz event-time column is cast to
+    timestamp (watermarks require ltz; sessions run in UTC so the cast is
+    wall-clock identity)."""
+    reader = spark.readStream
+    if os.path.isdir(events_path):
+        base = events_path
+    else:
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        base = os.path.dirname(events_path)
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        reader.schema(schema)
+        .parquet(base)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour_str"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -200,3 +200,31 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     run_stream()
     got2 = [r.chunk_id for r in spark.read.parquet(sink).collect()]
     assert sorted(got2) == ["c1", "c2", "c3", "c4"], got2
+
+
+def test_available_now_drain_matches_batch(spark):
+    """run_windowed_counts_available_now over the driver's single-file events
+    parquet (timestamp_ntz) drains to exactly the batch hourly aggregate —
+    the stream_hourly driver-gate contract."""
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.streaming.incremental import (
+        run_windowed_counts_available_now,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = run_windowed_counts_available_now(spark, path, "t_stream_hourly")
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour_str"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
