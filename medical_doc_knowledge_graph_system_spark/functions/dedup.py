@@ -70,6 +70,12 @@ def shingles_col(text_col: str = "text", n: int = SHINGLE_N):
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    # the shingle explode + k×md5 downstream is the CPU-heavy map stage;
+    # spread narrow inputs (single-row-group parquet scans come in as one
+    # split) across the cluster first — a no-op on many-split corpora
+    from ..operators.skew import ensure_parallelism
+
+    df = ensure_parallelism(df.select("doc_id", text_col))
     return df.select("doc_id", F.explode(shingles_col(text_col, n)).alias("shingle"))
 
 
@@ -185,8 +191,12 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     keeps both the token hash and the reconstructed simhash inside signed
     63-bit headroom on both engines.
     """
+    from ..operators.skew import ensure_parallelism
+
     tok = tokens_col(text_col)
-    exploded = df.select("doc_id", F.explode(F.array_distinct(tok)).alias("token"))
+    exploded = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.explode(F.array_distinct(tok)).alias("token")
+    )
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     withbits = exploded.select("doc_id", h.alias("th"))
     bit_aggs = [

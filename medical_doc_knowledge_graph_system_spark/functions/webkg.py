@@ -75,7 +75,13 @@ def doc_mentions(docs: DataFrame) -> DataFrame:
     gaz = spark.createDataFrame(
         sorted(WEB_GAZETTEER.items()), schema="term string, label string"
     )
-    toks = docs.select("doc_id", _tokens().alias("toks"))
+    from ..operators.skew import ensure_parallelism
+
+    # the broadcast membership join evaluates ~|gazetteer| array_contains per
+    # doc — spread narrow single-split scans across the cluster first
+    toks = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", _tokens().alias("toks")
+    )
     return (
         toks.join(F.broadcast(gaz), F.array_contains(F.col("toks"), F.col("term")))
         .select("doc_id", "term", "label")

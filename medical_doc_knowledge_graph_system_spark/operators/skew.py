@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition narrow inputs so CPU-heavy per-row map stages (shingle
+    explode + k×md5, token hashing) use the whole cluster.
+
+    Web-scale inputs arrive in thousands of file splits and are returned
+    UNCHANGED — the check is metadata-only and the repartition never fires.
+    It fires only when the scan yields fewer splits than cores (small files,
+    single-row-group parquet — parquet cannot split inside a row group), in
+    which case the shuffled data is by definition small. The same pattern
+    chunk_pages uses for the pages scan, applied to the analytics inputs."""
+    sc = df.sparkSession.sparkContext
+    n = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def with_salt(df: DataFrame, salts: int = DEFAULT_SALTS) -> DataFrame:
     # salt only affects row distribution, never results, so a per-row id is
     # fine; avoids rand() (non-reproducible) and avoids hashing the group
