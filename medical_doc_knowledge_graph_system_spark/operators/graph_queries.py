@@ -21,6 +21,20 @@ def undirected(edges: DataFrame) -> DataFrame:
     return fwd.union(rev)
 
 
+def _pin(adj: DataFrame) -> DataFrame:
+    """Cache the adjacency list for the duration of an iterative traversal.
+
+    BFS loops evaluate adj 1-3× per hop (expand, target probe, emptiness
+    check); without pinning, an adjacency built from an expensive lineage
+    (e.g. the mention self-join behind doc_triples) is recomputed every
+    evaluation. MEMORY_AND_DISK spills rather than OOMs on a huge edge list —
+    the standard iterative-graph pattern (GraphFrames does the same). Callers
+    unpersist in a finally block so long sessions don't accumulate state."""
+    from pyspark import StorageLevel
+
+    return adj.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def k_hop(
     edges: DataFrame,
     seeds: DataFrame,
@@ -41,32 +55,37 @@ def k_hop(
     adj = undirected(edges)
     if allowed_rel_types:
         adj = adj.where(F.col("rel_type").isin(allowed_rel_types))
-    adj = adj.select("x", "y").distinct()
+    adj = _pin(adj.select("x", "y").distinct())
 
     # frontiers are broadcast while small (seed neighborhoods usually are);
     # beyond the threshold fall back to a shuffle join — a BFS frontier on a
     # web graph can explode, and force-broadcasting it would OOM executors.
     broadcast_limit = 100_000
 
-    frontier = seeds.select(F.col("node_id").alias("y")).distinct().localCheckpoint()
-    frontier_n = frontier.count()
-    reached = frontier.select("y", F.lit(0).alias("hops"))
-    for hop in range(1, max_hops + 1):
-        f = frontier.hint("broadcast") if frontier_n <= broadcast_limit else frontier
-        nxt = adj.join(f, adj.x == f.y).select(adj.y.alias("y")).distinct()
-        # min-hop semantics: drop nodes already reached at a smaller hop
-        nxt = nxt.join(reached.select("y"), "y", "left_anti").localCheckpoint()
-        frontier_n = nxt.count()
-        if frontier_n == 0:
-            break
-        reached = reached.union(nxt.select("y", F.lit(hop).alias("hops")))
-        frontier = nxt
-    return (
-        reached.where(F.col("hops") > 0)
-        .select(F.col("y").alias("node_id"), "hops")
-        .orderBy("hops", "node_id")
-        .limit(limit)
-    )
+    try:
+        frontier = seeds.select(F.col("node_id").alias("y")).distinct().localCheckpoint()
+        frontier_n = frontier.count()
+        reached = frontier.select("y", F.lit(0).alias("hops"))
+        for hop in range(1, max_hops + 1):
+            f = frontier.hint("broadcast") if frontier_n <= broadcast_limit else frontier
+            nxt = adj.join(f, adj.x == f.y).select(adj.y.alias("y")).distinct()
+            # min-hop semantics: drop nodes already reached at a smaller hop
+            nxt = nxt.join(reached.select("y"), "y", "left_anti").localCheckpoint()
+            frontier_n = nxt.count()
+            if frontier_n == 0:
+                break
+            reached = reached.union(nxt.select("y", F.lit(hop).alias("hops")))
+            frontier = nxt
+        return (
+            reached.where(F.col("hops") > 0)
+            .select(F.col("y").alias("node_id"), "hops")
+            .orderBy("hops", "node_id")
+            .limit(limit)
+        )
+        # safe to return lazily: reached is a union of localCheckpoint()ed
+        # frontiers, so evaluating it later never re-touches the unpinned adj
+    finally:
+        adj.unpersist()
 
 
 def shortest_path(
@@ -81,42 +100,45 @@ def shortest_path(
     spark = edges.sparkSession
     if src_id == dst_id:  # same-node guard (path_reasoning.py:66)
         return spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
-    adj = undirected(edges)
+    adj = _pin(undirected(edges))
     frontier = spark.createDataFrame(
         [(src_id, [src_id], [])], "y string, path array<string>, rels array<string>"
     )
     visited = frontier.select("y")
-    for hop in range(1, max_hops + 1):
-        expanded = (
-            adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
-            .select(
-                adj.y.alias("y"),
-                F.concat("path", F.array(adj.y)).alias("path"),
-                F.concat("rels", F.array("rel_type")).alias("rels"),
+    try:
+        for hop in range(1, max_hops + 1):
+            expanded = (
+                adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
+                .select(
+                    adj.y.alias("y"),
+                    F.concat("path", F.array(adj.y)).alias("path"),
+                    F.concat("rels", F.array("rel_type")).alias("rels"),
+                )
             )
-        )
-        hits = expanded.where(F.col("y") == dst_id)
-        first = hits.orderBy("path", "rels").limit(1).collect()
-        if first:
-            r = first[0]
-            return spark.createDataFrame(
-                [(hop, r.path, r.rels)], "hops int, path array<string>, rels array<string>"
+            hits = expanded.where(F.col("y") == dst_id)
+            first = hits.orderBy("path", "rels").limit(1).collect()
+            if first:
+                r = first[0]
+                return spark.createDataFrame(
+                    [(hop, r.path, r.rels)], "hops int, path array<string>, rels array<string>"
+                )
+            # keep the lexicographically-min path per node (not an arbitrary one):
+            # every prefix of a shortest path is itself a shortest path to its
+            # endpoint, and min-per-node prefixes compose to the global min path,
+            # so the returned path is deterministic and oracle-comparable
+            frontier = (
+                expanded.join(visited, "y", "left_anti")
+                .groupBy("y")
+                .agg(F.min(F.struct("path", "rels")).alias("pr"))
+                .select("y", F.col("pr.path").alias("path"), F.col("pr.rels").alias("rels"))
+                .localCheckpoint()
             )
-        # keep the lexicographically-min path per node (not an arbitrary one):
-        # every prefix of a shortest path is itself a shortest path to its
-        # endpoint, and min-per-node prefixes compose to the global min path,
-        # so the returned path is deterministic and oracle-comparable
-        frontier = (
-            expanded.join(visited, "y", "left_anti")
-            .groupBy("y")
-            .agg(F.min(F.struct("path", "rels")).alias("pr"))
-            .select("y", F.col("pr.path").alias("path"), F.col("pr.rels").alias("rels"))
-            .localCheckpoint()
-        )
-        if frontier.isEmpty():
-            break
-        visited = visited.union(frontier.select("y")).distinct().localCheckpoint()
-    return spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
+            if frontier.isEmpty():
+                break
+            visited = visited.union(frontier.select("y")).distinct().localCheckpoint()
+        return spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
+    finally:
+        adj.unpersist()
 
 
 def all_paths(
@@ -127,30 +149,35 @@ def all_paths(
     array_contains(path, next) check instead of a visited set (path-distinct,
     not node-distinct)."""
     spark = edges.sparkSession
-    adj = undirected(edges)
+    adj = _pin(undirected(edges))
     frontier = spark.createDataFrame(
         [(src_id, [src_id], [])], "y string, path array<string>, rels array<string>"
     )
     found = spark.createDataFrame([], "hops int, path array<string>, rels array<string>")
-    for hop in range(1, max_hops + 1):
-        expanded = (
-            adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
-            .where(~F.array_contains("path", adj.y))
-            .select(
-                adj.y.alias("y"),
-                F.concat("path", F.array(adj.y)).alias("path"),
-                F.concat("rels", F.array("rel_type")).alias("rels"),
+    try:
+        for hop in range(1, max_hops + 1):
+            expanded = (
+                adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
+                .where(~F.array_contains("path", adj.y))
+                .select(
+                    adj.y.alias("y"),
+                    F.concat("path", F.array(adj.y)).alias("path"),
+                    F.concat("rels", F.array("rel_type")).alias("rels"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        hits = expanded.where(F.col("y") == dst_id).select(
-            F.lit(hop).alias("hops"), "path", "rels"
-        )
-        found = found.union(hits)
-        frontier = expanded.where(F.col("y") != dst_id)
-        if frontier.isEmpty():
-            break
-    return found.orderBy("hops", "path", "rels").limit(max_paths)
+            hits = expanded.where(F.col("y") == dst_id).select(
+                F.lit(hop).alias("hops"), "path", "rels"
+            )
+            found = found.union(hits)
+            frontier = expanded.where(F.col("y") != dst_id)
+            if frontier.isEmpty():
+                break
+        # found unions localCheckpoint()ed per-hop results — lazy return is
+        # safe after unpersist
+        return found.orderBy("hops", "path", "rels").limit(max_paths)
+    finally:
+        adj.unpersist()
 
 
 def condition_chain(edges: DataFrame) -> DataFrame:
