@@ -252,3 +252,20 @@ def test_media_from_documents_and_md5_features(spark):
         d = hashlib.md5(text.encode()).digest()
         assert feats[mid].payload_bytes == len(text.encode())
         assert feats[mid].features == [d[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def test_ensure_parallelism_noop_on_wide_input(spark):
+    """ensure_parallelism spreads single-split scans but must return
+    many-partition inputs UNCHANGED (at web scale the input arrives in
+    thousands of splits and the repartition must never fire)."""
+    from medical_doc_knowledge_graph_system_spark.operators.skew import (
+        ensure_parallelism,
+    )
+
+    narrow = spark.range(0, 1000, 1, 1).selectExpr("id as doc_id", "'x' as text")
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = ensure_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = spark.range(0, 1000, 1, 64).selectExpr("id as doc_id", "'x' as text")
+    assert ensure_parallelism(wide) is wide  # literally untouched
