@@ -88,15 +88,21 @@ def derive_triples(mentions: DataFrame) -> DataFrame:
     )
     o = mentions.select(
         F.col("chunk_id").alias("o_chunk_id"),
+        F.col("url").alias("o_url"),
         F.col("name").alias("obj"),
         F.col("label").alias("obj_label"),
         F.col("confidence").alias("o_conf"),
     )
+    # url joins alongside chunk_id — semantically redundant (chunk_id is a
+    # pure function of (url, chunk_idx)) but it lets a url-bucketed
+    # mentions_raw table co-locate this self-join with NO Exchange, and the
+    # following groupBy's keys ⊇ {url} reuse the same partitioning
     return (
         s.join(F.broadcast(patterns), s.subj_label == patterns.src_label)
         .join(
             o,
             (F.col("chunk_id") == F.col("o_chunk_id"))
+            & (F.col("url") == F.col("o_url"))
             & (F.col("obj_label") == F.col("dst_label"))
             & (F.col("subj") != F.col("obj")),
         )

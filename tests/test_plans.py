@@ -140,3 +140,37 @@ def test_bucketed_chunk_family_join_no_exchange(spark, tmp_path_factory):
         assert "Exchange" not in pw, pw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_derive_triples_no_exchange(spark, tmp_path_factory):
+    """The triple self-join keys on (chunk_id, url); over a url-bucketed
+    mentions table the whole derive_triples plan — self-join AND the
+    dedup groupBy — runs with zero hash Exchange."""
+    from medical_doc_knowledge_graph_system_spark.operators.extract import (
+        derive_triples,
+    )
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+    from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("bwh_dt")))
+    mentions = spark.createDataFrame(
+        [
+            (f"c{i % 10}", f"u{i % 10}", name, label, 0.9, i, "gazetteer")
+            for i in range(40)
+            for name, label in [("aspirin", "Medication"), ("migraine", "Condition")]
+        ],
+        "chunk_id string, url string, name string, label string, "
+        "confidence double, start_char int, method string",
+    )
+    wh.write_bucketed(mentions, "mentions_raw", n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = derive_triples(wh.read(spark, "mentions_raw"))
+        p = physical_plan_string(t)
+        assert "Exchange hashpartitioning" not in p, p
+        assert t.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
