@@ -40,6 +40,7 @@ from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
     all_paths,
     shortest_path,
 )
+from medical_doc_knowledge_graph_system_spark.functions.curate import curate_docs
 from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -387,6 +388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.union(b).distinct()
 
     q["dedup_union"] = dedup_union
+
+    # composed training-data curation job: langid + quality gate + exact
+    # dedup (min doc_id per md5 group) + MinHash near-dup loser removal, in
+    # one declarative pass (functions/curate.py)
+    q["curate_docs"] = lambda s, d: curate_docs(_t(s, d, "documents"))
 
     # multimodal plumbing, driver-gated: binary payload column -> Arrow
     # mapInPandas feature extraction, exercising the exact schema/batch path
@@ -896,6 +902,34 @@ FROM documents"""
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(unnest(generate_series(0, greatest(CAST(n_chars % 9000 AS INT) + 1000 - 1, 0), 1000)) AS INT) AS frame_ts_ms
 FROM documents WHERE doc_id % 3 = 2"""
+
+    o["curate_docs"] = f"""
+WITH {_shingles_cte()},{_mh_pairs_ctes()},
+base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS token_count,
+         len(list_filter({_TOKS}, t -> list_contains([{stopws}], t))) * 1.0
+           / len({_TOKS}) AS stop_ratio,
+         length(regexp_replace(lower(trim(text)), '[^a-z]', '', 'g')) * 1.0
+           / length(lower(trim(text))) AS alpha_ratio,
+         {score_exprs},
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {argmax} AS lang_guess,
+         token_count,
+         round(0.4 * least(token_count / 100.0, 1.0)
+               + 0.3 * least(stop_ratio * 2.0, 1.0)
+               + 0.3 * alpha_ratio, 4) AS quality_score,
+         keep_id
+  FROM base
+)
+SELECT doc_id, lang_guess, token_count, quality_score
+FROM scored
+WHERE lang_guess = 'en' AND quality_score >= 0.45 AND doc_id = keep_id
+  AND doc_id NOT IN (SELECT doc_b FROM mh_pairs)"""
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars

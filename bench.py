@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "curate_docs",
     "sim_topk",
     "sim_neardup",
     "sim_neardup_bands",

@@ -8,7 +8,7 @@ fingerprinting (SURVEY 'training-data pipeline' additions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -44,18 +44,12 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length/stopword/alpha-ratio quality heuristic in [0,1].
-
-    score = 0.4*min(token_count/100, 1) + 0.3*stopword_ratio_norm +
-            0.3*alpha_ratio; all components deterministic column exprs.
-    """
+def quality_cols(text_col: str = "text") -> dict:
+    """The quality-heuristic component columns, shared by with_quality_score
+    and the curation job (single source of the formula — never fork it)."""
     toks = tokens_col(text_col)
     n = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(_EN_STOPWORDS))
-    )
-    stop_ratio = stop_hits / n
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(_EN_STOPWORDS))) / n
     txt = F.lower(F.trim(F.col(text_col)))
     alpha_ratio = F.length(F.regexp_replace(txt, "[^a-z]", "")) / F.length(txt)
     score = (
@@ -63,20 +57,33 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * F.least(stop_ratio * 2.0, F.lit(1.0))
         + F.lit(0.3) * alpha_ratio
     )
+    return {
+        "token_count": n,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality_score": score,
+    }
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/stopword/alpha-ratio quality heuristic in [0,1].
+
+    score = 0.4*min(token_count/100, 1) + 0.3*stopword_ratio_norm +
+            0.3*alpha_ratio; all components deterministic column exprs.
+    """
+    q = quality_cols(text_col)
     return df.select(
         "doc_id",
         F.col("n_chars"),
-        n.alias("token_count"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        q["token_count"].alias("token_count"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(q["quality_score"], 4).alias("quality_score"),
     )
 
 
-def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language-ID heuristic: argmax over per-language
-    marker hit counts, 'und' (undetermined) when all zero. Deterministic
-    tie-break by language code ascending."""
+def lang_score_cols(text_col: str = "text") -> dict:
+    """Per-language marker-hit-count columns keyed by language code."""
     toks = tokens_col(text_col)
 
     def _marker_filter(markers: list[str]):
@@ -84,17 +91,21 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
         # arg would be bound to the index column; close over markers instead.
         return lambda t: t.isin(markers)
 
-    scores = [
-        F.size(F.filter(toks, _marker_filter(markers))).alias(f"score_{lang}")
+    return {
+        lang: F.size(F.filter(toks, _marker_filter(markers)))
         for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    scored = df.select("doc_id", F.col("lang").alias("lang_actual"), *scores)
-    langs = sorted(LANG_MARKERS)
-    # argmax with deterministic tiebreak: greatest struct(score, reverse-lang)
+    }
+
+
+def lang_argmax(score_by_lang: dict) -> Column:
+    """Deterministic argmax over language scores ('und' when all zero;
+    tiebreak by language code ascending). Shared by with_lang_guess and the
+    curation job — single source of the tiebreak rule."""
+    langs = sorted(score_by_lang)
     pairs = F.array(
         *[
             F.struct(
-                F.col(f"score_{lg}").alias("s"),
+                score_by_lang[lg].alias("s"),
                 F.lit(len(langs) - i).alias("prio"),
                 F.lit(lg).alias("lg"),
             )
@@ -102,10 +113,24 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     best = F.array_max(pairs)
+    return F.when(best["s"] > 0, best["lg"]).otherwise(F.lit("und"))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language-ID heuristic: argmax over per-language
+    marker hit counts, 'und' (undetermined) when all zero. Deterministic
+    tie-break by language code ascending."""
+    scores = lang_score_cols(text_col)
+    scored = df.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[c.alias(f"score_{lg}") for lg, c in scores.items()],
+    )
+    langs = sorted(LANG_MARKERS)
     return scored.select(
         "doc_id",
         "lang_actual",
-        F.when(best["s"] > 0, best["lg"]).otherwise(F.lit("und")).alias("lang_guess"),
+        lang_argmax({lg: F.col(f"score_{lg}") for lg in langs}).alias("lang_guess"),
         *[F.col(f"score_{lg}") for lg in langs],
     )
 

@@ -269,3 +269,30 @@ def test_ensure_parallelism_noop_on_wide_input(spark):
 
     wide = spark.range(0, 1000, 1, 64).selectExpr("id as doc_id", "'x' as text")
     assert ensure_parallelism(wide) is wide  # literally untouched
+
+
+def test_curate_docs_semantics(spark):
+    """Curation keeps exactly: right language, quality above threshold, the
+    min-doc_id copy of byte-identical groups, and no near-dup losers."""
+    from medical_doc_knowledge_graph_system_spark.functions.curate import curate_docs
+
+    good = (
+        "the cat and the dog went to the market in town and the weather "
+        "was fine and the road was long and the day was warm and the "
+        "people were kind and the food was good and the trip was easy"
+    )
+    rows = [
+        (0, good, "en", "web", len(good)),        # keeper
+        (1, good, "en", "web", len(good)),        # exact dup of 0 -> dropped
+        (2, good + " extra tokens on the end here", "en", "web", 1),  # near-dup of 0
+        (3, "le la et les des " * 20, "fr", "web", 1),  # wrong language
+        (4, "zzz qqq xxx", "en", "web", 11),      # low quality
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = {r.doc_id: r for r in curate_docs(docs).collect()}
+    assert 0 in kept and 1 not in kept          # exact dedup keeps min doc_id
+    assert 3 not in kept and 4 not in kept      # lang + quality gates
+    assert 2 not in kept                        # near-dup loser (doc_b side)
+    assert kept[0].lang_guess == "en" and kept[0].quality_score >= 0.45
