@@ -894,9 +894,9 @@ SELECT doc_a, doc_b FROM mh_pairs UNION SELECT doc_a, doc_b FROM jac_pairs"""
     o["mm_features"] = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-       CAST(strlen(text) AS INT) AS payload_bytes,
-       round(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0, 4) AS f0,
-       round(CAST(('0x' || substr(md5(text), 17, 2)) AS INT) / 255.0, 4) AS f8
+       CAST(strlen(coalesce(text, '')) AS INT) AS payload_bytes,
+       round(CAST(('0x' || substr(md5(coalesce(text, '')), 1, 2)) AS INT) / 255.0, 4) AS f0,
+       round(CAST(('0x' || substr(md5(coalesce(text, '')), 17, 2)) AS INT) / 255.0, 4) AS f8
 FROM documents"""
     o["mm_frame_sample"] = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -188,6 +188,9 @@ def measure_bucketed_join(wh_root: str, cpus: int) -> dict:
     from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
         provenance_citations,
     )
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
     from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
 
     spark = get_spark(
@@ -205,7 +208,7 @@ def measure_bucketed_join(wh_root: str, cpus: int) -> dict:
         cites = provenance_citations(
             wh.read(spark, "provenance_edges"), wh.read(spark, "chunks")
         )
-        plan = cites._jdf.queryExecution().executedPlan().toString()
+        plan = physical_plan_string(cites)
         t0 = time.time()
         n = cites.count()
         out[tag] = {

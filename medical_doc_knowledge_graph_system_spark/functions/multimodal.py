@@ -66,8 +66,12 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM, algo: str = "sha256")
 
     algo="md5" limits dim to 16 (md5 digest = 16 bytes); it exists so the
     driver-gated query can be oracle-checked in DuckDB, which has md5 but not
-    sha256 over the same byte view (CLAUDE.md hash-parity invariant)."""
-    if not payload:
+    sha256 over the same byte view (CLAUDE.md hash-parity invariant).
+
+    Empty payloads hash like any other bytes (md5(b'') is well-defined and
+    equals DuckDB md5('') — parity holds for empty documents); only a missing
+    payload (None) yields the zero vector."""
+    if payload is None:
         return [0.0] * dim
     d = hashlib.new(algo, payload).digest()
     return [d[i] / 255.0 for i in range(dim)]
@@ -134,7 +138,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        # coalesce: payload is never NULL, so Spark's digest-of-bytes and the
+        # oracle's md5(coalesce(text,'')) agree even on null-text documents
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         F.struct(
             F.when(kind == "image", F.lit(640)).cast("int").alias("width"),
             F.when(kind == "image", F.lit(480)).cast("int").alias("height"),

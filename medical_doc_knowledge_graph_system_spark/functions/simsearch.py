@@ -145,15 +145,24 @@ def neardup_pairs_signblock(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
-    """Deterministic IVF coarse quantizer: centroids are the embeddings of
-    the n_cells smallest vec_ids (a fixed 'training sample'); every vector is
-    assigned to its max-cosine centroid. Returns (vec_id, embedding, cell)."""
-    cents = (
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """The deterministic centroid table: embeddings of the n_cells smallest
+    vec_ids (a fixed 'training sample'). Shared by ivf_assign and the query
+    probe so the global top-N over the corpus is planned exactly once."""
+    return (
         embeddings.orderBy("vec_id")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16, cents: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: every vector is assigned to its
+    max-cosine centroid. Returns (vec_id, embedding, cell)."""
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_cells)
     scored = embeddings.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -190,12 +199,11 @@ def topk_cosine_ivf(
     recall vs topk_cosine is measured in bench.py (BENCH.md); at scale each
     probe touches nprobe/n_cells of the data. Use auto_ivf_params(N) to size
     n_cells ≈ sqrt(N) and nprobe for a large corpus."""
-    assigned = ivf_assign(embeddings, n_cells)
-    cents = (
-        embeddings.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
-    )
+    cents = ivf_centroids(embeddings, n_cells)
+    # localCheckpoint: the centroid top-N over the corpus runs ONCE and both
+    # the assignment and the query probe reuse the materialized result
+    cents = cents.localCheckpoint()
+    assigned = ivf_assign(embeddings, n_cells, cents=cents)
     qv = queries.select("query_id", "q_embedding")
     q_scored = qv.join(F.broadcast(cents)).select(
         "query_id",

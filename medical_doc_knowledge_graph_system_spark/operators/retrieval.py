@@ -218,7 +218,10 @@ def build_context(
             )
         )
         .dropDuplicates(["src", "dst", "rel_type"])
-        .orderBy("src", "dst", "rel_type")
+        # relevance-ordered cap (highest-confidence edges survive), with a
+        # full deterministic tiebreak — NOT name order, which would
+        # alphabetically bias the bundle on hub nodes
+        .orderBy(F.desc("confidence"), "src", "dst", "rel_type")
         .limit(MAX_BUNDLE_EDGES)
     ).collect()
 

@@ -140,6 +140,13 @@ class Warehouse:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
     ) -> None:
+        bm = self._bucket_meta_path(name)
+        if os.path.exists(bm):
+            # plain write over a previously bucketed table: retire the bucket
+            # spec + catalog entry, or later reads would scan plain files
+            # under a CLUSTERED BY claim the files no longer honor
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {self._table_ident(name)}")
+            os.remove(bm)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -296,3 +296,29 @@ def test_curate_docs_semantics(spark):
     assert 3 not in kept and 4 not in kept      # lang + quality gates
     assert 2 not in kept                        # near-dup loser (doc_b side)
     assert kept[0].lang_guess == "en" and kept[0].quality_score >= 0.45
+
+
+def test_mm_features_empty_and_null_text_parity(spark):
+    """Empty text hashes like DuckDB md5('') (digest of b'' — no zero-vector
+    special case); null text is coalesced to '' in media_from_documents so
+    payload is never NULL."""
+    import hashlib
+
+    from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "web", 0), (1, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feats = {
+        r.media_id: r
+        for r in extract_features(
+            media_from_documents(docs), algo="md5", double_precision=True
+        ).collect()
+    }
+    d = hashlib.md5(b"").digest()
+    for mid in ("0", "1"):
+        assert feats[mid].payload_bytes == 0
+        assert feats[mid].features[0] == d[0] / 255.0  # 0.8314…, not 0.0

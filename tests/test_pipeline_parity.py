@@ -198,6 +198,9 @@ def test_bucketed_pipeline_matches_plain(spark, pages_parquet, warehouse50, tmp_
         provenance_citations,
     )
     from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
     from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
 
     pages = spark.read.parquet(pages_parquet)
@@ -221,7 +224,7 @@ def test_bucketed_pipeline_matches_plain(spark, pages_parquet, warehouse50, tmp_
         cites = provenance_citations(
             wh.read(spark, "provenance_edges"), wh.read(spark, "chunks")
         )
-        plan = cites._jdf.queryExecution().executedPlan().toString()
+        plan = physical_plan_string(cites)
         assert "Exchange hashpartitioning" not in plan, plan
         assert "Bucketed: true" in plan, plan
         assert cites.count() == stats["provenance_edges"]

@@ -107,3 +107,19 @@ def test_merge_upsert_preserves_bucketing(spark, tmp_path):
     assert desc.get("Num Buckets") == "2"
     # compaction is a no-op on bucketed layout (1 file per bucket already)
     assert wh.compact_table(spark, "t") == 2
+
+
+def test_plain_write_retires_bucket_spec(spark, tmp_path):
+    """Overwriting a bucketed table with a plain write must retire the bucket
+    spec + catalog entry — otherwise later reads scan plain files under a
+    CLUSTERED BY claim the files no longer honor."""
+    import os
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int")
+    wh.write_bucketed(df, "t", n_buckets=2)
+    assert os.path.exists(wh._bucket_meta_path("t"))
+    wh.write(df, "t")  # plain overwrite (e.g. re-run with bucket_by_url=0)
+    assert not os.path.exists(wh._bucket_meta_path("t"))
+    assert not spark.catalog.tableExists(wh._table_ident("t"))
+    assert wh.read(spark, "t").count() == 2

@@ -69,13 +69,16 @@ def main() -> None:
             failures.append(name)
             continue
         # The driver's canonicalizer (pandas sort_values -> factorize) can't
-        # hash list/dict cells — reject them here so the local gate can never
-        # pass an output the driver gate would error on.
+        # hash list/dict cells — reject them by SCHEMA (exact and
+        # row-independent; value-sniffing misses all-NULL prefixes and empty
+        # results) so the local gate can never pass an output the driver
+        # gate would error on.
+        from pyspark.sql import types as T
+
         bad_cells = {
-            scols[i]
-            for r in srows[:100]
-            for i, v in enumerate(r)
-            if isinstance(v, (list, dict, set))
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
         }
         if bad_cells:
             print(f"FAIL {name}: non-hashable output columns {sorted(bad_cells)} "
