@@ -40,7 +40,10 @@ from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
     all_paths,
     shortest_path,
 )
-from medical_doc_knowledge_graph_system_spark.functions.curate import curate_docs
+from medical_doc_knowledge_graph_system_spark.functions.curate import (
+    curate_docs,
+    sample_to_token_budget,
+)
 from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -393,6 +396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup (min doc_id per md5 group) + MinHash near-dup loser removal, in
     # one declarative pass (functions/curate.py)
     q["curate_docs"] = lambda s, d: curate_docs(_t(s, d, "documents"))
+
+    # deterministic token-budget sample via distributed prefix sum (256
+    # hash-prefix buckets; driver holds only the bucket totals)
+    q["sample_tokens"] = lambda s, d: sample_to_token_budget(
+        _t(s, d, "documents"), budget=20_000
+    )
 
     # multimodal plumbing, driver-gated: binary payload column -> Arrow
     # mapInPandas feature extraction, exercising the exact schema/batch path
@@ -930,6 +939,20 @@ SELECT doc_id, lang_guess, token_count, quality_score
 FROM scored
 WHERE lang_guess = 'en' AND quality_score >= 0.45 AND doc_id = keep_id
   AND doc_id NOT IN (SELECT doc_b FROM mh_pairs)"""
+
+    o["sample_tokens"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS token_count,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, token_count,
+         CAST(SUM(token_count) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, token_count, cum_tokens FROM c WHERE cum_tokens <= 20000"""
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars

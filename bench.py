@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "curate_docs",
+    "sample_tokens",
     "sim_topk",
     "sim_neardup",
     "sim_neardup_bands",

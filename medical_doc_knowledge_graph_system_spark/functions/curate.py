@@ -58,3 +58,60 @@ def curate_docs(
         .distinct()
     )
     return kept.join(near_losers, "doc_id", "left_anti")
+
+
+def sample_to_token_budget(
+    docs: DataFrame, budget: int, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic token-budget sample: documents in md5(doc_id) order
+    until the cumulative token count exceeds `budget` (the 'give me a 1B-token
+    slice of this corpus' op). Output: (doc_id, token_count, cum_tokens) for
+    every kept document.
+
+    Scale shape — a DISTRIBUTED prefix sum, never a single-partition window:
+    the hash order is bucketed by its first hex byte (256 ordered buckets,
+    prefix order == total order for hex strings), each bucket computes its
+    own running sum in parallel (window partitioned BY BUCKET), the 256
+    bucket totals come to the driver, and each bucket's global offset is the
+    prefix sum of the totals before it — driver state is 256 numbers
+    regardless of corpus size."""
+    toks = quality_cols(text_col)["token_count"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    t = docs.select(
+        "doc_id",
+        toks.alias("token_count"),
+        h.alias("h"),
+        F.substring(h, 1, 2).alias("bkt"),
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = t.select(
+        "doc_id",
+        "token_count",
+        "bkt",
+        F.sum("token_count").over(w).alias("local_cum"),
+    )
+    totals = sorted(
+        (r.bkt, r.tot)
+        for r in t.groupBy("bkt").agg(F.sum("token_count").alias("tot")).collect()
+    )
+    offset, offsets = 0, {}
+    for bkt, tot in totals:
+        offsets[bkt] = offset
+        offset += tot
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, int(o)) for b, o in offsets.items()], "bkt string, off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "bkt")
+        .select(
+            "doc_id",
+            "token_count",
+            (F.col("local_cum") + F.col("off")).cast("long").alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -322,3 +322,30 @@ def test_mm_features_empty_and_null_text_parity(spark):
     for mid in ("0", "1"):
         assert feats[mid].payload_bytes == 0
         assert feats[mid].features[0] == d[0] / 255.0  # 0.8314…, not 0.0
+
+
+def test_sample_to_token_budget_prefix_sum(spark):
+    """The distributed (bucketed) prefix sum equals a driver-computed global
+    cumulative sum in md5(doc_id) order, and the budget cut is exact."""
+    import hashlib
+
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        sample_to_token_budget,
+    )
+
+    rows = [(i, "tok " * (i % 7 + 1), "en", "web", 1) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: (r.token_count, r.cum_tokens)
+           for r in sample_to_token_budget(docs, budget=300).collect()}
+
+    # driver oracle: trim-then-split(' ') semantics (tokens_col)
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cum, want = 0, {}
+    for r in order:
+        tc = r[1].strip().count(" ") + 1
+        cum += tc
+        if cum <= 300:
+            want[r[0]] = (tc, cum)
+    assert got == want and len(want) > 10
