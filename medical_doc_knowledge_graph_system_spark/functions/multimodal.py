@@ -108,7 +108,12 @@ def extract_features(
     double_precision=True emits the feature array as array<double> — the
     oracle-compared variant (floats are compared bit-exact after 4dp
     rounding, which requires computing in doubles on both sides)."""
-    n = num_partitions or media.sparkSession.sparkContext.defaultParallelism
+    selected = media.select("media_id", "kind", "payload")
+    # spread narrow inputs across cores but never shrink a many-split corpus
+    n = num_partitions or max(
+        selected.rdd.getNumPartitions(),
+        media.sparkSession.sparkContext.defaultParallelism,
+    )
     schema = FEATURE_SCHEMA
     if double_precision:
         schema = T.StructType(
@@ -120,7 +125,7 @@ def extract_features(
             ]
         )
     return (
-        media.select("media_id", "kind", "payload")
+        selected
         .repartition(n, F.xxhash64("media_id"))
         .mapInPandas(_make_feature_batches(algo), schema=schema)
     )

@@ -66,10 +66,17 @@ def chunk_pages(
     strategy="soap": the reference's SOAP-section-aware chunker
     (corelib.soap) for users migrating reference inputs verbatim.
     """
-    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism * 2
     cols = ["url", "text"] + (["html"] if "html" in pages.columns else [])
+    selected = pages.select(*cols)
+    # never SHRINK a many-split corpus to the local default — the url-hash
+    # repartition spreads narrow inputs but must keep (at least) the scan's
+    # own parallelism on a 100 TB input
+    n = num_partitions or max(
+        selected.rdd.getNumPartitions(),
+        pages.sparkSession.sparkContext.defaultParallelism * 2,
+    )
     return (
-        pages.select(*cols)
+        selected
         .repartition(n, F.xxhash64("url"))
         .mapInPandas(_make_chunk_batches(strategy), schema=CHUNK_SCHEMA)
     )
