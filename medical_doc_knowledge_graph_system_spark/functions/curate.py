@@ -68,16 +68,19 @@ def sample_to_token_budget(
     slice of this corpus' op). Output: (doc_id, token_count, cum_tokens) for
     every kept document.
 
-    Scale shape — a DISTRIBUTED prefix sum, never a single-partition window:
-    the hash order is bucketed by its first hex byte (256 ordered buckets,
-    prefix order == total order for hex strings), each bucket computes its
-    own running sum in parallel (window partitioned BY BUCKET), the 256
-    bucket totals come to the driver, and each bucket's global offset is the
-    prefix sum of the totals before it — driver state is 256 numbers
-    regardless of corpus size."""
+    Scale shape — a DISTRIBUTED prefix sum, never a single-partition window,
+    and ONE fully lazy plan (no driver collect, no double scan): the hash
+    order is bucketed by its first hex byte (256 ordered buckets, prefix
+    order == total order for hex strings); each bucket computes its running
+    sum in parallel (window partitioned BY BUCKET); each bucket's TOTAL is
+    just max(local_cum) per bucket — derived from the same shuffle, so
+    Catalyst plans the exchange once (ReusedExchange); the 256-row totals
+    frame gets its exclusive prefix sum via a window that only ever sees 256
+    rows; a broadcast join adds the offsets back. Null doc_ids are dropped
+    up front (md5(NULL) would otherwise poison the bucket key)."""
     toks = quality_cols(text_col)["token_count"]
     h = F.md5(F.col("doc_id").cast("string"))
-    t = docs.select(
+    t = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         toks.alias("token_count"),
         h.alias("h"),
@@ -94,20 +97,19 @@ def sample_to_token_budget(
         "bkt",
         F.sum("token_count").over(w).alias("local_cum"),
     )
-    totals = sorted(
-        (r.bkt, r.tot)
-        for r in t.groupBy("bkt").agg(F.sum("token_count").alias("tot")).collect()
+    # bucket totals from the SAME partitioned data (max of the running sum),
+    # then an exclusive prefix sum over <= 256 rows — this tiny window is the
+    # only place a single-partition sort happens, on 256 rows by design
+    w_off = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     )
-    offset, offsets = 0, {}
-    for bkt, tot in totals:
-        offsets[bkt] = offset
-        offset += tot
-    spark = docs.sparkSession
-    off_df = spark.createDataFrame(
-        [(b, int(o)) for b, o in offsets.items()], "bkt string, off long"
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.max("local_cum").alias("tot"))
+        .select("bkt", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off"))
     )
     return (
-        local.join(F.broadcast(off_df), "bkt")
+        local.join(F.broadcast(offsets), "bkt")
         .select(
             "doc_id",
             "token_count",

@@ -108,12 +108,11 @@ def extract_features(
     double_precision=True emits the feature array as array<double> — the
     oracle-compared variant (floats are compared bit-exact after 4dp
     rounding, which requires computing in doubles on both sides)."""
+    from ..operators.skew import shuffle_width
+
     selected = media.select("media_id", "kind", "payload")
-    # spread narrow inputs across cores but never shrink a many-split corpus
-    n = num_partitions or max(
-        selected.rdd.getNumPartitions(),
-        media.sparkSession.sparkContext.defaultParallelism,
-    )
+    # probe-free cluster-tuned repartition width (see skew.shuffle_width)
+    n = num_partitions or shuffle_width(media.sparkSession)
     schema = FEATURE_SCHEMA
     if double_precision:
         schema = T.StructType(

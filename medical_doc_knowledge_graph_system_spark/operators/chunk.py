@@ -66,15 +66,14 @@ def chunk_pages(
     strategy="soap": the reference's SOAP-section-aware chunker
     (corelib.soap) for users migrating reference inputs verbatim.
     """
+    from .skew import shuffle_width
+
     cols = ["url", "text"] + (["html"] if "html" in pages.columns else [])
     selected = pages.select(*cols)
-    # never SHRINK a many-split corpus to the local default — the url-hash
-    # repartition spreads narrow inputs but must keep (at least) the scan's
-    # own parallelism on a 100 TB input
-    n = num_partitions or max(
-        selected.rdd.getNumPartitions(),
-        pages.sparkSession.sparkContext.defaultParallelism * 2,
-    )
+    # probe-free repartition target: the cluster-tuned shuffle width (pages
+    # may carry exchanges — the re-crawl dedup window — and an .rdd partition
+    # probe under AQE would execute those stages twice)
+    n = num_partitions or shuffle_width(pages.sparkSession, factor=2)
     return (
         selected
         .repartition(n, F.xxhash64("url"))

@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def shuffle_width(spark, factor: int = 1) -> int:
+    """The cluster-tuned repartition target for Arrow/compute stages:
+    max(spark.sql.shuffle.partitions, defaultParallelism * factor).
+
+    Use this — NOT an .rdd partition probe — when the input lineage may
+    contain exchanges: under AQE, DataFrame.rdd forces the upstream shuffle
+    stages to execute just to read a partition count, and the subsequent
+    action re-executes them (no exchange reuse across query executions).
+    shuffle.partitions is the width every shuffle in the job gets anyway,
+    and on a real cluster it is sized to the data."""
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism * factor,
+    )
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition narrow inputs so CPU-heavy per-row map stages (shingle
     explode + k×md5, token hashing) use the whole cluster.
@@ -25,8 +41,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     UNCHANGED — the check is metadata-only and the repartition never fires.
     It fires only when the scan yields fewer splits than cores (small files,
     single-row-group parquet — parquet cannot split inside a row group), in
-    which case the shuffled data is by definition small. The same pattern
-    chunk_pages uses for the pages scan, applied to the analytics inputs."""
+    which case the shuffled data is by definition small.
+
+    Call this ONLY on scan-rooted frames (no exchanges in the lineage): the
+    .rdd partition probe is metadata-only for a plain scan, but under AQE it
+    would EXECUTE the upstream shuffle stages of an exchange-bearing plan.
+    For such plans use shuffle_width() as a probe-free repartition target
+    (chunk_pages / extract_features do)."""
     sc = df.sparkSession.sparkContext
     n = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:
