@@ -48,12 +48,15 @@ from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
     extract_features,
     frame_sample_plan,
     media_from_documents,
+    resize_plan,
 )
 from medical_doc_knowledge_graph_system_spark.functions.textfns import (
     LANG_MARKERS,
     _EN_STOPWORDS,
+    with_bpe_token_count,
     with_fingerprint,
     with_lang_guess,
+    with_rolling_hash,
     with_quality_score,
     with_token_stats,
 )
@@ -104,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: with_quality_score(_t(s, d, "documents"))
     q["text_langid"] = lambda s, d: with_lang_guess(_t(s, d, "documents"))
     q["text_fingerprint"] = lambda s, d: with_fingerprint(_t(s, d, "documents"))
+    # subword-style token count (regex pre-tokenizer, not whitespace)
+    q["text_bpe_tokens"] = lambda s, d: with_bpe_token_count(_t(s, d, "documents"))
+    # order-sensitive Rabin-Karp fingerprint of the token stream
+    q["text_rolling_hash"] = lambda s, d: with_rolling_hash(_t(s, d, "documents"))
 
     # deduplication
     q["dedup_exact"] = lambda s, d: exact_dup_flags_expr(_t(s, d, "documents"))
@@ -429,6 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frame_sample_plan(media, every_ms=1000)
 
     q["mm_frame_sample"] = mm_frame_sample
+
+    # aspect-preserving resize plan (pure integer/floor column arithmetic;
+    # the pixel resample is the stubbed codec step)
+    def mm_resize(s, d):
+        return resize_plan(media_from_documents(_t(s, d, "documents")), max_side=256)
+
+    q["mm_resize"] = mm_resize
 
     # H: Structured Streaming, driver-gated — a watermarked tumbling-window
     # aggregate drains the events table with Trigger.AvailableNow into a
@@ -953,6 +967,32 @@ c AS (
   FROM t
 )
 SELECT doc_id, token_count, cum_tokens FROM c WHERE cum_tokens <= 20000"""
+
+    o["text_bpe_tokens"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+         AS bpe_token_count
+FROM documents"""
+    o["text_rolling_hash"] = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS}, t -> CAST(('0x' || substr(md5(t), 1, 10)) AS BIGINT))),
+         (acc, h) -> (acc * 31 + h) % 1099511627776) AS rolling_hash
+FROM documents"""
+    o["mm_resize"] = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(320 + (doc_id % 5) * 160 AS INT) AS width,
+         CAST(240 + (doc_id % 3) * 120 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id, width, height,
+       CAST(greatest(floor(width * least(greatest(width, height), 256.0)
+                           / greatest(width, height)), 1) AS INT) AS new_width,
+       CAST(greatest(floor(height * least(greatest(width, height), 256.0)
+                           / greatest(width, height)), 1) AS INT) AS new_height
+FROM m"""
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars

@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_simhash",
     "curate_docs",
     "sample_tokens",
+    "text_bpe_tokens",
+    "text_rolling_hash",
     "sim_topk",
     "sim_neardup",
     "sim_neardup_bands",
@@ -50,6 +52,7 @@ HEADLINE = [
     "rerank_class_cap",
     "mm_features",
     "mm_frame_sample",
+    "mm_resize",
     "kg_shortest_path",
     "kg_paths",
     "events_hourly",

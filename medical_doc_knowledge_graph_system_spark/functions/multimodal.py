@@ -146,14 +146,39 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         # oracle's md5(coalesce(text,'')) agree even on null-text documents
         F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         F.struct(
-            F.when(kind == "image", F.lit(640)).cast("int").alias("width"),
-            F.when(kind == "image", F.lit(480)).cast("int").alias("height"),
+            F.when(kind == "image", 320 + (F.col("doc_id") % 5) * 160)
+            .cast("int")
+            .alias("width"),
+            F.when(kind == "image", 240 + (F.col("doc_id") % 3) * 120)
+            .cast("int")
+            .alias("height"),
             F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
             F.when(kind == "video", (F.col("n_chars") % 9000 + 1000))
             .cast("int")
             .alias("duration_ms"),
             F.concat(F.lit("fake/"), kind).alias("mime"),
         ).alias("meta"),
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving image-resize plan: target dimensions from pure
+    integer/floor column arithmetic (partition-local, no shuffle, no Python).
+    Never upscales; the short side floors but never drops below 1. The pixel
+    resample itself is the stubbed codec step (decode_image) — this is the
+    plumbing a real resize UDF slots into."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    long_side = F.greatest(w, h)
+    target = F.least(long_side, F.lit(float(max_side)))  # no upscale
+    new_w = F.greatest(F.floor(w * target / long_side), F.lit(1)).cast("int")
+    new_h = F.greatest(F.floor(h * target / long_side), F.lit(1)).cast("int")
+    return media.where(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
     )
 
 

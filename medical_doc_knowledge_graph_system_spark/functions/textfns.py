@@ -144,3 +144,44 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
+# GPT-2 pre-tokenizer shape simplified to a character-class regex that parses
+# identically in Java regex (Spark) and RE2 (DuckDB)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# 2^40: acc*31 + tokhash stays far inside signed-63-bit on both engines
+ROLLING_MOD = 1_099_511_627_776
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under the BPE-ish regex pre-tokenizer (subword pipelines
+    count tokens this way, not by whitespace): (doc_id, bpe_token_count)."""
+    return df.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("bpe_token_count"),
+    )
+
+
+def with_rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rabin-Karp polynomial fingerprint of the token STREAM — order-
+    sensitive, unlike with_fingerprint's sorted-set hash, so documents with
+    the same vocabulary in a different order fingerprint differently:
+    acc := (acc*31 + tokhash) mod 2^40, folded left-to-right with
+    F.aggregate (pure columns, partition-local)."""
+    toks = tokens_col(text_col)
+
+    def _tok_hash(t):
+        return F.conv(F.substring(F.md5(t), 1, 10), 16, 10).cast("long")
+
+    return df.select(
+        "doc_id",
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * 31 + _tok_hash(t)) % F.lit(ROLLING_MOD),
+        ).alias("rolling_hash"),
+    )

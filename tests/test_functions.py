@@ -240,7 +240,7 @@ def test_media_from_documents_and_md5_features(spark):
     media = media_from_documents(docs)
     assert [f.name for f in media.schema.fields] == [f.name for f in MEDIA_SCHEMA.fields]
     rows = {r.media_id: r for r in media.collect()}
-    assert rows["0"].kind == "image" and rows["0"].meta.width == 640
+    assert rows["0"].kind == "image" and rows["0"].meta.width == 320
     assert rows["1"].kind == "audio" and rows["1"].meta.sample_rate == 16000
     assert rows["2"].kind == "video" and rows["2"].meta.duration_ms == 9 % 9000 + 1000
 
