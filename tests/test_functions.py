@@ -349,3 +349,48 @@ def test_sample_to_token_budget_prefix_sum(spark):
         if cum <= 300:
             want[r[0]] = (tc, cum)
     assert got == want and len(want) > 10
+
+
+def test_resize_plan_edges(spark):
+    """Aspect-preserving resize: no upscale, floors at 1px on extreme
+    aspect ratios, exact arithmetic on the common case."""
+    from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
+        resize_plan,
+    )
+
+    rows = [
+        ("a", "image", b"x", (100, 50, None, None, "image/png")),    # no upscale
+        ("b", "image", b"x", (640, 480, None, None, "image/png")),   # 256x192
+        ("c", "image", b"x", (4000, 10, None, None, "image/png")),   # floor -> 1
+        ("d", "video", b"x", (640, 480, None, 1000, "video/mp4")),   # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.new_width, r.new_height) for r in resize_plan(media).collect()}
+    assert got == {"a": (100, 50), "b": (256, 192), "c": (256, 1)}
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_rolling_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.rolling_hash for r in with_rolling_hash(docs).collect()}
+    assert h[0] == h[2]          # identical streams -> identical fingerprint
+    assert h[0] != h[1]          # reordered tokens -> different (unlike set hash)
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_bpe_token_count,
+        with_token_stats,
+    )
+
+    docs = spark.createDataFrame([(0, "Hello, world42 #x")], "doc_id long, text string")
+    bpe = with_bpe_token_count(docs).collect()[0].bpe_token_count
+    ws = with_token_stats(docs).collect()[0].token_count
+    assert bpe == 6   # Hello , world 42 # x
+    assert ws == 3    # whitespace splits only
