@@ -968,9 +968,15 @@ c AS (
 )
 SELECT doc_id, token_count, cum_tokens FROM c WHERE cum_tokens <= 20000"""
 
-    o["text_bpe_tokens"] = """
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        BPE_ISH_PATTERN,
+    )
+
+    # pattern shared verbatim with the Spark side (SQL string literals do not
+    # process backslash escapes, so the regex reaches RE2 exactly as written)
+    o["text_bpe_tokens"] = f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT)
          AS bpe_token_count
 FROM documents"""
     o["text_rolling_hash"] = f"""

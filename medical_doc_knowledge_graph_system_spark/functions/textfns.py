@@ -148,8 +148,11 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
 # GPT-2 pre-tokenizer shape simplified to a character-class regex that parses
-# identically in Java regex (Spark) and RE2 (DuckDB)
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# identically in Java regex (Spark) and RE2 (DuckDB). The whitespace set is
+# spelled out explicitly: shorthand \s differs between the dialects (Java
+# includes vertical tab \x0b, RE2 does not), which would silently diverge
+# on documents containing one.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r\x0b ]"
 
 # 2^40: acc*31 + tokhash stays far inside signed-63-bit on both engines
 ROLLING_MOD = 1_099_511_627_776
