@@ -462,6 +462,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hourly"] = stream_hourly
 
+    # H (custom stateful): applyInPandasWithState cross-batch exactly-once
+    # dedup. The documents table becomes a chunk stream with PLANTED
+    # re-deliveries (every third doc arrives twice, snapshot-overlap style),
+    # split into 3 files consumed one per microbatch (maxFilesPerTrigger=1)
+    # so the per-shard state genuinely carries across batches; the drained
+    # output must equal the distinct chunk set (first-seen-only semantics).
+    def stream_stateful_dedup(s, d):
+        import hashlib as _h
+
+        from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+            dedup_chunk_stream,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = f"/tmp/mdkgs_dedup_stream_{tag}"
+        chunks = _t(s, d, "documents").select(
+            F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(0).alias("chunk_idx"),
+            "text",
+        )
+        chunks.coalesce(2).write.mode("overwrite").parquet(src)
+        chunks.where(F.col("url").cast("long") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            s.readStream.schema(chunks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_chunk_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"ssd_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return s.table(f"ssd_{tag}")
+
+    q["stream_stateful_dedup"] = stream_stateful_dedup
+
     return q
 
 
@@ -999,6 +1042,13 @@ SELECT media_id, width, height,
        CAST(greatest(floor(height * least(greatest(width, height), 256.0)
                            / greatest(width, height)), 1) AS INT) AS new_height
 FROM m"""
+
+    o["stream_stateful_dedup"] = """
+SELECT md5(CAST(doc_id AS VARCHAR)) AS chunk_id,
+       CAST(doc_id AS VARCHAR) AS url,
+       CAST(0 AS INT) AS chunk_idx,
+       text
+FROM documents"""
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars
