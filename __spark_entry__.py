@@ -53,6 +53,7 @@ from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
 from medical_doc_knowledge_graph_system_spark.functions.textfns import (
     LANG_MARKERS,
     _EN_STOPWORDS,
+    BPE_ISH_PATTERN,
     with_bpe_token_count,
     with_fingerprint,
     with_lang_guess,
@@ -470,13 +471,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # output must equal the distinct chunk set (first-seen-only semantics).
     def stream_stateful_dedup(s, d):
         import hashlib as _h
+        import shutil
+        import tempfile
 
         from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
             dedup_chunk_stream,
         )
 
         tag = _h.md5(d.encode()).hexdigest()[:8]
-        src = f"/tmp/mdkgs_dedup_stream_{tag}"
+        # per-run unique staging dir: concurrent gate runs must not share a
+        # source path (an overwrite would delete files another run's stream
+        # has already listed); removed after the drain — the memory sink
+        # holds the result rows, so the source is no longer needed
+        src = tempfile.mkdtemp(prefix=f"mdkgs_dedup_stream_{tag}_")
         chunks = _t(s, d, "documents").select(
             F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
             F.col("doc_id").cast("string").alias("url"),
@@ -492,7 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
+        sq = (
             dedup_chunk_stream(stream)
             .writeStream.format("memory")
             .queryName(f"ssd_{tag}")
@@ -500,7 +507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            sq.awaitTermination()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
         return s.table(f"ssd_{tag}")
 
     q["stream_stateful_dedup"] = stream_stateful_dedup
@@ -1010,10 +1020,6 @@ c AS (
   FROM t
 )
 SELECT doc_id, token_count, cum_tokens FROM c WHERE cum_tokens <= 20000"""
-
-    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
-        BPE_ISH_PATTERN,
-    )
 
     # pattern shared verbatim with the Spark side (SQL string literals do not
     # process backslash escapes, so the regex reaches RE2 exactly as written)
