@@ -57,6 +57,8 @@ from medical_doc_knowledge_graph_system_spark.functions.textfns import (
     with_bpe_token_count,
     with_fingerprint,
     with_lang_guess,
+    ngram_decontam,
+    with_repetition,
     with_rolling_hash,
     with_quality_score,
     with_token_stats,
@@ -112,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_tokens"] = lambda s, d: with_bpe_token_count(_t(s, d, "documents"))
     # order-sensitive Rabin-Karp fingerprint of the token stream
     q["text_rolling_hash"] = lambda s, d: with_rolling_hash(_t(s, d, "documents"))
+    # Gopher-style within-doc repetition filter (dup-bigram fraction)
+    q["text_repetition"] = lambda s, d: with_repetition(_t(s, d, "documents"))
+    # GPT-3-style benchmark decontamination: 4-gram overlap vs the eval split
+    q["decontam_ngram"] = lambda s, d: ngram_decontam(_t(s, d, "documents"))
 
     # deduplication
     q["dedup_exact"] = lambda s, d: exact_dup_flags_expr(_t(s, d, "documents"))
@@ -1035,6 +1041,38 @@ SELECT doc_id,
            list_transform({_TOKS}, t -> CAST(('0x' || substr(md5(t), 1, 10)) AS BIGINT))),
          (acc, h) -> (acc * 31 + h) % 1099511627776) AS rolling_hash
 FROM documents"""
+    o["text_repetition"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> concat_ws(' ', t[i], t[i+1])) AS grams
+  FROM toks
+),
+f AS (
+  SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
+         CASE WHEN len(grams) > 0
+              THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+              ELSE 0.0 END AS dup_ngram_frac
+  FROM g
+)
+SELECT doc_id, n_ngrams, dup_ngram_frac, dup_ngram_frac > 0.2 AS flag_repetitive
+FROM f"""
+    o["decontam_ngram"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) AS grams
+  FROM toks
+),
+g AS (SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM gl)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id"""
     o["mm_resize"] = """
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,

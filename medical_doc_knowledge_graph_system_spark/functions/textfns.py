@@ -146,6 +146,67 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ngrams_col(toks, n: int):
+    """Order-sensitive word n-grams of a token array as 'w1 w2 ... wn'
+    strings; empty array when the doc has fewer than n tokens (guarded —
+    F.sequence(0, negative) would otherwise count DOWN and fabricate grams)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_repetition(
+    df: DataFrame, n: int = 2, threshold: float = 0.2, text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition filter (the Gopher quality rule: drop docs
+    whose text is dominated by repeated n-grams — boilerplate, listicles,
+    keyword stuffing). dup_ngram_frac = 1 - distinct_ngrams/total_ngrams over
+    order-sensitive word n-grams; flag_repetitive when above `threshold`.
+    Pure per-doc column expressions: no shuffle, scales linearly.
+    Reference analogue: the quality gates before chunking
+    (app/ingestion/chunker.py filters empty/whitespace chunks); this is the
+    corpus-curation generalization a 100 TB training pipeline needs."""
+    grams = _ngrams_col(tokens_col(text_col), n)
+    n_grams = F.size(grams)
+    frac = F.when(
+        n_grams > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 4)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_grams.alias("n_ngrams"),
+        frac.alias("dup_ngram_frac"),
+        (frac > threshold).alias("flag_repetitive"),
+    )
+
+
+def ngram_decontam(df: DataFrame, n: int = 4, eval_mod: int = 50) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule): flag
+    training documents that share any word n-gram with the held-out eval set
+    (here the deterministic eval split doc_id % eval_mod == 0). Returns
+    (doc_id, n_shared_ngrams) for contaminated training docs only.
+
+    Scale shape: the eval side of a real pipeline is a benchmark suite —
+    thousands of grams against 100 TB of training text — so the distinct eval
+    grams are the broadcast dimension; the training side explodes its
+    DISTINCT grams map-side and the only shuffle is the final per-doc count."""
+    grams = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_grams = grams.where(is_eval).select("gram").distinct()
+    return (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
 # GPT-2 pre-tokenizer shape simplified to a character-class regex that parses
 # identically in Java regex (Spark) and RE2 (DuckDB). The whitespace set is

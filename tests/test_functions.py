@@ -394,3 +394,36 @@ def test_bpe_token_count_vs_whitespace(spark):
     ws = with_token_stats(docs).collect()[0].token_count
     assert bpe == 6   # Hello , world 42 # x
     assert ws == 3    # whitespace splits only
+
+
+def test_repetition_filter(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import with_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now buy now"),   # dominated by one bigram
+            (1, "the quick brown fox jumps high"),    # all bigrams distinct
+            (2, "one"),                               # < n tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in with_repetition(docs).collect()}
+    assert r[0].flag_repetitive and r[0].dup_ngram_frac > 0.5
+    assert not r[1].flag_repetitive and r[1].dup_ngram_frac == 0.0
+    assert r[2].n_ngrams == 0 and r[2].dup_ngram_frac == 0.0 and not r[2].flag_repetitive
+
+
+def test_ngram_decontam(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import ngram_decontam
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),        # eval doc (0 % 50 == 0)
+            (1, "x alpha beta gamma delta y"),             # shares the 4-gram twice-distinct? one
+            (2, "totally different words entirely here"),  # clean
+            (3, "alpha beta gamma delta epsilon"),         # full overlap: two 4-grams
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared_ngrams for r in ngram_decontam(docs).collect()}
+    assert hits == {1: 1, 3: 2}  # doc 2 clean; eval doc itself never reported
