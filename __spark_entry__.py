@@ -490,30 +490,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # has already listed); removed after the drain — the memory sink
         # holds the result rows, so the source is no longer needed
         src = tempfile.mkdtemp(prefix=f"mdkgs_dedup_stream_{tag}_")
-        chunks = _t(s, d, "documents").select(
-            F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
-            F.col("doc_id").cast("string").alias("url"),
-            F.lit(0).alias("chunk_idx"),
-            "text",
-        )
-        chunks.coalesce(2).write.mode("overwrite").parquet(src)
-        chunks.where(F.col("url").cast("long") % 3 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        stream = (
-            s.readStream.schema(chunks.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        sq = (
-            dedup_chunk_stream(stream)
-            .writeStream.format("memory")
-            .queryName(f"ssd_{tag}")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
         try:
+            chunks = _t(s, d, "documents").select(
+                F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
+                F.col("doc_id").cast("string").alias("url"),
+                F.lit(0).alias("chunk_idx"),
+                "text",
+            )
+            # repartition (not coalesce: the single-file testdata scan is ONE
+            # partition, which coalesce can't split) so the base set lands in
+            # 2 files + 1 append file of planted re-deliveries = 3 microbatches
+            # at maxFilesPerTrigger=1 — state genuinely crosses batches
+            chunks.repartition(2).write.mode("overwrite").parquet(src)
+            chunks.where(F.col("url").cast("long") % 3 == 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(chunks.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            sq = (
+                dedup_chunk_stream(stream)
+                .writeStream.format("memory")
+                .queryName(f"ssd_{tag}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
             sq.awaitTermination()
         finally:
             shutil.rmtree(src, ignore_errors=True)

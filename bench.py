@@ -44,6 +44,8 @@ HEADLINE = [
     "sample_tokens",
     "text_bpe_tokens",
     "text_rolling_hash",
+    "text_repetition",
+    "decontam_ngram",
     "sim_topk",
     "sim_neardup",
     "sim_neardup_bands",

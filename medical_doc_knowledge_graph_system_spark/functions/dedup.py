@@ -61,7 +61,10 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles_col(text_col: str = "text", n: int = SHINGLE_N):
-    """Distinct word n-gram shingles as array<string> (token-based)."""
+    """Distinct word n-gram shingles as array<string> (token-based). Keeps
+    one partial shingle for sub-n docs so the MinHash set is never empty;
+    textfns._ngrams_col is the ordered-multiset/full-window sibling — the
+    policies differ on purpose, don't merge them."""
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(

@@ -149,10 +149,16 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _ngrams_col(toks, n: int):
     """Order-sensitive word n-grams of a token array as 'w1 w2 ... wn'
     strings; empty array when the doc has fewer than n tokens (guarded —
-    F.sequence(0, negative) would otherwise count DOWN and fabricate grams)."""
+    F.sequence(0, negative) would otherwise count DOWN and fabricate grams).
+
+    Deliberately NOT dedup.shingles_col: that one is a distinct SET and keeps
+    one partial shingle for short docs (MinHash needs a non-empty set); the
+    repetition/decontam rules need the full ordered multiset and no partial
+    windows. Same slice+concat_ws construction, different window policy —
+    each has its own exact DuckDB oracle, so keep the two semantics separate."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")

@@ -26,11 +26,14 @@ def shuffle_width(spark, factor: int = 1) -> int:
     stages to execute just to read a partition count, and the subsequent
     action re-executes them (no exchange reuse across query executions).
     shuffle.partitions is the width every shuffle in the job gets anyway,
-    and on a real cluster it is sized to the data."""
-    return max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism * factor,
-    )
+    and on a real cluster it is sized to the data. Platforms that set the
+    conf to a non-numeric value ("auto" under auto-optimized shuffle) fall
+    back to defaultParallelism * factor."""
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_width = 0
+    return max(conf_width, spark.sparkContext.defaultParallelism * factor)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

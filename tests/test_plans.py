@@ -42,7 +42,9 @@ def test_column_pruning(docs):
 
 def test_gazetteer_join_broadcasts(docs):
     p = plan_string(webkg.doc_mentions(docs))
-    assert "Broadcast" in p  # gazetteer dimension ships to executors
+    # must be a HASH join (one probe per token) — plain "Broadcast" would
+    # also match the 7x-slower array_contains BroadcastNestedLoopJoin shape
+    assert "BroadcastHashJoin" in p
 
 
 def test_topk_is_take_ordered(docs):
