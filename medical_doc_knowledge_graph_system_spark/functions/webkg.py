@@ -69,11 +69,15 @@ def doc_mentions(docs: DataFrame) -> DataFrame:
     """(doc_id, term, label): gazetteer terms present in each document.
 
     Explode the per-doc DISTINCT token set and broadcast-HASH-join it to the
-    gazetteer dimension (C1 shape): one hash probe per token instead of the
-    naive |gazetteer| array_contains evaluations per doc (which plans as a
-    BroadcastNestedLoopJoin — measured 7x slower). array_distinct first
-    means matches are already unique per (doc, term): no dedup, no shuffle;
-    no Python anywhere.
+    gazetteer dimension (C1 shape): one hash probe per token instead of
+    |gazetteer| array_contains evaluations per doc (which plans as a
+    BroadcastNestedLoopJoin). Measured at 200k docs / 16 cores: within noise
+    of the BNLJ at this 24-term gazetteer, 6.4x faster at a 2,000-term
+    dictionary (0.58 s vs 3.73 s medians) — the hash probe is O(tokens)
+    regardless of dictionary size, which is the shape that survives
+    open-vocabulary dictionary growth. array_distinct first means matches
+    are already unique per (doc, term): no dedup, no shuffle; no Python
+    anywhere.
     """
     spark = docs.sparkSession
     gaz = spark.createDataFrame(
