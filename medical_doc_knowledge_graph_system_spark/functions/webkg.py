@@ -140,7 +140,17 @@ def khop2(docs: DataFrame, seed: str = "join") -> DataFrame:
     """2-hop neighborhood of a seed term over the co-occurrence triple graph,
     min-hop per node (C8/D8 unrolled to SQL-expressible form)."""
     e = doc_triples(docs).select("subj", "obj")
-    und = e.union(e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))).distinct()
+    # pin the undirected edge set: the plan references it 4x (hop1, hop2's
+    # join + anti-join, final union) and Catalyst gets zero ReusedExchange
+    # across the union branches — without this the whole mention->triple
+    # pipeline recomputes per reference (measured 16 scans, 4.0 s -> 1.3 s
+    # at sf0.1). The distinct term-graph edge set is vocabulary-sized, tiny
+    # at any corpus scale — same adjacency-pinning rule as the BFS paths.
+    und = (
+        e.union(e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj")))
+        .distinct()
+        .localCheckpoint()
+    )
     hop1 = (
         und.where(F.col("subj") == seed)
         .select(F.col("obj").alias("node_id"))
