@@ -128,8 +128,13 @@ def minhash_band_pairs(
     stats = banded.groupBy("band").agg(
         F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("bkt_min")
     )
-    # one shuffle on band; the stats join is co-partitioned with the self-join
-    tagged = banded.join(stats, "band")
+    # one shuffle on band; the stats join is co-partitioned with the self-join.
+    # Materialize: tagged is referenced 3x (pairwise self-join l/r + star) and
+    # Catalyst reuses nothing across the branches — without this the whole
+    # shingle->signature pipeline recomputes per reference (6 corpus scans).
+    # tagged is O(docs x bands) narrow rows, the same bytes its own shuffle
+    # already moved — linear, spill-backed, never a blow-up.
+    tagged = banded.join(stats, "band").localCheckpoint()
     small = tagged.where(F.col("bkt_n") <= max_bucket).select("band", "doc_id")
     l, r = small.alias("l"), small.alias("r")
     pairs_small = l.join(
@@ -153,7 +158,11 @@ def ngram_jaccard_pairs(
     frequent-shingle tail contributes candidates through its rarer
     neighbors). Output: (doc_a, doc_b, jaccard rounded 4dp).
     """
-    sh = doc_shingles(df, text_col)
+    # Materialize the exploded shingle set once: sizes, rare and the blocked
+    # self-join all read it, and without the pin each branch re-runs the
+    # corpus scan + explode (6 scans measured). Linear in corpus tokens —
+    # the same volume every downstream groupBy shuffles anyway.
+    sh = doc_shingles(df, text_col).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
@@ -161,7 +170,8 @@ def ngram_jaccard_pairs(
         .where(F.col("df_") <= max_shingle_df)
         .select("shingle")
     )
-    sh_r = sh.join(rare, "shingle")
+    # rare-filtered side feeds both halves of the candidate self-join
+    sh_r = sh.join(rare, "shingle").localCheckpoint()
     l = sh_r.select(F.col("doc_id").alias("doc_a"), "shingle")
     r = sh_r.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

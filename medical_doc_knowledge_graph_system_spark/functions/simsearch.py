@@ -110,6 +110,11 @@ def neardup_pairs_signblock(
     on one band's dims is still caught by the others (single-band misses it).
     Candidates are deduped across bands BEFORE the cosine verify so each pair
     is scored once."""
+    # pin the (vec_id, blk) band keys: both halves of the bucket self-join
+    # read them, and recomputing means re-scanning the embedding column and
+    # re-deriving every sign bit per half. Narrow n_bands rows per vector.
+    # The cosine-verify joins below deliberately re-scan the store instead:
+    # materializing full vectors would cost more than the columnar re-read.
     bands = embeddings.select(
         "vec_id",
         F.explode(
@@ -122,7 +127,7 @@ def neardup_pairs_signblock(
                 ]
             )
         ).alias("blk"),
-    )
+    ).localCheckpoint()
     l = bands.select(F.col("vec_id").alias("vec_a"), "blk")
     r = bands.select(F.col("vec_id").alias("vec_b"), "blk")
     cand = (
