@@ -42,6 +42,7 @@ from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
 )
 from medical_doc_knowledge_graph_system_spark.functions.curate import (
     curate_docs,
+    sample_stratified,
     sample_to_token_budget,
 )
 from medical_doc_knowledge_graph_system_spark.functions.multimodal import (
@@ -416,6 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_tokens"] = lambda s, d: sample_to_token_budget(
         _t(s, d, "documents"), budget=20_000
     )
+
+    # domain-mix rebalancing: at most 20 docs per source, md5(doc_id) order
+    q["sample_stratified"] = lambda s, d: sample_stratified(_t(s, d, "documents"))
 
     # multimodal plumbing, driver-gated: binary payload column -> Arrow
     # mapInPandas feature extraction, exercising the exact schema/batch path
@@ -1045,6 +1049,18 @@ SELECT doc_id,
            list_transform({_TOKS}, t -> CAST(('0x' || substr(md5(t), 1, 10)) AS BIGINT))),
          (acc, h) -> (acc * 31 + h) % 1099511627776) AS rolling_hash
 FROM documents"""
+    o["sample_stratified"] = """
+SELECT doc_id, source, smp_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS INT) AS smp_rank
+  FROM documents
+  WHERE doc_id IS NOT NULL
+)
+WHERE smp_rank <= 20"""
     o["text_repetition"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 g AS (

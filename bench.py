@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "curate_docs",
     "sample_tokens",
+    "sample_stratified",
     "text_bpe_tokens",
     "text_rolling_hash",
     "text_repetition",

@@ -117,3 +117,26 @@ def sample_to_token_budget(
         )
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+def sample_stratified(
+    docs: DataFrame, per_group: int = 20, group_col: str = "source"
+) -> DataFrame:
+    """Deterministic stratified sample: at most `per_group` documents per
+    group, picked in md5(doc_id) order (a reproducible shuffle — no rand()).
+    The domain-mix rebalancing op: a web corpus is dominated by a few huge
+    domains, and capping per-source keeps the training mix flat.
+    Output: (doc_id, <group_col>, smp_rank).
+
+    Scale shape: one shuffle on the group key; rank is a window per group,
+    and the Zipf-headed group (one giant domain) is bounded by the cap
+    itself — the window only has to ORDER the group, and Spark's window
+    sort spills; for extreme heads, pre-filter with a per-partition
+    row_number cap before the global window (two-phase top-K)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id", group_col, F.row_number().over(w).alias("smp_rank"))
+        .where(F.col("smp_rank") <= per_group)
+    )

@@ -427,3 +427,20 @@ def test_ngram_decontam(spark):
     )
     hits = {r.doc_id: r.n_shared_ngrams for r in ngram_decontam(docs).collect()}
     assert hits == {1: 1, 3: 2}  # doc 2 clean; eval doc itself never reported
+
+
+def test_sample_stratified_caps_per_group(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import sample_stratified
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(52)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_stratified(docs, per_group=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == 3            # Zipf head capped
+    assert len(by_src["small"]) == 2          # under-cap group kept whole
+    assert sorted(r.smp_rank for r in by_src["big"]) == [1, 2, 3]
+    # deterministic: same input -> same picks
+    again = {(r.doc_id, r.smp_rank) for r in sample_stratified(docs, per_group=3).collect()}
+    assert {(r.doc_id, r.smp_rank) for r in out} == again
