@@ -176,3 +176,33 @@ def test_bucketed_derive_triples_no_exchange(spark, tmp_path_factory):
         assert t.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_redundant_corpus_scans(docs, spark):
+    """Catalyst gives zero ReusedExchange across union/self-join branches, so
+    any DataFrame referenced more than once re-runs its whole lineage unless
+    the shared intermediate is pinned. Lock in the scan-collapse fixes: each
+    multi-branch query must read the corpus a bounded number of times."""
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+    )
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        neardup_pairs_signblock,
+    )
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for q, cap in [
+        (webkg.khop2(docs), 0),            # edge set pinned -> no scans at all
+        (minhash_band_pairs(docs), 1),     # banded+stats pinned
+        (ngram_jaccard_pairs(docs), 1),    # shingle set + rare side pinned
+        (neardup_pairs_signblock(emb), 2), # band keys pinned; verify re-scans
+    ]:
+        # physical_plan_string: one line per node (formatted mode would list
+        # each scan twice — tree + node-detail section)
+        n = physical_plan_string(q).count("Scan parquet")
+        assert n <= cap, f"{n} corpus scans (cap {cap})"
