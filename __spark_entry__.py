@@ -1027,6 +1027,7 @@ WITH t AS (
          CAST(len({_TOKS}) AS INT) AS token_count,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
+  WHERE doc_id IS NOT NULL
 ),
 c AS (
   SELECT doc_id, token_count,

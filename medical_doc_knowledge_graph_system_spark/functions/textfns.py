@@ -197,8 +197,13 @@ def ngram_decontam(df: DataFrame, n: int = 4, eval_mod: int = 50) -> DataFrame:
 
     Scale shape: the eval side of a real pipeline is a benchmark suite —
     thousands of grams against 100 TB of training text — so the distinct eval
-    grams are the broadcast dimension; the training side explodes its
-    DISTINCT grams map-side and the only shuffle is the final per-doc count."""
+    grams are the natural broadcast dimension; the training side explodes its
+    DISTINCT grams map-side and the only shuffle is the final per-doc count.
+    The broadcast is NOT forced: the modulo-derived eval split used by the
+    gate fixture grows linearly with the corpus (eval_mod is a test-fixture
+    parameter, not a bounded benchmark suite), so the join is left to
+    AQE/autoBroadcastJoinThreshold — small eval sets still broadcast, an
+    oversized one degrades to a shuffle join instead of OOMing executors."""
     grams = df.select(
         "doc_id",
         F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram"),
@@ -207,7 +212,7 @@ def ngram_decontam(df: DataFrame, n: int = 4, eval_mod: int = 50) -> DataFrame:
     eval_grams = grams.where(is_eval).select("gram").distinct()
     return (
         grams.where(~is_eval)
-        .join(F.broadcast(eval_grams), "gram")
+        .join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
     )

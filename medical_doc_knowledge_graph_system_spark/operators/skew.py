@@ -46,11 +46,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     single-row-group parquet — parquet cannot split inside a row group), in
     which case the shuffled data is by definition small.
 
-    Call this ONLY on scan-rooted frames (no exchanges in the lineage): the
-    .rdd partition probe is metadata-only for a plain scan, but under AQE it
-    would EXECUTE the upstream shuffle stages of an exchange-bearing plan.
-    For such plans use shuffle_width() as a probe-free repartition target
-    (chunk_pages / extract_features do)."""
+    Safe on any frame: the .rdd partition probe is metadata-only for a plain
+    scan, but under AQE it would EXECUTE the upstream shuffle stages of an
+    exchange-bearing plan — so plans that already contain an Exchange are
+    detected (physical planning only, no jobs) and returned unchanged: every
+    exchange already runs at shuffle-width parallelism, and the probe (or an
+    extra repartition) would only add cost. For hand-tuned widths on such
+    plans use shuffle_width() directly (chunk_pages / extract_features do)."""
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     sc = df.sparkSession.sparkContext
     n = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:

@@ -89,12 +89,20 @@ class Warehouse:
         writer requires, so each task owns exactly one bucket -> one file per
         bucket, which is what lets downstream scans report both the hash
         partitioning AND the sort order (no Sort before a sort-merge join).
+
+        The overwrite is atomic at the directory level: the new table is
+        materialized to a staging location FIRST and only swapped in after the
+        write succeeds, so (a) a mid-write failure (schema error, OOM) leaves
+        the existing table intact, and (b) a df whose lineage reads the table
+        being overwritten computes from the still-live files.
         """
         sort_col = sort_col or bucket_col
         spark = df.sparkSession
         tbl = self._table_ident(name)
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        self.drop(name)
+        stage_tbl = f"{tbl}__stage"
+        stage_path = self.path(f"__stage_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        shutil.rmtree(stage_path, ignore_errors=True)
         from pyspark.sql import functions as F
 
         (
@@ -102,17 +110,26 @@ class Warehouse:
             .write.mode("overwrite")
             .bucketBy(n_buckets, bucket_col)
             .sortBy(sort_col)
-            .option("path", self.path(name))
-            .saveAsTable(tbl)
+            .option("path", stage_path)
+            .saveAsTable(stage_tbl)
         )
         meta = {
             "n_buckets": n_buckets,
             "bucket_col": bucket_col,
             "sort_col": sort_col,
-            "schema_json": spark.table(tbl).schema.json(),
+            "schema_json": spark.table(stage_tbl).schema.json(),
         }
+        # success: swap the staged files in and re-point the catalog (both
+        # tables are EXTERNAL, so DROP TABLE never deletes data files)
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        self.drop(name)
+        os.rename(stage_path, self.path(name))
         with open(self._bucket_meta_path(name), "w") as f:
             json.dump(meta, f)
+        # eager catalog registration at the final location (read_bucketed
+        # would lazily re-register, but callers may spark.table() immediately)
+        self.read_bucketed(spark, name)
 
     def read_bucketed(self, spark: SparkSession, name: str) -> DataFrame:
         """Read a bucketed table, re-registering it in the catalog from the
