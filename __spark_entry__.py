@@ -476,9 +476,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # H (custom stateful): applyInPandasWithState cross-batch exactly-once
     # dedup. The documents table becomes a chunk stream with PLANTED
     # re-deliveries (every third doc arrives twice, snapshot-overlap style),
-    # split into 3 files consumed one per microbatch (maxFilesPerTrigger=1)
+    # split into 2 files consumed one per microbatch (maxFilesPerTrigger=1)
     # so the per-shard state genuinely carries across batches; the drained
     # output must equal the distinct chunk set (first-seen-only semantics).
+    # Kept deliberately cheap for the gate budget: 2 microbatches, 8 shards,
+    # and 8 state-store partitions (shuffle.partitions is captured at stream
+    # start and restored after the drain).
     def stream_stateful_dedup(s, d):
         import hashlib as _h
         import shutil
@@ -494,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # has already listed); removed after the drain — the memory sink
         # holds the result rows, so the source is no longer needed
         src = tempfile.mkdtemp(prefix=f"mdkgs_dedup_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
         try:
             chunks = _t(s, d, "documents").select(
                 F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
@@ -503,9 +507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             # repartition (not coalesce: the single-file testdata scan is ONE
             # partition, which coalesce can't split) so the base set lands in
-            # 2 files + 1 append file of planted re-deliveries = 3 microbatches
+            # 1 file + 1 append file of planted re-deliveries = 2 microbatches
             # at maxFilesPerTrigger=1 — state genuinely crosses batches
-            chunks.repartition(2).write.mode("overwrite").parquet(src)
+            chunks.repartition(1).write.mode("overwrite").parquet(src)
             chunks.where(F.col("url").cast("long") % 3 == 0).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
@@ -514,8 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
             sq = (
-                dedup_chunk_stream(stream)
+                dedup_chunk_stream(stream, n_shards=8)
                 .writeStream.format("memory")
                 .queryName(f"ssd_{tag}")
                 .outputMode("append")
@@ -524,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             sq.awaitTermination()
         finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
             shutil.rmtree(src, ignore_errors=True)
         return s.table(f"ssd_{tag}")
 

@@ -1,16 +1,28 @@
 """Custom stateful streaming operator: cross-batch exactly-once chunk dedup
-via applyInPandasWithState.
+via applyInPandasWithState, with BOUNDED per-shard state.
 
 Incremental crawls re-deliver pages (snapshot overlap, re-crawls). This
 operator keys the stream by url-hash shard and keeps per-shard state of
-seen chunk_ids, emitting only first-seen chunks — the streaming analogue of
-the MERGE-by-chunk_id upsert (reference A5 semantics,
-app/graph/queries.py:18-31) with bounded per-key state.
+recently seen chunk ids, emitting only first-seen chunks — the streaming
+analogue of the MERGE-by-chunk_id upsert (reference A5 semantics,
+app/graph/queries.py:18-31).
 
-Sharding by url-hash (not by chunk_id) keeps the state-store key count
-fixed (N_SHARDS) while state size tracks distinct chunks; at web scale,
-state would instead hold a TTL'd bloom/recent-window per shard — noted in
-the docstring because exact dedup state is unbounded by nature.
+State is bounded two ways (exact dedup state is unbounded by nature, so a
+web-scale stream needs a window contract):
+  * entries are 16-hex-char (64-bit) prefixes of the md5 chunk_id, not the
+    full id — half the bytes, collision odds ~n^2/2^65 (≈3e-10 at the
+    default window) and a collision only suppresses a duplicate-looking
+    chunk, the conservative direction for dedup;
+  * each shard keeps at most `max_state_entries` ids in insertion order and
+    evicts the OLDEST on overflow (recent-window semantics): re-deliveries
+    within the window — the snapshot-overlap case, which in a crawl arrives
+    within hours — are suppressed exactly; a re-delivery older than the
+    window is re-emitted and compacted later by the batch MERGE, the same
+    contract Kafka-connect-style dedup buffers document.
+
+Sharding by url-hash (not by chunk_id) keeps the state-store KEY count fixed
+(n_shards) while the window bounds the per-key state size, so total state is
+<= n_shards * max_state_entries * 16 bytes regardless of stream length.
 """
 
 from __future__ import annotations
@@ -24,6 +36,8 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 N_SHARDS = 32
+MAX_STATE_ENTRIES = 100_000
+_PREFIX_LEN = 16
 
 OUT_SCHEMA = T.StructType(
     [
@@ -37,25 +51,41 @@ OUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()), True)])
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    seen: set[str] = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
-        fresh = pdf[~pdf["chunk_id"].isin(seen)].drop_duplicates("chunk_id")
-        if len(fresh):
-            seen.update(fresh["chunk_id"].tolist())
-            yield fresh[["chunk_id", "url", "chunk_idx", "text"]]
-    state.update((sorted(seen),))
+def _make_dedup_fn(max_state_entries: int):
+    def _dedup_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # `order` preserves insertion (recency) order for eviction; `seen` is
+        # the O(1) membership set over the same entries
+        order: list[str] = list(state.get[0]) if state.exists else []
+        seen: set[str] = set(order)
+        for pdf in pdfs:
+            prefixes = pdf["chunk_id"].str.slice(0, _PREFIX_LEN)
+            fresh = pdf[~prefixes.isin(seen)].drop_duplicates("chunk_id")
+            if len(fresh):
+                for p in fresh["chunk_id"].str.slice(0, _PREFIX_LEN):
+                    if p not in seen:
+                        seen.add(p)
+                        order.append(p)
+                yield fresh[["chunk_id", "url", "chunk_idx", "text"]]
+        if len(order) > max_state_entries:  # evict oldest beyond the window
+            order = order[-max_state_entries:]
+        state.update((order,))
+
+    return _dedup_fn
 
 
-def dedup_chunk_stream(chunk_stream: DataFrame) -> DataFrame:
-    """Streaming chunks -> first-seen-only chunks with per-shard state."""
+def dedup_chunk_stream(
+    chunk_stream: DataFrame,
+    n_shards: int = N_SHARDS,
+    max_state_entries: int = MAX_STATE_ENTRIES,
+) -> DataFrame:
+    """Streaming chunks -> first-seen-only chunks with bounded per-shard state."""
     keyed = chunk_stream.withColumn(
-        "shard", F.pmod(F.xxhash64("url"), F.lit(N_SHARDS)).cast("int")
+        "shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
     )
     return keyed.groupBy("shard").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(max_state_entries),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -202,6 +202,70 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     assert sorted(got2) == ["c1", "c2", "c3", "c4"], got2
 
 
+def test_stateful_dedup_bounded_window(spark, tmp_path):
+    """The recent-window state contract: with max_state_entries=2 per shard,
+    a re-delivery WITHIN the window is suppressed, a re-delivery OLDER than
+    the window is re-emitted (and left to the batch MERGE), and state never
+    exceeds the cap — replayed across more batches than the window holds."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+        dedup_chunk_stream,
+    )
+
+    src = str(tmp_path / "chunk_stream_w")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        t = pa.table(
+            {
+                "chunk_id": pa.array([r[0] for r in rows], pa.string()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "chunk_idx": pa.array([r[2] for r in rows], pa.int32()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(src, name))
+
+    schema = "chunk_id string, url string, chunk_idx int, text string"
+    sink = str(tmp_path / "dedup_sink_w")
+
+    def run_stream():
+        q = (
+            dedup_chunk_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                n_shards=1,  # one shard so the window applies to all chunks
+                max_state_entries=2,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck_w"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # same url everywhere -> same shard; chunk_ids long enough to exercise
+    # the 16-char prefix storage
+    c = [f"chunk-{i:02d}-0123456789abcdef" for i in range(4)]
+    write_batch("b0.parquet", [(c[1], "u", 0, "a"), (c[2], "u", 1, "b")])
+    run_stream()
+    # window now [c1, c2]
+    write_batch("b1.parquet", [(c[2], "u", 1, "b"), (c[3], "u", 2, "c")])
+    run_stream()
+    # c2 within window -> suppressed; c3 emitted; window now [c2, c3], c1 evicted
+    write_batch("b2.parquet", [(c[1], "u", 0, "a"), (c[3], "u", 2, "c")])
+    run_stream()
+    # c1 is OLDER than the window -> re-emitted; c3 within -> suppressed
+    got = sorted(r.chunk_id for r in spark.read.parquet(sink).collect())
+    assert got == sorted([c[1], c[2], c[3], c[1]]), got
+
+
 def test_available_now_drain_matches_batch(spark):
     """run_windowed_counts_available_now over the driver's single-file events
     parquet (timestamp_ntz) drains to exactly the batch hourly aggregate —
