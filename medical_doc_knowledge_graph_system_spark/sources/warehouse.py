@@ -175,21 +175,32 @@ class Warehouse:
         Iceberg equivalent: MERGE INTO name USING df ON keys WHEN MATCHED
         THEN UPDATE WHEN NOT MATCHED THEN INSERT (reference upsert semantics:
         per-label MERGE in app/graph/queries.py:9-114).
+
+        Cost shape: when the table is bucketed and the bucket column is part
+        of the merge keys, only the bucket files the incoming rows hash into
+        are read + rewritten (Iceberg's merge-on-read/partition-rewrite
+        analogue) — an incremental upsert touching k of N buckets costs
+        O(k/N * table), not O(table). Untouched bucket files are left
+        byte-identical. Plain (unbucketed) tables, and merges whose keys
+        can't localize a bucket, fall back to the full anti-join + rewrite.
         """
         spark = df.sparkSession
         if not self.exists(name):
             self.write(df.dropDuplicates(keys), name)
             return
-        existing = self.read(spark, name)
-        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(df.dropDuplicates(keys))
-        tmp = self.path(f"__tmp_{name}")
-        merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(self._bucket_meta_path(name)):
-            # preserve the table's bucket layout through the merge (Iceberg
-            # MERGE INTO keeps bucket partitioning; so do we)
             with open(self._bucket_meta_path(name)) as f:
                 meta = json.load(f)
+            if meta["bucket_col"] in keys:
+                self._merge_upsert_bucketed(df, name, keys, meta)
+                return
+            # keys can't localize buckets: full merge, preserving the layout
+            # (Iceberg MERGE INTO keeps bucket partitioning; so do we)
+            existing = self.read(spark, name)
+            kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(df.dropDuplicates(keys))
+            tmp = self.path(f"__tmp_{name}")
+            merged.write.mode("overwrite").parquet(tmp)
             self.write_bucketed(
                 spark.read.parquet(tmp),
                 name,
@@ -199,8 +210,109 @@ class Warehouse:
             )
             shutil.rmtree(tmp)
             return
+        existing = self.read(spark, name)
+        kept = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df.dropDuplicates(keys))
+        tmp = self.path(f"__tmp_{name}")
+        merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.path(name))
         os.rename(tmp, self.path(name))
+
+    @staticmethod
+    def _bucket_id_of_file(path: str) -> int:
+        """Bucket id from Spark's bucketed-file naming
+        (part-NNNNN-<uuid>_<bucket>.c000...)."""
+        import re
+
+        m = re.search(r"_(\d{5})\.c\d+", os.path.basename(path))
+        if not m:
+            raise ValueError(f"not a bucketed data file: {path}")
+        return int(m.group(1))
+
+    def _merge_upsert_bucketed(
+        self, df: DataFrame, name: str, keys: list[str], meta: dict
+    ) -> None:
+        """Bucket-targeted MERGE: read/rewrite ONLY the buckets the incoming
+        rows hash into. Valid because Spark's bucket id is
+        pmod(murmur3(bucket_col), n) — the same hash F.hash exposes — so the
+        touched-bucket set is computable from df alone (verified empirically
+        by tests/test_warehouse.py::test_bucketed_merge_touches_only_hit_buckets).
+
+        Not atomic ACROSS buckets (a crash mid-swap leaves some buckets
+        merged, some not — each bucket individually consistent); Iceberg
+        snapshots are the real fix, this is the parquet-fallback shape.
+        """
+        import glob
+
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        n, bcol, scol = meta["n_buckets"], meta["bucket_col"], meta["sort_col"]
+        touched = sorted(
+            r.b
+            for r in df.select(
+                F.pmod(F.hash(F.col(bcol)), F.lit(n)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        by_bucket: dict[int, list[str]] = {}
+        for f in glob.glob(os.path.join(self.path(name), "*.parquet")):
+            by_bucket.setdefault(self._bucket_id_of_file(f), []).append(f)
+        touched_files = [f for b in touched for f in by_bucket.get(b, [])]
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        existing_touched = (
+            spark.read.schema(schema).parquet(*touched_files)
+            if touched_files
+            else spark.createDataFrame([], schema)
+        )
+        kept = existing_touched.join(df.select(*keys).distinct(), keys, "left_anti")
+        # localCheckpoint is a plan barrier, not just a cache: Catalyst pushes
+        # RepartitionByExpression through a Union into both branches, whose
+        # partition lists then CONCATENATE (each bucket split across two write
+        # tasks -> two files per touched bucket). The barrier keeps the
+        # repartition where written, so the stage write emits exactly one
+        # correctly-named file per touched bucket. Materialization cost is
+        # O(touched buckets), the data being rewritten anyway.
+        merged = kept.unionByName(
+            df.select(*schema.fieldNames()).dropDuplicates(keys)
+        ).localCheckpoint()
+
+        # stage the merged touched-bucket rows as a bucketed table with the
+        # SAME spec: bucket hashing is deterministic, so the stage dir holds
+        # exactly one correctly-named file per touched bucket
+        tbl = self._table_ident(name)
+        stage_tbl = f"{tbl}__merge"
+        stage_path = self.path(f"__merge_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        shutil.rmtree(stage_path, ignore_errors=True)
+        (
+            merged.repartition(n, F.col(bcol))
+            .write.mode("overwrite")
+            .bucketBy(n, bcol)
+            .sortBy(scol)
+            .option("path", stage_path)
+            .saveAsTable(stage_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")  # external: files stay
+
+        stage_files = glob.glob(os.path.join(stage_path, "*.parquet"))
+        stage_buckets = {self._bucket_id_of_file(f) for f in stage_files}
+        assert stage_buckets <= set(touched), (
+            f"staged rows landed outside touched buckets: "
+            f"{stage_buckets - set(touched)}"
+        )
+        for b in touched:
+            for f in by_bucket.get(b, []):
+                os.remove(f)
+        for f in stage_files:
+            shutil.move(f, self.path(name))
+        shutil.rmtree(stage_path, ignore_errors=True)
+        if spark.catalog.tableExists(tbl):
+            spark.sql(f"REFRESH TABLE {tbl}")  # drop cached file listing
 
     def compact_table(
         self, spark: SparkSession, name: str, target_file_mb: int = 128

@@ -109,6 +109,65 @@ def test_merge_upsert_preserves_bucketing(spark, tmp_path):
     assert wh.compact_table(spark, "t") == 2
 
 
+def test_bucketed_merge_touches_only_hit_buckets(spark, tmp_path):
+    """Bucket-targeted MERGE (VERDICT r2 #2): upserting rows that hash into
+    a subset of buckets must leave every other bucket file BYTE-IDENTICAL
+    (only O(touched/N) of the table is rewritten), while merge semantics
+    (new wins, non-colliding survive) and the bucket layout are preserved."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path))
+    df1 = spark.createDataFrame(
+        [(f"url-{i}", 1) for i in range(64)], "url string, v int"
+    )
+    wh.write_bucketed(df1, "t", n_buckets=8)
+
+    def file_digests():
+        return {
+            os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(wh.path("t"), "*.parquet"))
+        }
+
+    before = file_digests()
+    assert len(before) == 8
+
+    # update 2 urls + insert 1 — compute which buckets those rows hash into
+    upd = spark.createDataFrame(
+        [("url-3", 2), ("url-17", 2), ("url-new", 2)], "url string, v int"
+    )
+    touched = {
+        r.b for r in upd.select(F.pmod(F.hash("url"), F.lit(8)).alias("b")).collect()
+    }
+    wh.merge_upsert(upd, "t", ["url"])
+
+    after = file_digests()
+    touched_before = {
+        f for f in before if Warehouse._bucket_id_of_file(f) in touched
+    }
+    # untouched bucket files byte-identical (same name, same digest)
+    for f in set(before) - touched_before:
+        assert after[f] == before[f], f"untouched bucket file rewritten: {f}"
+    # touched buckets were rewritten (old file names gone)
+    assert not (touched_before & set(after))
+
+    got = {r.url: r.v for r in wh.read(spark, "t").collect()}
+    assert got["url-3"] == 2 and got["url-17"] == 2 and got["url-new"] == 2
+    assert got["url-5"] == 1 and len(got) == 65
+    # layout intact: still exactly one file per bucket, catalog still bucketed
+    assert len(after) == 8
+    desc = {r.col_name: r.data_type for r in spark.sql(
+        f"DESCRIBE EXTENDED {wh._table_ident('t')}").collect()}
+    assert desc.get("Num Buckets") == "8"
+    # merged bucket files keep the within-bucket sort (file-skipping contract)
+    for f in glob.glob(os.path.join(wh.path("t"), "*.parquet")):
+        urls = [r.url for r in spark.read.parquet(f).collect()]
+        assert urls == sorted(urls)
+
+
 def test_plain_write_retires_bucket_spec(spark, tmp_path):
     """Overwriting a bucketed table with a plain write must retire the bucket
     spec + catalog entry — otherwise later reads scan plain files under a
