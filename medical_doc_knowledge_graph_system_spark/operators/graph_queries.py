@@ -141,6 +141,86 @@ def shortest_path(
         adj.unpersist()
 
 
+def multi_source_shortest_paths(
+    edges: DataFrame,
+    seed_ids: list[str],
+    target_ids: list[str],
+    max_hops: int = 5,
+) -> DataFrame:
+    """ALL (seed, target) shortest paths in ONE BFS loop: the frontier
+    carries seed_id, so s seeds × t targets resolve in max_hops driver
+    rounds instead of s*t sequential BFS invocations (each a multi-job
+    loop — the r2 verdict's driver-latency sink in _reasoning_paths).
+
+    Returns (seed_id, target_id, hops, path, rels): per pair, the minimum
+    hop count and the lexicographically-min path at that hop — identical
+    to running shortest_path() per pair (reference C11 semantics,
+    app/retrieval/path_reasoning.py:15-29), because the per-seed traversal
+    (visited set, min-path-per-node frontier) is target-independent and
+    targets only observe their first-arrival hop."""
+    spark = edges.sparkSession
+    remaining = {(s, t) for s in seed_ids for t in target_ids if s != t}
+    out_schema = (
+        "seed_id string, target_id string, hops int, "
+        "path array<string>, rels array<string>"
+    )
+    if not remaining:
+        return spark.createDataFrame([], out_schema)
+    adj = _pin(undirected(edges))
+    frontier = spark.createDataFrame(
+        [(s, s, [s], []) for s in sorted({s for s, _ in remaining})],
+        "seed_id string, y string, path array<string>, rels array<string>",
+    )
+    visited = frontier.select("seed_id", "y")
+    targets = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in remaining})], "target_id string"
+    )
+    found: list[tuple] = []
+    try:
+        for hop in range(1, max_hops + 1):
+            expanded = (
+                adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
+                .select(
+                    frontier.seed_id,
+                    adj.y.alias("y"),
+                    F.concat("path", F.array(adj.y)).alias("path"),
+                    F.concat("rels", F.array("rel_type")).alias("rels"),
+                )
+                # lexicographically-min path per (seed, node): every prefix of
+                # a min shortest path is itself min, so these compose — the
+                # same determinism rule as shortest_path()
+                .groupBy("seed_id", "y")
+                .agg(F.min(F.struct("path", "rels")).alias("pr"))
+                .select(
+                    "seed_id",
+                    "y",
+                    F.col("pr.path").alias("path"),
+                    F.col("pr.rels").alias("rels"),
+                )
+                .localCheckpoint()
+            )
+            hits = expanded.join(
+                targets.hint("broadcast"), expanded.y == targets.target_id
+            ).collect()
+            for r in hits:
+                if (r.seed_id, r.target_id) in remaining:
+                    remaining.discard((r.seed_id, r.target_id))
+                    found.append((r.seed_id, r.target_id, hop, r.path, r.rels))
+            if not remaining:
+                break
+            frontier = expanded.join(
+                visited, ["seed_id", "y"], "left_anti"
+            ).localCheckpoint()
+            if frontier.isEmpty():
+                break
+            visited = visited.union(
+                frontier.select("seed_id", "y")
+            ).distinct().localCheckpoint()
+        return spark.createDataFrame(found, out_schema)
+    finally:
+        adj.unpersist()
+
+
 def all_paths(
     edges: DataFrame, src_id: str, dst_id: str, max_hops: int = 4, max_paths: int = 5
 ) -> DataFrame:

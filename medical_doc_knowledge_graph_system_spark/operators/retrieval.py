@@ -36,6 +36,12 @@ RERANK_THRESHOLD = 0.25
 # Hard cap on neighborhood edges pulled to the driver per bundle — matches the
 # reference's largest retrieval-stage LIMIT (k_hop_expansion.py:47).
 MAX_BUNDLE_EDGES = 100
+# Hard cap on neighborhood nodes pulled to the driver per bundle: the union of
+# the two k_hop expansions can't exceed their limits (100 + 50), but the bound
+# is enforced EXPLICITLY at the collect boundary rather than implied by
+# upstream limits (reference per-stage caps: k_hop_expansion.py:47 LIMIT 100,
+# relationship_filter.py:46 LIMIT 50).
+MAX_BUNDLE_NODES = 150
 
 # reference app/retrieval/context_builder.py:40-45
 _COMPLEX_KEYWORDS = {
@@ -122,8 +128,14 @@ def entity_first_retrieval(
 def _reasoning_paths(edges: DataFrame, nodes: DataFrame, seed_ids: list[str]) -> list[list[str]]:
     """Seed -> named-target BFS paths, targets limited to 5 Condition /
     Medication / Procedure nodes (reference context_builder.py:297-324 via
-    path_reasoning.py:46-59, *..5 LIMIT 5). Returns name/rel chains."""
-    from .graph_queries import shortest_path
+    path_reasoning.py:46-59, *..5 LIMIT 5). Returns name/rel chains.
+
+    All seed × target pairs resolve in ONE multi-source BFS (the frontier
+    carries seed_id) — ≤ max_hops driver rounds total instead of up to 15
+    sequential BFS loops; the kept pairs are the first 5 in the reference's
+    seed-major, target-minor iteration order, exactly what the sequential
+    version returned."""
+    from .graph_queries import multi_source_shortest_paths
 
     targets = [
         r.node_id
@@ -132,14 +144,19 @@ def _reasoning_paths(edges: DataFrame, nodes: DataFrame, seed_ids: list[str]) ->
         .limit(5)
         .collect()
     ]
+    seeds = seed_ids[:3]
+    by_pair = {
+        (r.seed_id, r.target_id): r
+        for r in multi_source_shortest_paths(edges, seeds, targets, max_hops=5).collect()
+    }
     found = []
-    for seed in seed_ids[:3]:
+    for seed in seeds:
         for tgt in targets:
             if tgt == seed or len(found) >= 5:
                 continue
-            rows = shortest_path(edges, seed, tgt, max_hops=5).collect()
-            if rows:
-                found.append(rows[0])
+            r = by_pair.get((seed, tgt))
+            if r is not None:
+                found.append(r)
     # resolve only the ids that occur on found paths (never collect the full
     # nodes table — it is web-scale)
     need = sorted({nid for r in found for nid in r.path})
@@ -201,6 +218,7 @@ def build_context(
         .agg(F.min("hops").alias("hops"))
         .join(nodes.select("node_id", "label", "name"), "node_id")
         .orderBy("hops", "node_id")
+        .limit(MAX_BUNDLE_NODES)
     ).collect()
 
     nbr_ids = {r.node_id for r in merged_nodes} | set(seed_ids)

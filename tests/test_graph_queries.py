@@ -69,6 +69,47 @@ def test_shortest_path_picks_lexicographic_min(spark):
     assert rows[0].path == ["A", "B", "D"] and rows[0].hops == 2
 
 
+def test_multi_source_shortest_paths_matches_per_pair(spark):
+    """One-BFS multi-source path resolution (VERDICT r2 #4) must return
+    EXACTLY what per-pair shortest_path() returns — same hops, same
+    lexicographically-min path — across ties, unreachable targets,
+    paths through other targets, and seed==target exclusion."""
+    from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+        multi_source_shortest_paths,
+    )
+
+    e = spark.createDataFrame(
+        [
+            ("A", "B", "x"), ("B", "D", "x"),       # tie route 1 to D
+            ("A", "C", "x"), ("C", "D", "x"),       # tie route 2 to D
+            ("D", "F", "y"),                        # F only via target D
+            ("B", "E", "y"),
+            ("Z1", "Z2", "z"),                      # disconnected island
+        ],
+        "src string, dst string, rel_type string",
+    )
+    seeds = ["A", "B"]
+    targets = ["D", "E", "F", "Z2", "A"]
+    got = {
+        (r.seed_id, r.target_id): (r.hops, list(r.path), list(r.rels))
+        for r in multi_source_shortest_paths(e, seeds, targets, max_hops=5).collect()
+    }
+    want = {}
+    for s in seeds:
+        for t in targets:
+            if s == t:
+                continue
+            rows = shortest_path(e, s, t, max_hops=5).collect()
+            if rows:
+                want[(s, t)] = (rows[0].hops, list(rows[0].path), list(rows[0].rels))
+    assert got == want
+    # sanity on the fixture: the tie resolved lexicographically, F reached
+    # through target D, the island unreachable
+    assert got[("A", "D")] == (2, ["A", "B", "D"], ["x", "x"])
+    assert got[("A", "F")][0] == 3
+    assert ("A", "Z2") not in got
+
+
 def test_all_paths(spark):
     # diamond: A-B-D and A-C-D
     e = spark.createDataFrame(

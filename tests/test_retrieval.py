@@ -83,6 +83,13 @@ def test_hub_node_bundle_edges_bounded(spark, wh_tables):
     bundle = build_context("hypertension and chest pain medication", tables)
     assert len(bundle.neighborhood_edges) <= MAX_BUNDLE_EDGES
 
+    # the node cap is explicit at the collect boundary too (VERDICT r2 #7)
+    from medical_doc_knowledge_graph_system_spark.operators.retrieval import (
+        MAX_BUNDLE_NODES,
+    )
+
+    assert len(bundle.neighborhood_nodes) <= MAX_BUNDLE_NODES
+
 
 def test_format_prompt(wh_tables):
     q = "how does hypertension relate to chest pain treatment"
