@@ -106,6 +106,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_chunks"] = lambda s, d: webkg.chunk_docs(_t(s, d, "documents"))
     q["kg_provenance"] = lambda s, d: webkg.provenance(_t(s, d, "documents"))
 
+    # C4-at-scale (VERDICT r2 #6): canonical remap when the name_map EXCEEDS
+    # the broadcast threshold — the salted shuffle-hash join + two-phase
+    # salted count from operators/skew.py, exercised as the MEASURED plan
+    # (SHUFFLE_HASH hint: at gate scale the replicated map would otherwise
+    # broadcast and the skew machinery would go untested). The big side is
+    # the raw token stream (Zipf-headed: stopwords dominate); the salt
+    # spreads each hot token across 16 reducers.
+    def kg_remap_salted(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            salted_count,
+            salted_join_big_small,
+        )
+
+        toks = _t(s, d, "documents").select(
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("name")
+        )
+        # pin the dictionary: it shares the exploded-token lineage with the
+        # big side, and Catalyst gives zero cross-branch exchange reuse
+        # (CLAUDE.md late-r2) — without the pin the corpus is scanned and
+        # exploded twice
+        nm = (
+            toks.select("name")
+            .distinct()
+            .select("name", F.md5("name").alias("canonical_id"))
+            .localCheckpoint()
+        )
+        joined = salted_join_big_small(
+            toks, nm, "name", salts=16, how="inner", force_shuffle=True
+        )
+        return salted_count(joined, "canonical_id").select(
+            "canonical_id", F.col("count").alias("n_mentions")
+        )
+
+    q["kg_remap_salted"] = kg_remap_salted
+
     # text analysis (training-data pipeline)
     q["text_token_stats"] = lambda s, d: with_token_stats(_t(s, d, "documents"))
     q["text_quality"] = lambda s, d: with_quality_score(_t(s, d, "documents"))
@@ -612,6 +647,16 @@ def _cos(a: str, b: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # salt affects distribution only, never values: the oracle is the PLAIN
+    # join + count the salted pipeline must be indistinguishable from
+    o["kg_remap_salted"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS name FROM documents),
+nm AS (SELECT name, md5(name) AS canonical_id
+       FROM (SELECT DISTINCT name FROM toks))
+SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM toks JOIN nm USING (name)
+GROUP BY canonical_id"""
 
     o["kg_mentions"] = f"WITH {_mentions_cte()} SELECT doc_id, term, label FROM mentions"
     o["kg_mention_counts"] = (

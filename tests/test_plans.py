@@ -61,6 +61,29 @@ def test_remap_join_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_salted_join_plans_shuffle_hash_on_salted_key(spark):
+    """The skew fallback (kg_remap_salted gate query): the salted big-small
+    join must plan as a SHUFFLE hash join keyed on (key, __salt) — a
+    broadcast would mean the salt machinery is untested, and a join without
+    __salt in the keys would put every hot-key row back on one reducer."""
+    from medical_doc_knowledge_graph_system_spark.operators.skew import (
+        salted_join_big_small,
+    )
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    big = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, x int")
+    small = spark.createDataFrame([("a", "ca"), ("b", "cb")], "k string, c string")
+    df = salted_join_big_small(big, small, "k", salts=4, force_shuffle=True)
+    p = physical_plan_string(df)
+    assert "ShuffledHashJoin" in p and "__salt" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    # values must be indistinguishable from the plain join
+    got = sorted((r.k, r.x, r.c) for r in df.collect())
+    assert got == [("a", 1, "ca"), ("a", 2, "ca"), ("b", 3, "cb")]
+
+
 def test_pattern_join_broadcasts(spark):
     from medical_doc_knowledge_graph_system_spark.operators.extract import derive_triples
 
