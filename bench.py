@@ -30,6 +30,7 @@ from medical_doc_knowledge_graph_system_spark.session import get_spark
 
 HEADLINE = [
     "kg_mentions",
+    "kg_remap_salted",
     "kg_triples",
     "kg_cooccur_topk",
     "kg_khop2",
@@ -235,28 +236,47 @@ def main() -> None:
 
     result: dict = {"metric": "kg_pipeline_e2e", "unit": "sec", "sf": float(sf)}
 
-    pipe = run_kg_pipeline(cpus, pages_path, f"main{cpus}")
+    # median-of-REPS everywhere (VERDICT r2 #8): this VM's CPU-steal noise
+    # reaches 2x between identical runs, so single-run numbers routinely
+    # fake regressions/improvements; the headline is the per-item MEDIAN
+    # across interleaved passes, with the raw runs kept alongside.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        mid = len(ys) // 2
+        return ys[mid] if len(ys) % 2 else round((ys[mid - 1] + ys[mid]) / 2, 3)
+
+    pipe_runs = [
+        run_kg_pipeline(cpus, pages_path, f"main{cpus}_r{i}") for i in range(reps)
+    ]
+    pipe = sorted(pipe_runs, key=lambda p: p["wall_sec"])[len(pipe_runs) // 2]
     result["value"] = pipe["wall_sec"]
     result["pipeline"] = pipe
+    result["pipeline_runs_sec"] = [p["wall_sec"] for p in pipe_runs]
 
-    # headline queries
+    # headline queries: interleaved passes (pass 1 runs q1..qn, then pass 2,
+    # ...), so a steal spike hits one PASS, not every sample of one query
     import __spark_entry__ as entry
 
     spark = get_spark(app_name="bench_queries", cores=cpus)
     qs = entry.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
-    result["queries"] = timings
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(reps):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            _ = df.count()
+            runs[name].append(round(time.time() - t0, 3))
+    result["queries"] = {name: _median(runs[name]) for name in HEADLINE}
+    result["query_runs"] = runs
     result["ann_recall"] = measure_ann_recall(spark, sf_dir)
     spark.stop()
 
-    result["bucketed_join"] = measure_bucketed_join(f"/tmp/mdkgs_bench_wh_main{cpus}", cpus)
+    result["bucketed_join"] = measure_bucketed_join(
+        f"/tmp/mdkgs_bench_wh_main{cpus}_r0", cpus
+    )
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # N vs 4N cores on the same input, shuffle partitions pinned (on a

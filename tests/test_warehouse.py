@@ -168,6 +168,26 @@ def test_bucketed_merge_touches_only_hit_buckets(spark, tmp_path):
         assert urls == sorted(urls)
 
 
+def test_bucketed_merge_composite_keys(spark, tmp_path):
+    """Bucket-targeted merge with composite keys (url, chunk_id) — the
+    chunks-table shape: bucket col in keys localizes the buckets, the
+    secondary key distinguishes rows within a url."""
+    wh = Warehouse(str(tmp_path))
+    df1 = spark.createDataFrame(
+        [(f"u{i % 4}", f"c{i}", 1) for i in range(16)],
+        "url string, chunk_id string, v int",
+    )
+    wh.write_bucketed(df1, "t", n_buckets=4)
+    upd = spark.createDataFrame(
+        [("u1", "c1", 2), ("u1", "c99", 2)], "url string, chunk_id string, v int"
+    )
+    wh.merge_upsert(upd, "t", ["url", "chunk_id"])
+    got = {(r.url, r.chunk_id): r.v for r in wh.read(spark, "t").collect()}
+    assert got[("u1", "c1")] == 2 and got[("u1", "c99")] == 2
+    assert got[("u1", "c5")] == 1 and got[("u0", "c0")] == 1
+    assert len(got) == 17
+
+
 def test_plain_write_retires_bucket_spec(spark, tmp_path):
     """Overwriting a bucketed table with a plain write must retire the bucket
     spec + catalog entry — otherwise later reads scan plain files under a
