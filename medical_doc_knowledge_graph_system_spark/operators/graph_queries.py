@@ -107,32 +107,33 @@ def shortest_path(
     visited = frontier.select("y")
     try:
         for hop in range(1, max_hops + 1):
-            expanded = (
+            # ONE materialization of the hop's expansion serves both the
+            # target probe and the next frontier (before r3 the expansion was
+            # evaluated twice per hop — once for the hit collect, once for
+            # the frontier checkpoint; on this VM each evaluation is a full
+            # driver round, the dominant cost of a vocabulary-sized BFS).
+            # Min-per-node BEFORE the visited anti-join is equivalent:
+            # removing whole nodes never changes another node's min, and the
+            # lexicographically-min-prefix rule composes as before.
+            grouped = (
                 adj.join(frontier.hint("broadcast"), adj.x == frontier.y)
                 .select(
                     adj.y.alias("y"),
                     F.concat("path", F.array(adj.y)).alias("path"),
                     F.concat("rels", F.array("rel_type")).alias("rels"),
                 )
-            )
-            hits = expanded.where(F.col("y") == dst_id)
-            first = hits.orderBy("path", "rels").limit(1).collect()
-            if first:
-                r = first[0]
-                return spark.createDataFrame(
-                    [(hop, r.path, r.rels)], "hops int, path array<string>, rels array<string>"
-                )
-            # keep the lexicographically-min path per node (not an arbitrary one):
-            # every prefix of a shortest path is itself a shortest path to its
-            # endpoint, and min-per-node prefixes compose to the global min path,
-            # so the returned path is deterministic and oracle-comparable
-            frontier = (
-                expanded.join(visited, "y", "left_anti")
                 .groupBy("y")
                 .agg(F.min(F.struct("path", "rels")).alias("pr"))
                 .select("y", F.col("pr.path").alias("path"), F.col("pr.rels").alias("rels"))
                 .localCheckpoint()
             )
+            first = grouped.where(F.col("y") == dst_id).collect()
+            if first:
+                r = first[0]
+                return spark.createDataFrame(
+                    [(hop, r.path, r.rels)], "hops int, path array<string>, rels array<string>"
+                )
+            frontier = grouped.join(visited, "y", "left_anti").localCheckpoint()
             if frontier.isEmpty():
                 break
             visited = visited.union(frontier.select("y")).distinct().localCheckpoint()
