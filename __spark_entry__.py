@@ -141,6 +141,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_remap_salted"] = kg_remap_salted
 
+    # C3 at the gate: DISTRIBUTED connected components (iterative min-label
+    # propagation — the >200k-edge production path, previously pytest-only)
+    # over the term triple graph; nodes are all mentioned terms so sparsely
+    # connected terms surface as their own components. comp = lexicographic
+    # min term of the component, matching the union-find oracle convention.
+    def kg_components(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.resolve import (
+            _cc_iterative,
+        )
+
+        docs = _t(s, d, "documents")
+        edges = (
+            webkg.doc_triples(docs)
+            .select(
+                F.least("subj", "obj").alias("a"),
+                F.greatest("subj", "obj").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        nodes = webkg.doc_mentions(docs).select(
+            F.col("term").alias("name")
+        ).distinct()
+        return _cc_iterative(nodes, edges)
+
+    q["kg_components"] = kg_components
+
     # text analysis (training-data pipeline)
     q["text_token_stats"] = lambda s, d: with_token_stats(_t(s, d, "documents"))
     q["text_quality"] = lambda s, d: with_quality_score(_t(s, d, "documents"))
@@ -657,6 +684,24 @@ nm AS (SELECT name, md5(name) AS canonical_id
 SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM toks JOIN nm USING (name)
 GROUP BY canonical_id"""
+
+    # min-label propagation == min over the reachability closure: comp(n) =
+    # min name reachable from n (undirected), which the recursive CTE
+    # computes directly
+    o["kg_components"] = f"""
+WITH RECURSIVE {_triples_cte()},
+e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+und AS (SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e),
+nodes AS (SELECT DISTINCT term AS name FROM mentions),
+reach AS (
+  SELECT name, name AS r FROM nodes
+  UNION
+  SELECT reach.name, und.y AS r FROM reach JOIN und ON reach.r = und.x
+)
+SELECT name, min(r) AS comp FROM reach GROUP BY name"""
 
     o["kg_mentions"] = f"WITH {_mentions_cte()} SELECT doc_id, term, label FROM mentions"
     o["kg_mention_counts"] = (
