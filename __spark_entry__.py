@@ -152,8 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _t(s, d, "documents")
+        # one corpus scan total: the mention frame feeds the triple
+        # self-join (2 refs) AND the node set (1 ref) — pin it
+        m = webkg.doc_mentions(docs).localCheckpoint()
         edges = (
-            webkg.doc_triples(docs)
+            webkg.doc_triples(docs, mentions=m)
             .select(
                 F.least("subj", "obj").alias("a"),
                 F.greatest("subj", "obj").alias("b"),
@@ -161,9 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-        nodes = webkg.doc_mentions(docs).select(
-            F.col("term").alias("name")
-        ).distinct()
+        nodes = m.select(F.col("term").alias("name")).distinct()
         return _cc_iterative(nodes, edges)
 
     q["kg_components"] = kg_components
@@ -482,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # domain-mix rebalancing: at most 20 docs per source, md5(doc_id) order
     q["sample_stratified"] = lambda s, d: sample_stratified(_t(s, d, "documents"))
+    # the extreme-head production shape: per-partition prune before the
+    # global per-group window (skew.topk_per_group) — identical output to
+    # sample_stratified, identical oracle
+    q["sample_stratified_2phase"] = lambda s, d: sample_stratified(
+        _t(s, d, "documents"), two_phase=True
+    )
 
     # multimodal plumbing, driver-gated: binary payload column -> Arrow
     # mapInPandas feature extraction, exercising the exact schema/batch path
@@ -1158,6 +1165,8 @@ FROM (
   WHERE doc_id IS NOT NULL
 )
 WHERE smp_rank <= 20"""
+    # the two-phase plan must be indistinguishable from the single window
+    o["sample_stratified_2phase"] = o["sample_stratified"]
     o["text_repetition"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 g AS (

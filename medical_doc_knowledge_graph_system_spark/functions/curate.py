@@ -120,7 +120,10 @@ def sample_to_token_budget(
 
 
 def sample_stratified(
-    docs: DataFrame, per_group: int = 20, group_col: str = "source"
+    docs: DataFrame,
+    per_group: int = 20,
+    group_col: str = "source",
+    two_phase: bool = False,
 ) -> DataFrame:
     """Deterministic stratified sample: at most `per_group` documents per
     group, picked in md5(doc_id) order (a reproducible shuffle — no rand()).
@@ -128,15 +131,26 @@ def sample_stratified(
     domains, and capping per-source keeps the training mix flat.
     Output: (doc_id, <group_col>, smp_rank).
 
-    Scale shape: one shuffle on the group key; rank is a window per group,
-    and the Zipf-headed group (one giant domain) is bounded by the cap
-    itself — the window only has to ORDER the group, and Spark's window
-    sort spills; for extreme heads, pre-filter with a per-partition
-    row_number cap before the global window (two-phase top-K)."""
-    h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col("doc_id").asc())
+    Scale shape: one shuffle on the group key; rank is a window per group.
+    With two_phase=True the rank runs through skew.topk_per_group — a
+    per-partition row_number prunes each input partition to `per_group`
+    candidates before the global window, so the Zipf-headed group's reducer
+    sorts k × partitions rows instead of the whole domain. Results are
+    IDENTICAL (total order: md5 hash + doc_id tiebreak); the extreme-head
+    production setting is two_phase=True."""
+    base = docs.where(F.col("doc_id").isNotNull()).select("doc_id", group_col)
+    order = [
+        F.md5(F.col("doc_id").cast("string")).asc(),
+        F.col("doc_id").asc(),
+    ]
+    if two_phase:
+        from ..operators.skew import topk_per_group
+
+        return topk_per_group(
+            base, [group_col], order, per_group, rank_col="smp_rank"
+        ).select("doc_id", group_col, "smp_rank")
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        docs.where(F.col("doc_id").isNotNull())
-        .select("doc_id", group_col, F.row_number().over(w).alias("smp_rank"))
+        base.select("doc_id", group_col, F.row_number().over(w).alias("smp_rank"))
         .where(F.col("smp_rank") <= per_group)
     )

@@ -102,10 +102,15 @@ def mention_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_triples(docs: DataFrame) -> DataFrame:
+def doc_triples(docs: DataFrame, mentions: DataFrame | None = None) -> DataFrame:
     """Aggregated (subj, pred, obj, n_docs): pattern-join relation extraction
-    (broadcast pattern dim + per-doc self-join, the C5/derive_triples shape)."""
-    m = doc_mentions(docs)
+    (broadcast pattern dim + per-doc self-join, the C5/derive_triples shape).
+
+    Pass a pre-pinned `mentions` frame (doc_mentions output, e.g.
+    localCheckpointed) when the caller also references mentions elsewhere —
+    Catalyst gives zero exchange reuse across self-join branches, so an
+    unpinned mention frame scans the corpus once per reference."""
+    m = mentions if mentions is not None else doc_mentions(docs)
     spark = docs.sparkSession
     pat = spark.createDataFrame(
         WEB_REL_PATTERNS, schema="src_label string, pred string, dst_label string"

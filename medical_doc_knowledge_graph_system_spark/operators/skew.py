@@ -11,7 +11,7 @@ for high-cardinality keys + AQE-resistant skew.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
@@ -100,6 +100,38 @@ def salted_agg(
         .agg(*partial_aggs)
         .groupBy(*keys)
         .agg(*final_aggs)
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Hot-group-safe per-group top-k: a per-(group, input-partition)
+    row_number prunes every partition to k candidates BEFORE the global
+    per-group window, so a Zipf-headed group's reducer sorts at most
+    k × num_partitions rows instead of the group's full size (a single
+    `row_number over (partition by group)` puts the entire hot group on one
+    reducer — the window-function analogue of the skewed join).
+
+    Identical results to the single-window version: the global top-k of a
+    group is contained in the union of its per-partition top-k's, and
+    `order_cols` must be a TOTAL order (no ties) so both phases are
+    deterministic. Phase-1's window key (group, partition-id) is skew-free
+    by construction — no key exceeds its partition's size."""
+    part = df.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy(*order_cols)
+    cand = (
+        part.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1", "__pid")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return cand.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
     )
 
 

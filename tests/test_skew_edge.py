@@ -52,6 +52,42 @@ def test_salted_join_equals_plain(spark):
     assert got == plain
 
 
+def test_topk_per_group_equals_single_window(spark):
+    """Two-phase hot-group-safe top-k == the single per-group window, on a
+    Zipf-headed fixture (one group holds 90% of rows) spread across many
+    input partitions so the per-partition prune genuinely fires."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.operators.skew import (
+        topk_per_group,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 10 < 9, F.lit("head")).otherwise(
+                F.concat(F.lit("tail"), (F.col("id") % 7).cast("string"))
+            ).alias("grp"),
+        )
+        .repartition(16)
+    )
+    order = [F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()]
+    got = {
+        (r.grp, r.id): r.rank
+        for r in topk_per_group(df, ["grp"], order, 5).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = {
+        (r.grp, r.id): r.rank
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(want) == 5 * 8  # head + 7 tail groups
+
+
 def test_chunker_edge_cases():
     # null text and null html -> no chunks, no crash
     assert chunk_page("u", None, None) == []
