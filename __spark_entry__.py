@@ -169,6 +169,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_components"] = kg_components
 
+    # URL canonicalization (crawl-pipeline identity key, functions/urlfns.py):
+    # the gate tables carry no URL column, so a deterministic mixed-pathology
+    # URL is synthesized per doc_id IDENTICALLY on both engines (uppercase
+    # scheme/host, www., default ports, tracking params, fragments, trailing
+    # slashes) — the operator under test is the normalization, the synth is
+    # just the fixture.
+    def url_canonical(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.urlfns import (
+            canonical_url,
+        )
+
+        i = F.col("doc_id")
+
+        def st(x):
+            return x.cast("string")
+
+        m = i % 4
+        url = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit("HTTPS://WWW.Example"), st(i % 50),
+                    F.lit(".COM:443/Articles/"), st(i),
+                    F.lit("/?utm_source=feed&ref="), st(i % 7), F.lit("#top"),
+                ),
+            )
+            .when(
+                m == 1,
+                F.concat(
+                    F.lit("http://News.Example"), st(i % 50),
+                    F.lit(".com:80/item/"), st(i),
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.lit("https://example"), st(i % 50), F.lit(".com/a/b/"),
+                    st(i), F.lit("/?gclid="), st(i), F.lit("&q=x&utm_campaign=z"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("HTTP://WWW.blog.Example"), st(i % 50),
+                    F.lit(".Org/Post/"), st(i), F.lit("?id="), st(i),
+                    F.lit("&fbclid=abc#frag"),
+                ),
+            )
+        )
+        return _t(s, d, "documents").select(
+            "doc_id", url.alias("url"), canonical_url(url).alias("canonical_url")
+        )
+
+    q["url_canonical"] = url_canonical
+
     # text analysis (training-data pipeline)
     q["text_token_stats"] = lambda s, d: with_token_stats(_t(s, d, "documents"))
     q["text_quality"] = lambda s, d: with_quality_score(_t(s, d, "documents"))
@@ -681,6 +735,50 @@ def _cos(a: str, b: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # same canonicalization steps as functions/urlfns.py, spelled in DuckDB's
+    # dialect-safe primitives (literal replace, explicit-group regexp_extract,
+    # split+filter+join — no capture-group replacement strings)
+    o["url_canonical"] = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.COM:443/Articles/' || CAST(doc_id AS VARCHAR)
+                  || '/?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR) || '#top'
+      WHEN 1 THEN 'http://News.Example' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.com:80/item/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.com/a/b/' || CAST(doc_id AS VARCHAR)
+                  || '/?gclid=' || CAST(doc_id AS VARCHAR) || '&q=x&utm_campaign=z'
+      ELSE 'HTTP://WWW.blog.Example' || CAST(doc_id % 50 AS VARCHAR)
+           || '.Org/Post/' || CAST(doc_id AS VARCHAR)
+           || '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc#frag'
+    END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM raw),
+s2 AS (SELECT *, regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS head0 FROM s1),
+s3 AS (SELECT *, substr(u, length(head0) + 1) AS rest,
+              replace(lower(head0), '://www.', '://') AS head1 FROM s2),
+s4 AS (SELECT *, CASE WHEN head1 LIKE 'https://%' AND head1 LIKE '%:443'
+                      THEN substr(head1, 1, length(head1) - 4)
+                      WHEN head1 LIKE 'http://%' AND head1 LIKE '%:80'
+                      THEN substr(head1, 1, length(head1) - 3)
+                      ELSE head1 END AS head FROM s3),
+s5 AS (SELECT *, regexp_extract(rest, '^[^?]*', 0) AS path0 FROM s4),
+s6 AS (SELECT *, CASE WHEN length(rest) > length(path0)
+                      THEN substr(rest, length(path0) + 2) ELSE '' END AS q FROM s5),
+s7 AS (SELECT *,
+    coalesce(array_to_string(list_filter(string_split(q, '&'),
+      t -> NOT starts_with(t, 'utm_') AND NOT starts_with(t, 'fbclid')
+           AND NOT starts_with(t, 'gclid') AND t <> ''), '&'), '') AS kept,
+    CASE WHEN path0 LIKE '%/' AND length(path0) > 1
+         THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path
+  FROM s6)
+SELECT doc_id, url,
+       head || path || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+FROM s7"""
 
     # salt affects distribution only, never values: the oracle is the PLAIN
     # join + count the salted pipeline must be indistinguishable from

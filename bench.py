@@ -47,6 +47,7 @@ HEADLINE = [
     "sample_stratified",
     "text_bpe_tokens",
     "text_rolling_hash",
+    "url_canonical",
     "text_repetition",
     "decontam_ngram",
     "sim_topk",

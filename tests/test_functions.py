@@ -444,3 +444,37 @@ def test_sample_stratified_caps_per_group(spark):
     # deterministic: same input -> same picks
     again = {(r.doc_id, r.smp_rank) for r in sample_stratified(docs, per_group=3).collect()}
     assert {(r.doc_id, r.smp_rank) for r in out} == again
+
+
+def test_canonical_url_rules(spark):
+    """URL canonicalization: each rule (fragment, case, www, default port,
+    tracking params, trailing slash) plus idempotence on already-canonical
+    URLs, root paths, and all-tracking query strings."""
+    from medical_doc_knowledge_graph_system_spark.functions.urlfns import (
+        canonical_url,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Articles/4/?utm_source=a&ref=5#top",
+         "https://example.com/Articles/4?ref=5"),
+        ("http://News.Example.com:80/item/1", "http://news.example.com/item/1"),
+        # non-default port survives; path case survives
+        ("https://Example.com:8443/Path/", "https://example.com:8443/Path"),
+        # root path: trailing slash kept
+        ("https://example.com/", "https://example.com/"),
+        # all-tracking query disappears entirely (no dangling '?')
+        ("https://example.com/x?utm_a=1&utm_b=2&gclid=9", "https://example.com/x"),
+        # empty params dropped, order of survivors preserved
+        ("https://example.com/x?b=2&&a=1", "https://example.com/x?b=2&a=1"),
+        # already canonical -> unchanged (idempotence)
+        ("https://example.com/a/b?q=1", "https://example.com/a/b?q=1"),
+        # www in the middle of a host is NOT stripped
+        ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # idempotence over the whole set: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame([(c,) for c in got], "url string")
+    again = [r.c for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert again == got
