@@ -5,7 +5,9 @@ the sandbox has no Iceberg runtime jar, so this module implements the
 documented fallback (SURVEY §7.3.4): partitioned parquet + upsert-by-rewrite
 keyed on the same natural keys the reference enforces with uniqueness
 constraints (app/graph/schema_setup.py:18-28). The API is Iceberg-shaped so
-swapping `Warehouse` for a catalog is a one-module change.
+swapping `Warehouse` for a catalog is a one-module change. Bucketed tables
+commit via Iceberg-style snapshots: versioned data dirs + an atomic pointer
+flip, with untouched bucket files hardlinked between snapshots.
 
 Also owns the resumability contract (north_rule): `_checkpoints` records
 stage completion and `_metrics` records per-partition row counts + wall time
@@ -32,6 +34,10 @@ class Warehouse:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
+        if os.path.exists(self._bucket_meta_path(name)):
+            return os.path.exists(
+                os.path.join(self.current_data_dir(name), "_SUCCESS")
+            )
         p = self.path(name)
         return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
 
@@ -63,15 +69,65 @@ class Warehouse:
     # warehouse root. A restarted session re-registers the table from the
     # persisted bucket spec (the reference's 9 uniqueness constraints,
     # app/graph/schema_setup.py:18-28, are the natural-key analogue).
+    #
+    # Commits are SNAPSHOT-ATOMIC (Iceberg's snapshot model, r3): each write
+    # materializes a fresh version directory `name/v<N>/`; the persisted
+    # bucket spec (`name.bucket.json`, written tmp+rename) is the snapshot
+    # pointer and its flip is the single commit point. A crash mid-write
+    # leaves the previous version untouched and readable; an orphaned
+    # half-built version dir is swept by the next writer. Bucket-targeted
+    # merges HARDLINK untouched bucket files into the new version (O(1) per
+    # untouched bucket), so the Iceberg-style snapshot costs nothing extra.
 
-    def _table_ident(self, name: str) -> str:
+    def _table_ident(self, name: str, version: int = 0) -> str:
         # catalog is session-global; qualify by warehouse root so two
-        # Warehouse instances in one session can't collide
+        # Warehouse instances in one session can't collide. The version is
+        # part of the identity: a snapshot flip registers a NEW table, so no
+        # stale file-listing cache or REFRESH is ever needed.
         tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:8]
-        return f"bw_{tag}_{name}"
+        suffix = f"_v{version}" if version else ""
+        return f"bw_{tag}_{name}{suffix}"
 
     def _bucket_meta_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.bucket.json")
+
+    def _bucket_meta(self, name: str) -> dict | None:
+        p = self._bucket_meta_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_bucket_meta(self, name: str, meta: dict) -> None:
+        # tmp + rename: the atomic snapshot-pointer flip
+        p = self._bucket_meta_path(name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def current_data_dir(self, name: str) -> str:
+        """Data directory of the current snapshot (version 0 = legacy
+        unversioned layout with files at the table root)."""
+        meta = self._bucket_meta(name)
+        ver = (meta or {}).get("version", 0)
+        return os.path.join(self.path(name), f"v{ver}") if ver else self.path(name)
+
+    def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
+        """Remove version dirs (and catalog entries) other than the current
+        snapshot: committed-and-superseded versions and crash orphans alike."""
+        import glob
+        import re
+
+        meta = self._bucket_meta(name)
+        cur = (meta or {}).get("version", 0)
+        for d in glob.glob(os.path.join(self.path(name), "v*")):
+            m = re.fullmatch(r"v(\d+)", os.path.basename(d))
+            if m and int(m.group(1)) != cur:
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_ident(name, int(m.group(1)))}"
+                )
+                shutil.rmtree(d, ignore_errors=True)
 
     def write_bucketed(
         self,
@@ -90,19 +146,22 @@ class Warehouse:
         bucket, which is what lets downstream scans report both the hash
         partitioning AND the sort order (no Sort before a sort-merge join).
 
-        The overwrite is atomic at the directory level: the new table is
-        materialized to a staging location FIRST and only swapped in after the
-        write succeeds, so (a) a mid-write failure (schema error, OOM) leaves
-        the existing table intact, and (b) a df whose lineage reads the table
-        being overwritten computes from the still-live files.
+        Snapshot-atomic: the new table materializes into a fresh version dir
+        `name/v<N+1>/`; the bucket-spec pointer flip (tmp+rename) is the
+        commit. A mid-write failure (schema error, OOM) leaves the previous
+        snapshot intact and readable, and a df whose lineage reads the table
+        being overwritten computes from the still-live previous version.
         """
         sort_col = sort_col or bucket_col
         spark = df.sparkSession
-        tbl = self._table_ident(name)
-        stage_tbl = f"{tbl}__stage"
-        stage_path = self.path(f"__stage_{name}")
-        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        shutil.rmtree(stage_path, ignore_errors=True)
+        old_meta = self._bucket_meta(name)
+        old_ver = (old_meta or {}).get("version", 0)
+        new_ver = old_ver + 1
+        tbl = self._table_ident(name, new_ver)
+        new_dir = os.path.join(self.path(name), f"v{new_ver}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        had_plain = old_meta is None and self.exists(name)
         from pyspark.sql import functions as F
 
         (
@@ -110,43 +169,48 @@ class Warehouse:
             .write.mode("overwrite")
             .bucketBy(n_buckets, bucket_col)
             .sortBy(sort_col)
-            .option("path", stage_path)
-            .saveAsTable(stage_tbl)
+            .option("path", new_dir)
+            .saveAsTable(tbl)
         )
-        meta = {
-            "n_buckets": n_buckets,
-            "bucket_col": bucket_col,
-            "sort_col": sort_col,
-            "schema_json": spark.table(stage_tbl).schema.json(),
-        }
-        # success: swap the staged files in and re-point the catalog (both
-        # tables are EXTERNAL, so DROP TABLE never deletes data files)
-        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        self.drop(name)
-        os.rename(stage_path, self.path(name))
-        with open(self._bucket_meta_path(name), "w") as f:
-            json.dump(meta, f)
-        # eager catalog registration at the final location (read_bucketed
-        # would lazily re-register, but callers may spark.table() immediately)
-        self.read_bucketed(spark, name)
+        # COMMIT: flip the snapshot pointer, then sweep superseded state
+        self._write_bucket_meta(
+            name,
+            {
+                "version": new_ver,
+                "n_buckets": n_buckets,
+                "bucket_col": bucket_col,
+                "sort_col": sort_col,
+                "schema_json": spark.table(tbl).schema.json(),
+            },
+        )
+        if old_meta is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name)}")
+        if had_plain:
+            # plain table being converted: its files sit at the table root
+            import glob
+
+            for f in glob.glob(os.path.join(self.path(name), "*")):
+                if not os.path.basename(f).startswith("v"):
+                    (shutil.rmtree if os.path.isdir(f) else os.remove)(f)
+        self._sweep_stale_versions(spark, name)
 
     def read_bucketed(self, spark: SparkSession, name: str) -> DataFrame:
-        """Read a bucketed table, re-registering it in the catalog from the
-        persisted bucket spec if this is a fresh session (resume path)."""
-        tbl = self._table_ident(name)
+        """Read the current snapshot of a bucketed table, re-registering it in
+        the catalog from the persisted bucket spec if needed (fresh session /
+        post-commit): the version is part of the table identity, so a reader
+        can never see a half-flipped snapshot or a stale file listing."""
+        meta = self._bucket_meta(name)
+        tbl = self._table_ident(name, meta.get("version", 0))
         if not spark.catalog.tableExists(tbl):
             from pyspark.sql import types as T
 
-            with open(self._bucket_meta_path(name)) as f:
-                meta = json.load(f)
             schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
             spark.sql(
                 f"CREATE TABLE {tbl} ({schema.toDDL()}) USING PARQUET "
                 f"CLUSTERED BY ({meta['bucket_col']}) "
                 f"SORTED BY ({meta['sort_col']}) "
                 f"INTO {meta['n_buckets']} BUCKETS "
-                f"LOCATION '{self.path(name)}'"
+                f"LOCATION '{self.current_data_dir(name)}'"
             )
         return spark.table(tbl)
 
@@ -157,13 +221,15 @@ class Warehouse:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
     ) -> None:
-        bm = self._bucket_meta_path(name)
-        if os.path.exists(bm):
+        meta = self._bucket_meta(name)
+        if meta is not None:
             # plain write over a previously bucketed table: retire the bucket
             # spec + catalog entry, or later reads would scan plain files
             # under a CLUSTERED BY claim the files no longer honor
-            df.sparkSession.sql(f"DROP TABLE IF EXISTS {self._table_ident(name)}")
-            os.remove(bm)
+            df.sparkSession.sql(
+                f"DROP TABLE IF EXISTS {self._table_ident(name, meta.get('version', 0))}"
+            )
+            os.remove(self._bucket_meta_path(name))
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -188,9 +254,8 @@ class Warehouse:
         if not self.exists(name):
             self.write(df.dropDuplicates(keys), name)
             return
-        if os.path.exists(self._bucket_meta_path(name)):
-            with open(self._bucket_meta_path(name)) as f:
-                meta = json.load(f)
+        meta = self._bucket_meta(name)
+        if meta is not None:
             if meta["bucket_col"] in keys:
                 self._merge_upsert_bucketed(df, name, keys, meta)
                 return
@@ -238,9 +303,11 @@ class Warehouse:
         touched-bucket set is computable from df alone (verified empirically
         by tests/test_warehouse.py::test_bucketed_merge_touches_only_hit_buckets).
 
-        Not atomic ACROSS buckets (a crash mid-swap leaves some buckets
-        merged, some not — each bucket individually consistent); Iceberg
-        snapshots are the real fix, this is the parquet-fallback shape.
+        Snapshot-atomic (Iceberg's model): untouched bucket files HARDLINK
+        into a fresh version dir (O(1) per file, byte-identical by
+        construction), merged buckets get new files there, and the bucket-spec
+        pointer flip commits the whole merge at once — a crash at any point
+        leaves the previous snapshot fully intact.
         """
         import glob
 
@@ -248,6 +315,8 @@ class Warehouse:
 
         spark = df.sparkSession
         n, bcol, scol = meta["n_buckets"], meta["bucket_col"], meta["sort_col"]
+        old_ver = meta.get("version", 0)
+        cur_dir = self.current_data_dir(name)
         touched = sorted(
             r.b
             for r in df.select(
@@ -257,7 +326,7 @@ class Warehouse:
             .collect()
         )
         by_bucket: dict[int, list[str]] = {}
-        for f in glob.glob(os.path.join(self.path(name), "*.parquet")):
+        for f in glob.glob(os.path.join(cur_dir, "*.parquet")):
             by_bucket.setdefault(self._bucket_id_of_file(f), []).append(f)
         touched_files = [f for b in touched for f in by_bucket.get(b, [])]
 
@@ -282,37 +351,48 @@ class Warehouse:
         ).localCheckpoint()
 
         # stage the merged touched-bucket rows as a bucketed table with the
-        # SAME spec: bucket hashing is deterministic, so the stage dir holds
-        # exactly one correctly-named file per touched bucket
-        tbl = self._table_ident(name)
-        stage_tbl = f"{tbl}__merge"
-        stage_path = self.path(f"__merge_{name}")
-        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        shutil.rmtree(stage_path, ignore_errors=True)
+        # SAME spec directly into the next version dir: bucket hashing is
+        # deterministic, so it holds exactly one correctly-named file per
+        # touched bucket
+        new_ver = old_ver + 1
+        new_dir = os.path.join(self.path(name), f"v{new_ver}")
+        new_tbl = self._table_ident(name, new_ver)
+        spark.sql(f"DROP TABLE IF EXISTS {new_tbl}")
+        shutil.rmtree(new_dir, ignore_errors=True)
         (
             merged.repartition(n, F.col(bcol))
             .write.mode("overwrite")
             .bucketBy(n, bcol)
             .sortBy(scol)
-            .option("path", stage_path)
-            .saveAsTable(stage_tbl)
+            .option("path", new_dir)
+            .saveAsTable(new_tbl)
         )
-        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")  # external: files stay
-
-        stage_files = glob.glob(os.path.join(stage_path, "*.parquet"))
-        stage_buckets = {self._bucket_id_of_file(f) for f in stage_files}
+        stage_buckets = {
+            self._bucket_id_of_file(f)
+            for f in glob.glob(os.path.join(new_dir, "*.parquet"))
+        }
         assert stage_buckets <= set(touched), (
             f"staged rows landed outside touched buckets: "
             f"{stage_buckets - set(touched)}"
         )
-        for b in touched:
-            for f in by_bucket.get(b, []):
-                os.remove(f)
-        for f in stage_files:
-            shutil.move(f, self.path(name))
-        shutil.rmtree(stage_path, ignore_errors=True)
-        if spark.catalog.tableExists(tbl):
-            spark.sql(f"REFRESH TABLE {tbl}")  # drop cached file listing
+        # hardlink every untouched bucket file into the new snapshot (same
+        # filesystem by construction; O(1) per file, shares the bytes)
+        for b, files in by_bucket.items():
+            if b not in touched:
+                for f in files:
+                    os.link(f, os.path.join(new_dir, os.path.basename(f)))
+        # the catalog entry cached its file listing at saveAsTable time,
+        # before the links landed
+        spark.sql(f"REFRESH TABLE {new_tbl}")
+        # COMMIT: flip the snapshot pointer, then sweep the old version
+        self._write_bucket_meta(name, {**meta, "version": new_ver})
+        spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name, old_ver)}")
+        if old_ver == 0:
+            # legacy unversioned layout: its files sit at the table root
+            for f in glob.glob(os.path.join(cur_dir, "*")):
+                if os.path.isfile(f):
+                    os.remove(f)
+        self._sweep_stale_versions(spark, name)
 
     def compact_table(
         self, spark: SparkSession, name: str, target_file_mb: int = 128
@@ -340,7 +420,12 @@ class Warehouse:
         os.rename(tmp, p)
         return n_files
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str, spark: SparkSession | None = None) -> None:
+        meta = self._bucket_meta(name)
+        if meta is not None and spark is not None:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {self._table_ident(name, meta.get('version', 0))}"
+            )
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)

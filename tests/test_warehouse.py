@@ -8,6 +8,11 @@ from __future__ import annotations
 from medical_doc_knowledge_graph_system_spark.sources.warehouse import Warehouse
 
 
+def _ident(wh: Warehouse, name: str) -> str:
+    """Catalog identity of the CURRENT snapshot of a bucketed table."""
+    return wh._table_ident(name, wh._bucket_meta(name).get("version", 0))
+
+
 def test_merge_upsert_new_wins(spark, tmp_path):
     wh = Warehouse(str(tmp_path))
     df1 = spark.createDataFrame(
@@ -68,21 +73,22 @@ def test_bucketed_write_read_reregister(spark, tmp_path):
     )
     wh.write_bucketed(df, "t", n_buckets=4)
     assert wh.read(spark, "t").count() == 100
-    # one file per bucket (what makes scans report sorted hash partitioning)
+    # one file per bucket (what makes scans report sorted hash partitioning),
+    # inside the current snapshot's version dir
     import glob
 
-    files = glob.glob(os.path.join(wh.path("t"), "*.parquet"))
+    files = glob.glob(os.path.join(wh.current_data_dir("t"), "*.parquet"))
     assert len(files) == 4
 
     # simulate a fresh session: catalog entry dropped, files + meta survive
-    spark.sql(f"DROP TABLE {wh._table_ident('t')}")
+    spark.sql(f"DROP TABLE {_ident(wh, 't')}")
     got = wh.read(spark, "t")
     assert got.count() == 100
     assert got.where("url = 'u3'").count() == 5
     # re-registered table carries the bucket spec (a plain filter scan shows
     # Bucketed: false by design — autoBucketedScan skips it when no operator
     # needs the partitioning; the join plan test covers the beneficial case)
-    desc = spark.sql(f"DESCRIBE EXTENDED {wh._table_ident('t')}").collect()
+    desc = spark.sql(f"DESCRIBE EXTENDED {_ident(wh, 't')}").collect()
     desc_map = {r.col_name: r.data_type for r in desc}
     assert desc_map.get("Num Buckets") == "4"
     assert "url" in desc_map.get("Bucket Columns", "")
@@ -103,7 +109,7 @@ def test_merge_upsert_preserves_bucketing(spark, tmp_path):
 
     assert os.path.exists(wh._bucket_meta_path("t"))
     desc = {r.col_name: r.data_type for r in spark.sql(
-        f"DESCRIBE EXTENDED {wh._table_ident('t')}").collect()}
+        f"DESCRIBE EXTENDED {_ident(wh, 't')}").collect()}
     assert desc.get("Num Buckets") == "2"
     # compaction is a no-op on bucketed layout (1 file per bucket already)
     assert wh.compact_table(spark, "t") == 2
@@ -129,7 +135,7 @@ def test_bucketed_merge_touches_only_hit_buckets(spark, tmp_path):
     def file_digests():
         return {
             os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
-            for f in glob.glob(os.path.join(wh.path("t"), "*.parquet"))
+            for f in glob.glob(os.path.join(wh.current_data_dir("t"), "*.parquet"))
         }
 
     before = file_digests()
@@ -160,12 +166,15 @@ def test_bucketed_merge_touches_only_hit_buckets(spark, tmp_path):
     # layout intact: still exactly one file per bucket, catalog still bucketed
     assert len(after) == 8
     desc = {r.col_name: r.data_type for r in spark.sql(
-        f"DESCRIBE EXTENDED {wh._table_ident('t')}").collect()}
+        f"DESCRIBE EXTENDED {_ident(wh, 't')}").collect()}
     assert desc.get("Num Buckets") == "8"
     # merged bucket files keep the within-bucket sort (file-skipping contract)
-    for f in glob.glob(os.path.join(wh.path("t"), "*.parquet")):
+    for f in glob.glob(os.path.join(wh.current_data_dir("t"), "*.parquet")):
         urls = [r.url for r in spark.read.parquet(f).collect()]
         assert urls == sorted(urls)
+    # the merge committed a NEW snapshot and swept the old one
+    assert wh._bucket_meta("t")["version"] == 2
+    assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
 
 
 def test_bucketed_merge_composite_keys(spark, tmp_path):
@@ -198,7 +207,37 @@ def test_plain_write_retires_bucket_spec(spark, tmp_path):
     df = spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int")
     wh.write_bucketed(df, "t", n_buckets=2)
     assert os.path.exists(wh._bucket_meta_path("t"))
+    ident = _ident(wh, "t")
     wh.write(df, "t")  # plain overwrite (e.g. re-run with bucket_by_url=0)
     assert not os.path.exists(wh._bucket_meta_path("t"))
-    assert not spark.catalog.tableExists(wh._table_ident("t"))
+    assert not spark.catalog.tableExists(ident)
     assert wh.read(spark, "t").count() == 2
+
+
+def test_bucketed_write_crash_leaves_snapshot_intact(spark, tmp_path):
+    """Snapshot atomicity: a write that fails mid-materialization must leave
+    the previous snapshot committed and readable (the bucket-spec pointer
+    never flips), and the next successful write sweeps the orphan dir."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int")
+    wh.write_bucketed(df, "t", n_buckets=2)
+    assert wh._bucket_meta("t")["version"] == 1
+
+    bad = df.withColumn(
+        "v", F.when(F.assert_true(F.col("v") < 0).isNull(), F.col("v"))
+    )
+    with pytest.raises(Exception):
+        wh.write_bucketed(bad, "t", n_buckets=2)
+    # pointer never flipped; previous snapshot fully readable
+    assert wh._bucket_meta("t")["version"] == 1
+    assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 1, "u2": 2}
+
+    wh.write_bucketed(df.withColumn("v", F.col("v") + 10), "t", n_buckets=2)
+    assert wh._bucket_meta("t")["version"] == 2
+    assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 11, "u2": 12}
+    assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
