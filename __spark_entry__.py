@@ -658,6 +658,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_stateful_dedup"] = stream_stateful_dedup
 
+    # H (native stateful): Spark's watermark + dropDuplicatesWithinWatermark
+    # over the same planted-redelivery stream — the engine-owned bounded
+    # state (keys expire past the watermark) next to the hand-rolled
+    # operator above. Event time is synthesized deterministically per chunk
+    # (same chunk -> same ts in both deliveries, all inside the watermark
+    # window), so the drained output must equal the distinct chunk set.
+    def stream_dedup_native(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+            dedup_chunk_stream_native,
+        )
+
+        tag = _h.md5(("native" + d).encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_dedup_native_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            chunks = _t(s, d, "documents").select(
+                F.md5(F.col("doc_id").cast("string")).alias("chunk_id"),
+                F.col("doc_id").cast("string").alias("url"),
+                F.lit(0).alias("chunk_idx"),
+                "text",
+                (
+                    F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.make_interval(secs=(F.col("doc_id") % 1800).cast("double"))
+                ).alias("ts"),
+            )
+            chunks.repartition(1).write.mode("overwrite").parquet(src)
+            chunks.where(F.col("url").cast("long") % 3 == 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(chunks.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                dedup_chunk_stream_native(stream)
+                .drop("ts")
+                .writeStream.format("memory")
+                .queryName(f"sdn_{tag}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        return s.table(f"sdn_{tag}")
+
+    q["stream_dedup_native"] = stream_dedup_native
+
     return q
 
 
@@ -1317,6 +1373,8 @@ SELECT md5(CAST(doc_id AS VARCHAR)) AS chunk_id,
        CAST(0 AS INT) AS chunk_idx,
        text
 FROM documents"""
+    # native watermarked dedup drains to the same distinct set (ts dropped)
+    o["stream_dedup_native"] = o["stream_stateful_dedup"]
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars

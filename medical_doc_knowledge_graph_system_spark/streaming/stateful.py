@@ -75,6 +75,23 @@ def _make_dedup_fn(max_state_entries: int):
     return _dedup_fn
 
 
+def dedup_chunk_stream_native(
+    chunk_stream: DataFrame, ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Spark's built-in stateful dedup: watermark + dropDuplicatesWithinWatermark
+    keyed on chunk_id. The engine owns the state store and EXPIRES keys once
+    the watermark passes them + `delay` — the same bounded-state contract the
+    custom operator above implements by hand (recent-window eviction), with
+    the bound expressed in event time instead of entry count. Re-deliveries
+    inside the watermark window dedup exactly; older ones re-emit and
+    compact in the batch MERGE. Prefer this when the stream has a real
+    event-time column; the custom operator remains for id-only streams and
+    for the per-shard state-size knob."""
+    return chunk_stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["chunk_id"]
+    )
+
+
 def dedup_chunk_stream(
     chunk_stream: DataFrame,
     n_shards: int = N_SHARDS,
