@@ -294,23 +294,50 @@ def build_name_map_distributed(names: DataFrame) -> DataFrame:
     )
 
 
-def remap(df: DataFrame, name_map: DataFrame, *cols: str) -> DataFrame:
-    """Replace each of *cols by its canonical via broadcast joins.
+# Above this many map entries the broadcast would strain executor memory
+# (~100 bytes/entry -> ~2 GB at the threshold); the salted shuffle join takes
+# over. The two paths are value-identical (test_remap_salted_path_equals_broadcast).
+REMAP_BROADCAST_MAX = 20_000_000
+
+
+def remap(
+    df: DataFrame,
+    name_map: DataFrame,
+    *cols: str,
+    broadcast_threshold: int = REMAP_BROADCAST_MAX,
+) -> DataFrame:
+    """Replace each of *cols by its canonical.
 
     The name_map is a dictionary of distinct names — broadcast kills the
-    head-entity key skew that a shuffle join on `name` would suffer
-    (the Zipf head appears in a large fraction of mentions). If the map ever
-    outgrows broadcast, switch to a salted repartition join; mention-count
-    aggregations use two-phase salted aggregation (operators/skew.py).
+    head-entity key skew that a shuffle join on `name` would suffer (the
+    Zipf head appears in a large fraction of mentions). When the map
+    outgrows `broadcast_threshold` (open-vocabulary dictionaries at corpus
+    scale), the join switches AUTOMATICALLY to the salted shuffle-hash join
+    (skew.salted_join_big_small): the salt re-splits the hot key across
+    reducers, which the plain shuffle join would concentrate. The size
+    probe is a LIMIT count — O(threshold) rows scanned once, no full count.
     """
+    use_broadcast = (
+        name_map.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    )
     out = df
     for c in cols:
         nm = name_map.select(
             F.col("name").alias(f"__k_{c}"), F.col("canonical").alias(f"__v_{c}")
         )
-        out = (
-            out.join(F.broadcast(nm), out[c] == F.col(f"__k_{c}"), "left")
-            .withColumn(c, F.coalesce(f"__v_{c}", c))
-            .drop(f"__k_{c}", f"__v_{c}")
+        if use_broadcast:
+            out = out.join(F.broadcast(nm), out[c] == F.col(f"__k_{c}"), "left")
+        else:
+            from .skew import salted_join_big_small
+
+            out = salted_join_big_small(
+                out.withColumn(f"__k_{c}", F.col(c)),
+                nm,
+                f"__k_{c}",
+                how="left",
+                force_shuffle=True,
+            )
+        out = out.withColumn(c, F.coalesce(f"__v_{c}", c)).drop(
+            f"__k_{c}", f"__v_{c}"
         )
     return out

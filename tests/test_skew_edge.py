@@ -115,3 +115,23 @@ def test_pipeline_head_entity_skew_counts(spark, warehouse50, oracle50):
     # sanity: the head entity really is the hottest key
     head = max(nodes.items(), key=lambda kv: kv[1])
     assert head[0][1] == "Hypertension"
+
+
+def test_remap_salted_path_equals_broadcast(spark):
+    """remap's automatic salted fallback (map exceeds broadcast_threshold)
+    must produce exactly what the broadcast path produces — including
+    unmapped names passing through and multi-column remaps."""
+    from medical_doc_knowledge_graph_system_spark.operators.resolve import remap
+
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "zz", 2), ("zz", "a", 3)],
+        "subj string, obj string, n int",
+    )
+    nm = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "name string, canonical string"
+    )
+    want = sorted(map(tuple, remap(df, nm, "subj", "obj").collect()))
+    got = sorted(
+        map(tuple, remap(df, nm, "subj", "obj", broadcast_threshold=1).collect())
+    )
+    assert got == want == [("A", "B", 1), ("B", "zz", 2), ("zz", "A", 3)]
