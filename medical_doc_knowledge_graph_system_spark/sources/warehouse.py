@@ -106,24 +106,37 @@ class Warehouse:
             json.dump(meta, f)
         os.replace(tmp, p)
 
+    def _version_dir(self, name: str, version: int) -> str:
+        """Data dir of snapshot `version` (0 = legacy unversioned layout)."""
+        return (
+            os.path.join(self.path(name), f"v{version}")
+            if version
+            else self.path(name)
+        )
+
     def current_data_dir(self, name: str) -> str:
-        """Data directory of the current snapshot (version 0 = legacy
-        unversioned layout with files at the table root)."""
         meta = self._bucket_meta(name)
-        ver = (meta or {}).get("version", 0)
-        return os.path.join(self.path(name), f"v{ver}") if ver else self.path(name)
+        return self._version_dir(name, (meta or {}).get("version", 0))
+
+    # snapshots retained besides the current one: the previous snapshot stays
+    # readable (in-flight-reader grace + time travel, Iceberg's
+    # expire_snapshots model) and costs only the files the last commit
+    # actually rewrote — untouched bucket files are hardlinks sharing bytes.
+    KEEP_SNAPSHOTS = 1
 
     def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
-        """Remove version dirs (and catalog entries) other than the current
-        snapshot: committed-and-superseded versions and crash orphans alike."""
+        """Remove version dirs (and catalog entries) outside the retention
+        window: superseded-beyond-grace versions, crash orphans (version >
+        current), and anything older than current - KEEP_SNAPSHOTS."""
         import glob
         import re
 
         meta = self._bucket_meta(name)
         cur = (meta or {}).get("version", 0)
+        keep = {cur - i for i in range(self.KEEP_SNAPSHOTS + 1)}
         for d in glob.glob(os.path.join(self.path(name), "v*")):
             m = re.fullmatch(r"v(\d+)", os.path.basename(d))
-            if m and int(m.group(1)) != cur:
+            if m and int(m.group(1)) not in keep:
                 spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_ident(name, int(m.group(1)))}"
                 )
@@ -194,13 +207,24 @@ class Warehouse:
                     (shutil.rmtree if os.path.isdir(f) else os.remove)(f)
         self._sweep_stale_versions(spark, name)
 
-    def read_bucketed(self, spark: SparkSession, name: str) -> DataFrame:
-        """Read the current snapshot of a bucketed table, re-registering it in
-        the catalog from the persisted bucket spec if needed (fresh session /
-        post-commit): the version is part of the table identity, so a reader
-        can never see a half-flipped snapshot or a stale file listing."""
+    def read_bucketed(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a snapshot of a bucketed table (current by default),
+        re-registering it in the catalog from the persisted bucket spec if
+        needed (fresh session / post-commit): the version is part of the
+        table identity, so a reader can never see a half-flipped snapshot or
+        a stale file listing. `version` time-travels to a retained previous
+        snapshot (KEEP_SNAPSHOTS back; older ones are swept)."""
         meta = self._bucket_meta(name)
-        tbl = self._table_ident(name, meta.get("version", 0))
+        ver = meta.get("version", 0) if version is None else version
+        vdir = self._version_dir(name, ver)
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"snapshot v{ver} of table {name!r} is not retained "
+                f"(KEEP_SNAPSHOTS={self.KEEP_SNAPSHOTS})"
+            )
+        tbl = self._table_ident(name, ver)
         if not spark.catalog.tableExists(tbl):
             from pyspark.sql import types as T
 
@@ -210,7 +234,7 @@ class Warehouse:
                 f"CLUSTERED BY ({meta['bucket_col']}) "
                 f"SORTED BY ({meta['sort_col']}) "
                 f"INTO {meta['n_buckets']} BUCKETS "
-                f"LOCATION '{self.current_data_dir(name)}'"
+                f"LOCATION '{vdir}'"
             )
         return spark.table(tbl)
 
@@ -406,8 +430,11 @@ class Warehouse:
         p = self.path(name)
         if os.path.exists(self._bucket_meta_path(name)):
             # bucketed tables are written one-file-per-bucket; coalescing
-            # would destroy the bucket layout — nothing to compact
-            return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            # would destroy the bucket layout — nothing to compact. Count the
+            # CURRENT snapshot only (a retained previous snapshot is not data)
+            return len(
+                glob.glob(os.path.join(self.current_data_dir(name), "*.parquet"))
+            )
         size = sum(
             os.path.getsize(f)
             for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
@@ -474,7 +501,14 @@ class Warehouse:
 
         import pyarrow.parquet as pq
 
-        files = sorted(glob.glob(os.path.join(self.path(table), "**", "*.parquet"), recursive=True))
+        # bucketed tables: current snapshot only (retained previous snapshots
+        # would double-count); plain/sharded tables: the whole tree
+        root = (
+            self.current_data_dir(table)
+            if os.path.exists(self._bucket_meta_path(table))
+            else self.path(table)
+        )
+        files = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
         total = 0
         with open(self._meta_path("_metrics"), "a") as f:
             for i, fp in enumerate(files):

@@ -172,9 +172,22 @@ def test_bucketed_merge_touches_only_hit_buckets(spark, tmp_path):
     for f in glob.glob(os.path.join(wh.current_data_dir("t"), "*.parquet")):
         urls = [r.url for r in spark.read.parquet(f).collect()]
         assert urls == sorted(urls)
-    # the merge committed a NEW snapshot and swept the old one
+    # the merge committed a NEW snapshot; the previous one is RETAINED for
+    # in-flight readers / time travel (hardlinked, so it costs only the
+    # touched buckets' old files) and reads back as the pre-merge table
     assert wh._bucket_meta("t")["version"] == 2
+    old = {r.url: r.v for r in wh.read_bucketed(spark, "t", version=1).collect()}
+    assert old == {f"url-{i}": 1 for i in range(64)}
+    # a second merge rolls the retention window: v1 is swept, v2 retained
+    wh.merge_upsert(
+        spark.createDataFrame([("url-0", 3)], "url string, v int"), "t", ["url"]
+    )
     assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
+    assert os.path.exists(os.path.join(wh.path("t"), "v2"))
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        wh.read_bucketed(spark, "t", version=1)
 
 
 def test_bucketed_merge_composite_keys(spark, tmp_path):
@@ -240,4 +253,8 @@ def test_bucketed_write_crash_leaves_snapshot_intact(spark, tmp_path):
     wh.write_bucketed(df.withColumn("v", F.col("v") + 10), "t", n_buckets=2)
     assert wh._bucket_meta("t")["version"] == 2
     assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 11, "u2": 12}
+    # v1 retained (previous snapshot); the failed write's orphan never became
+    # a version at all
+    assert os.path.exists(os.path.join(wh.path("t"), "v1"))
+    wh.write_bucketed(df, "t", n_buckets=2)  # roll the window
     assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
