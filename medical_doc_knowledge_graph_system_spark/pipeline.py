@@ -85,6 +85,7 @@ def run_pipeline(
     open_vocab: bool = False,
     resolve_driver_threshold: int = 500_000,
     bucket_by_url: int = 0,
+    normalize_urls: bool = False,
 ) -> dict:
     """Run chunk -> extract -> resolve -> materialize; returns stats dict.
 
@@ -103,9 +104,19 @@ def run_pipeline(
     §4.2.6): url-keyed joins and windows over them (provenance citations,
     next-chunk, chunk⋈mention families) then run with NO Exchange — at 100 TB
     that removes the dominant shuffle from every downstream graph query.
-    Mutually inert with url_groups > 1 (group shards stay plain parquet)."""
+    Mutually inert with url_groups > 1 (group shards stay plain parquet).
+
+    normalize_urls applies crawl URL canonicalization (functions/urlfns.py:
+    fragment / case / www / default-port / tracking-param / trailing-slash)
+    BEFORE the latest-crawl-wins dedup, so variant fetches of the same page
+    (utm-tagged links, http/https, www/apex) collapse to ONE document —
+    URL-level dedup, the first dedup tier of a crawl pipeline."""
     if lang_filter:
         pages = pages.where(F.col("lang") == lang_filter)
+    if normalize_urls:
+        from .functions.urlfns import canonical_url
+
+        pages = pages.withColumn("url", canonical_url(F.col("url")))
     # re-crawled urls: latest crawl wins (reference upsert identity —
     # Document/SourceChunk MERGE by natural key, app/graph/queries.py:9-31;
     # deterministic tiebreak on the text, then md5(html) for html-only pages

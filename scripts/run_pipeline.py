@@ -55,6 +55,12 @@ def main() -> None:
         help="write chunk-family tables url-hash bucketed into N buckets "
         "(Iceberg bucket(N,url) analogue; downstream url joins shuffle-free)",
     )
+    ap.add_argument(
+        "--normalize-urls",
+        action="store_true",
+        help="canonicalize URLs before ingest dedup (variant fetches of one "
+        "page — utm tags, www/apex, default ports — collapse to one document)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -80,6 +86,7 @@ def main() -> None:
         open_vocab=args.open_vocab,
         resolve_driver_threshold=args.resolve_driver_threshold,
         bucket_by_url=args.bucket_by_url,
+        normalize_urls=args.normalize_urls,
     )
     print(json.dumps(stats))
 

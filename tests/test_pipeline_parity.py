@@ -230,3 +230,50 @@ def test_bucketed_pipeline_matches_plain(spark, pages_parquet, warehouse50, tmp_
         assert cites.count() == stats["provenance_edges"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_normalize_urls_collapses_variant_fetches(spark, tmp_path):
+    """normalize_urls=True: utm-tagged / mixed-case / fragment variants of
+    one page canonicalize to the same url BEFORE latest-crawl-wins dedup,
+    so they become ONE document (URL-level dedup, the crawl pipeline's
+    first dedup tier); the surviving text is the latest crawl's."""
+    from datetime import datetime
+
+    from medical_doc_knowledge_graph_system_spark.pipeline import run_pipeline
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://example.com/a?utm_source=feed",
+                datetime(2024, 1, 1),
+                None,
+                "older fetch. aspirin treats migraine.",
+                "en",
+            ),
+            (
+                "HTTPS://WWW.Example.com/a#frag",
+                datetime(2024, 2, 1),
+                None,
+                "newer fetch. aspirin treats migraine.",
+                "en",
+            ),
+            (
+                "https://example.com/b",
+                datetime(2024, 1, 1),
+                None,
+                "another page. ibuprofen treats headache.",
+                "en",
+            ),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root = str(tmp_path / "wh_norm")
+    stats = run_pipeline(spark, pages, root, normalize_urls=True)
+    assert stats["documents"] == 2
+    docs = {r.url for r in spark.read.parquet(f"{root}/documents").collect()}
+    assert docs == {"https://example.com/a", "https://example.com/b"}
+    # latest crawl won the canonical slot
+    texts = " ".join(
+        r.text for r in spark.read.parquet(f"{root}/chunks").collect()
+    )
+    assert "newer fetch" in texts and "older fetch" not in texts
