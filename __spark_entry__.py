@@ -714,6 +714,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup_native"] = stream_dedup_native
 
+    # H (stream-stream join): watermarked inner join of the view stream to
+    # the click stream on user_id + a 2-hour event-time range — the
+    # attribution join (click within 2h of a view). Both sides carry
+    # watermarks and the range condition, exactly what the engine needs to
+    # expire join state at scale; drained AvailableNow, the result must
+    # equal the batch self-join (timestamps compared as epoch micros — the
+    # one representation both engines print identically).
+    def stream_join_attrib(s, d):
+        import hashlib as _h
+        import os as _os
+
+        tag = _h.md5(("ssj" + d).encode()).hexdigest()[:8]
+        path = _os.path.join(d, "events.parquet")
+        schema = s.read.parquet(path).schema
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # file source requires a directory basePath: stream the parent
+            # dir with a glob filter pinned to the events file
+            def _ev_stream():
+                return (
+                    s.readStream.schema(schema)
+                    .option("pathGlobFilter", _os.path.basename(path))
+                    .parquet(_os.path.dirname(path))
+                )
+
+            views = (
+                _ev_stream()
+                .where("event_type = 'view'")
+                # events.ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session TZ is
+                # UTC, so the cast is wall-clock-identity and epoch micros
+                # match DuckDB's naive epoch_us)
+                .select("user_id", F.col("ts").cast("timestamp").alias("view_ts"))
+                .withWatermark("view_ts", "1 hour")
+            )
+            clicks = (
+                _ev_stream()
+                .where("event_type = 'click'")
+                .select(F.col("user_id").alias("c_user"), F.col("ts").cast("timestamp").alias("click_ts"))
+                .withWatermark("click_ts", "1 hour")
+            )
+            joined = (
+                views.join(
+                    clicks,
+                    (F.col("user_id") == F.col("c_user"))
+                    & (F.col("click_ts") >= F.col("view_ts"))
+                    & (
+                        F.col("click_ts")
+                        <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")
+                    ),
+                )
+                .select(
+                    "user_id",
+                    F.unix_micros("view_ts").alias("view_us"),
+                    F.unix_micros("click_ts").alias("click_us"),
+                )
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                joined.writeStream.format("memory")
+                .queryName(f"ssj_{tag}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return s.table(f"ssj_{tag}")
+
+    q["stream_join_attrib"] = stream_join_attrib
+
     return q
 
 
@@ -1375,6 +1446,16 @@ SELECT md5(CAST(doc_id AS VARCHAR)) AS chunk_id,
 FROM documents"""
     # native watermarked dedup drains to the same distinct set (ts dropped)
     o["stream_dedup_native"] = o["stream_stateful_dedup"]
+    # the drained stream-stream join == the batch self-join
+    o["stream_join_attrib"] = """
+SELECT v.user_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) AS click_us
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 2 HOUR"""
 
     o["docs_sample"] = """
 SELECT doc_id, lang, n_chars
