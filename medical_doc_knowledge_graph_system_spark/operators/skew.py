@@ -48,12 +48,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
     Safe on any frame: the .rdd partition probe is metadata-only for a plain
     scan, but under AQE it would EXECUTE the upstream shuffle stages of an
-    exchange-bearing plan — so plans that already contain an Exchange are
-    detected (physical planning only, no jobs) and returned unchanged: every
-    exchange already runs at shuffle-width parallelism, and the probe (or an
-    extra repartition) would only add cost. For hand-tuned widths on such
-    plans use shuffle_width() directly (chunk_pages / extract_features do)."""
-    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+    exchange-bearing plan — so plans that already contain a SHUFFLE exchange
+    are detected (physical planning only, no jobs) and returned unchanged:
+    every shuffle already runs at shuffle-width parallelism, and the probe
+    (or an extra repartition) would only add cost. A plan whose only exchange
+    is a BroadcastExchange does NOT bail out (ADVICE r3): there the probe
+    side's partitioning comes from the scan — possibly one split — and the
+    probe's cost is just building the (by-definition small) broadcast side.
+    For hand-tuned widths on shuffle-bearing plans use shuffle_width()
+    directly (chunk_pages / extract_features do)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if re.search(r"(?<!Broadcast)Exchange", plan):
         return df
     sc = df.sparkSession.sparkContext
     n = min_partitions or sc.defaultParallelism

@@ -217,6 +217,10 @@ class Warehouse:
         a stale file listing. `version` time-travels to a retained previous
         snapshot (KEEP_SNAPSHOTS back; older ones are swept)."""
         meta = self._bucket_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no bucketed table {name!r} in warehouse {self.root!r}"
+            )
         ver = meta.get("version", 0) if version is None else version
         vdir = self._version_dir(name, ver)
         if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
@@ -246,6 +250,15 @@ class Warehouse:
         partition_by: list[str] | None = None,
     ) -> None:
         meta = self._bucket_meta(name)
+        if meta is not None and mode == "append":
+            # appending plain files at the table root would leave the existing
+            # rows stranded in v<N>/ snapshot dirs the root-level read never
+            # sees — silently "losing" the table's prior contents
+            raise ValueError(
+                f"cannot append plain files to bucketed table {name!r}; "
+                "use merge_upsert/write_bucketed, or write(mode='overwrite') "
+                "to retire the bucket layout first"
+            )
         if meta is not None:
             # plain write over a previously bucketed table: retire the bucket
             # spec + catalog entry, or later reads would scan plain files
@@ -395,10 +408,14 @@ class Warehouse:
             self._bucket_id_of_file(f)
             for f in glob.glob(os.path.join(new_dir, "*.parquet"))
         }
-        assert stage_buckets <= set(touched), (
-            f"staged rows landed outside touched buckets: "
-            f"{stage_buckets - set(touched)}"
-        )
+        if not stage_buckets <= set(touched):
+            # unconditional (not an assert, which vanishes under python -O):
+            # a diverged hash contract would silently drop rows from future
+            # merges that only read the buckets they compute as touched
+            raise RuntimeError(
+                f"staged rows landed outside touched buckets: "
+                f"{stage_buckets - set(touched)}"
+            )
         # hardlink every untouched bucket file into the new snapshot (same
         # filesystem by construction; O(1) per file, shares the bytes)
         for b, files in by_bucket.items():

@@ -61,15 +61,25 @@ def _make_dedup_fn(max_state_entries: int):
         seen: set[str] = set(order)
         for pdf in pdfs:
             prefixes = pdf["chunk_id"].str.slice(0, _PREFIX_LEN)
-            fresh = pdf[~prefixes.isin(seen)].drop_duplicates("chunk_id")
+            # membership AND intra-batch dedup both key on the PREFIX (the
+            # unit the state stores): two distinct ids sharing a prefix in
+            # one microbatch emit once, exactly as if they arrived in
+            # separate batches (ADVICE r3 — emission matches the
+            # prefix-keyed state contract)
+            fresh = pdf.loc[~prefixes.isin(seen) & ~prefixes.duplicated()]
             if len(fresh):
-                for p in fresh["chunk_id"].str.slice(0, _PREFIX_LEN):
-                    if p not in seen:
-                        seen.add(p)
-                        order.append(p)
+                for p in prefixes.loc[fresh.index]:
+                    seen.add(p)
+                    order.append(p)
                 yield fresh[["chunk_id", "url", "chunk_idx", "text"]]
-        if len(order) > max_state_entries:  # evict oldest beyond the window
-            order = order[-max_state_entries:]
+            if len(order) > max_state_entries:
+                # evict oldest beyond the window EAGERLY (state never exceeds
+                # the bound past one input batch); evicted prefixes leave
+                # `seen` too, so a same-batch re-delivery of an evicted chunk
+                # re-emits — identical to the cross-batch window semantics
+                evicted = order[: len(order) - max_state_entries]
+                order = order[-max_state_entries:]
+                seen.difference_update(evicted)
         state.update((order,))
 
     return _dedup_fn

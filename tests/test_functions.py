@@ -271,6 +271,35 @@ def test_ensure_parallelism_noop_on_wide_input(spark):
     assert ensure_parallelism(wide) is wide  # literally untouched
 
 
+def test_ensure_parallelism_spreads_broadcast_join_probe_side(spark):
+    """A narrow scan broadcast-joined to a dim table keeps the scan's (1)
+    partitioning — BroadcastExchange must NOT trigger the shuffle-exchange
+    bail-out (ADVICE r3); a genuine shuffle exchange still must."""
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.operators.skew import (
+        ensure_parallelism,
+    )
+
+    narrow = spark.range(0, 1000, 1, 1).selectExpr("id as doc_id", "id % 7 as k")
+    dim = spark.range(0, 7).selectExpr("id as k", "'d' || id as label")
+    joined = narrow.join(F.broadcast(dim), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "Exchange hashpartitioning" not in plan
+    spread = ensure_parallelism(joined)
+    assert spread is not joined
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # (a 1-partition input satisfies the agg's distribution without any
+    # exchange, so the shuffle case needs a multi-split input)
+    shuffled = (
+        spark.range(0, 1000, 1, 4).selectExpr("id % 7 as k").groupBy("k").count()
+    )
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
+    assert ensure_parallelism(shuffled) is shuffled  # shuffle bail-out intact
+
+
 def test_curate_docs_semantics(spark):
     """Curation keeps exactly: right language, quality above threshold, the
     min-doc_id copy of byte-identical groups, and no near-dup losers."""

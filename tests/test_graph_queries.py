@@ -173,3 +173,62 @@ def test_provenance_citations(spark, warehouse50):
     assert confs == sorted(confs, reverse=True)
     # every citation traceable: chunk text + document metadata present (C14)
     assert all(r.source_text and r.warc_ts is not None for r in rows)
+
+
+def _random_graph(spark, n_nodes=24, n_edges=60, seed=7):
+    """Seeded pseudo-random multigraph (parallel edges + varied rel types)
+    for driver-vs-distributed equality tests."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            f"n{rng.randrange(n_nodes):02d}",
+            f"n{rng.randrange(n_nodes):02d}",
+            f"r{rng.randrange(5)}",
+        )
+        for _ in range(n_edges)
+    ]
+    rows = [(a, b, r) for a, b, r in rows if a != b]
+    return spark.createDataFrame(rows, "src string, dst string, rel_type string")
+
+
+def test_shortest_path_driver_equals_distributed(spark):
+    """The sub-threshold in-memory BFS (corelib/graphalgs.py) must return
+    exactly what the distributed frontier loop returns — hops, path, rels —
+    across many (src, dst) pairs of a random multigraph, including
+    unreachable pairs."""
+    g = _random_graph(spark)
+    pairs = [("n00", "n13"), ("n05", "n20"), ("n01", "n02"), ("n03", "n99")]
+    for src, dst in pairs:
+        local = shortest_path(g, src, dst, max_hops=4).collect()
+        dist = shortest_path(g, src, dst, max_hops=4, force_distributed=True).collect()
+        assert [tuple(r) for r in local] == [tuple(r) for r in dist], (src, dst)
+
+
+def test_all_paths_driver_equals_distributed(spark):
+    g = _random_graph(spark)
+    for src, dst in [("n00", "n13"), ("n05", "n20"), ("n03", "n99")]:
+        local = all_paths(g, src, dst, max_hops=3, max_paths=7).collect()
+        dist = all_paths(
+            g, src, dst, max_hops=3, max_paths=7, force_distributed=True
+        ).collect()
+        assert [tuple(r) for r in local] == [tuple(r) for r in dist], (src, dst)
+
+
+def test_multi_source_driver_equals_distributed(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
+        multi_source_shortest_paths,
+    )
+
+    g = _random_graph(spark)
+    seeds, targets = ["n00", "n05", "n11"], ["n13", "n20", "n05"]
+    key = lambda r: (r.seed_id, r.target_id)
+    local = sorted(multi_source_shortest_paths(g, seeds, targets, 4).collect(), key=key)
+    dist = sorted(
+        multi_source_shortest_paths(
+            g, seeds, targets, 4, force_distributed=True
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]

@@ -292,3 +292,63 @@ def test_available_now_drain_matches_batch(spark):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_dedup_prefix_is_the_dedup_key():
+    """Emission matches the prefix-keyed state contract (ADVICE r3): two
+    DISTINCT chunk_ids sharing a 16-char md5 prefix emit once even within a
+    single microbatch, and eager eviction keeps state at the cap with `seen`
+    in sync (a same-batch re-delivery of an evicted prefix re-emits).
+    Unit-level: drives the pandas state function directly with a stub
+    GroupState (no stream machinery needed for the contract)."""
+    import pandas as pd
+
+    from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+        _make_dedup_fn,
+    )
+
+    class StubState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, t):
+            self.stored = t
+            self.exists = True
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["chunk_id", "url", "chunk_idx", "text"])
+
+    fn = _make_dedup_fn(2)
+    st = StubState()
+    # a/b share the first 16 chars; only the first emits
+    twin_a = "PFX0123456789abc-a"
+    twin_b = "PFX0123456789abc-b"
+    out = list(fn((0,), [batch([(twin_a, "u", 0, "x"), (twin_b, "u", 1, "y")])], st))
+    assert [r for o in out for r in o["chunk_id"]] == [twin_a]
+    assert list(st.stored[0]) == [twin_a[:16]]
+
+    # one batch bigger than the window: state lands AT the cap (eager
+    # eviction), and a re-delivery of the evicted oldest chunk inside the
+    # SAME later chunk-list re-emits (seen stays in sync with the window)
+    cs = [f"c{i:x}" * 8 for i in range(4)]  # 16-char distinct ids
+    out = list(
+        fn(
+            (0,),
+            [
+                batch([(c, "u", i, "t") for i, c in enumerate(cs[:3])]),
+                batch([(cs[0], "u", 0, "t"), (cs[3], "u", 3, "t")]),
+            ],
+            st,
+        )
+    )
+    emitted = [r for o in out for r in o["chunk_id"]]
+    # cs[0..2] fresh; then cs[0] was evicted when cs[2] arrived (cap=2) so it
+    # re-emits; cs[3] fresh
+    assert emitted == [cs[0], cs[1], cs[2], cs[0], cs[3]]
+    assert len(st.stored[0]) == 2

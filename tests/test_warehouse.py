@@ -258,3 +258,36 @@ def test_bucketed_write_crash_leaves_snapshot_intact(spark, tmp_path):
     assert os.path.exists(os.path.join(wh.path("t"), "v1"))
     wh.write_bucketed(df, "t", n_buckets=2)  # roll the window
     assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
+
+
+def test_append_to_bucketed_table_raises(spark, tmp_path):
+    """write(mode='append') on a snapshot-versioned bucketed table must
+    refuse (ADVICE r3): plain root-level appends would strand the existing
+    rows inside v<N>/ dirs the root-level read never sees."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame([("u1", 1)], "url string, v int")
+    wh.write_bucketed(df, "t", n_buckets=2)
+    with pytest.raises(ValueError, match="bucketed table"):
+        wh.write(df, "t", mode="append")
+    # table intact, bucket layout untouched
+    assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 1}
+    # overwrite remains the documented retire-the-layout path
+    wh.write(df.withColumn("v", df.v + 1), "t", mode="overwrite")
+    assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 2}
+
+
+def test_read_bucketed_missing_table_raises_filenotfound(spark, tmp_path):
+    """read_bucketed on a dropped / never-bucketed table raises an explicit
+    FileNotFoundError, not an AttributeError on the absent meta (ADVICE r3)."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="no bucketed table"):
+        wh.read_bucketed(spark, "nope")
+    df = spark.createDataFrame([("u1", 1)], "url string, v int")
+    wh.write_bucketed(df, "t", n_buckets=2)
+    wh.drop("t", spark)
+    with pytest.raises(FileNotFoundError, match="no bucketed table"):
+        wh.read_bucketed(spark, "t")
