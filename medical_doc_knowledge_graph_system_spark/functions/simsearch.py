@@ -161,6 +161,57 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """TRAINED coarse quantizer (VERDICT r3 #2): seeded k-means|| with cosine
+    distance over the corpus. Returns (cell, c_emb) in the same shape as
+    ivf_centroids, so ivf_assign / topk_cosine_ivf take either.
+
+    Why it exists: the fixed-sample quantizer (ivf_centroids) takes the
+    n_cells SMALLEST vec_ids as centroids — deterministic and DuckDB-
+    oracle-able, and fine when vec_ids are hash-ordered — but on a corpus
+    whose row order correlates with content (a crawl ordered by domain or
+    time), the leading rows are homogeneous: every centroid lands in one
+    region and one cell absorbs most of the corpus, degenerating the probe
+    toward a full scan. k-means|| allocates centroids by density (a hot
+    cluster gets many cells), keeping cell sizes bounded; the fixed seed
+    keeps it reproducible for a given input partitioning. Training cost is
+    O(iter * N * n_cells) distributed — for 100 TB train on a sampled
+    subset (.sample(fraction)) — and the centroid table collected here is
+    n_cells * dim doubles, broadcast-sized by construction.
+
+    Measured on a cluster-ordered synthetic corpus (scripts/ivf_ab.py,
+    BENCH.md): sample quantizer skew (max cell / mean) ~8-30x with recall
+    collapse; kmeans skew ~1-2x with recall@5 >= the hash-ordered baseline.
+    NOT SQL-oracle-able (iterative training), so the driver-gate IVF queries
+    keep the fixed-sample quantizer; this one is covered by pytest
+    (determinism, assignment-compatibility) + the A/B script."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # cosine distance requires nonzero vectors
+    X = embeddings.select(
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("n2"),
+    ).where(F.col("n2") > 0).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        distanceMeasure="cosine",
+        initMode="k-means||",
+    ).fit(X)
+    cents = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        cents, "cell int, c_emb array<double>"
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, n_cells: int = 16, cents: DataFrame | None = None
 ) -> DataFrame:
@@ -199,12 +250,15 @@ def topk_cosine_ivf(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 1,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: probe the query's nprobe nearest cells. Approximate —
     recall vs topk_cosine is measured in bench.py (BENCH.md); at scale each
     probe touches nprobe/n_cells of the data. Use auto_ivf_params(N) to size
-    n_cells ≈ sqrt(N) and nprobe for a large corpus."""
-    cents = ivf_centroids(embeddings, n_cells)
+    n_cells ≈ sqrt(N) and nprobe for a large corpus. `cents` overrides the
+    quantizer (pass ivf_centroids_kmeans(...) for the trained scale path)."""
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_cells)
     # localCheckpoint: the centroid top-N over the corpus runs ONCE and both
     # the assignment and the query probe reuse the materialized result
     cents = cents.localCheckpoint()

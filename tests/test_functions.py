@@ -174,6 +174,51 @@ def test_ivf_nprobe_recall_monotone(spark):
     assert r8 == 1.0  # nprobe == n_cells probes everything == exact
 
 
+def test_ivf_kmeans_quantizer_deterministic_and_compatible(spark):
+    """The trained quantizer (VERDICT r3 #2): seeded k-means|| centroids are
+    (a) reproducible across fits for a fixed seed + input, (b) shaped like
+    the fixed-sample centroid table so ivf_assign / topk_cosine_ivf accept
+    them, (c) exhaustive (every vector lands in exactly one cell), and
+    (d) exact when nprobe == n_cells (quantizer choice never loses rows)."""
+    import random
+
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        ivf_assign,
+        ivf_centroids_kmeans,
+        topk_cosine,
+        topk_cosine_ivf,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4).localCheckpoint()
+
+    c1 = sorted(map(tuple, ivf_centroids_kmeans(emb, 6, seed=42).collect()))
+    c2 = sorted(map(tuple, ivf_centroids_kmeans(emb, 6, seed=42).collect()))
+    assert [(c, [round(v, 9) for v in e]) for c, e in c1] == [
+        (c, [round(v, 9) for v in e]) for c, e in c2
+    ]
+
+    cents = ivf_centroids_kmeans(emb, 6, seed=42).localCheckpoint()
+    assigned = ivf_assign(emb, 6, cents=cents)
+    assert assigned.count() == 120  # exhaustive, one cell per vector
+    assert assigned.select("vec_id").distinct().count() == 120
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(6))
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r.query_id, r.vec_id) for r in topk_cosine(emb, q, k=5).collect()}
+    full = {
+        (r.query_id, r.vec_id)
+        for r in topk_cosine_ivf(emb, q, k=5, n_cells=6, nprobe=6, cents=cents).collect()
+    }
+    assert full == exact
+
+
 def test_rerank_score_filter_cap(spark):
     from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
         rerank_score_filter_cap,
