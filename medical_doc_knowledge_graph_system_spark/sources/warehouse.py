@@ -125,22 +125,62 @@ class Warehouse:
     KEEP_SNAPSHOTS = 1
 
     def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
-        """Remove version dirs (and catalog entries) outside the retention
-        window: superseded-beyond-grace versions, crash orphans (version >
-        current), and anything older than current - KEEP_SNAPSHOTS."""
+        """Remove version dirs (and catalog entries) STRICTLY BELOW the
+        retention window (older than current - KEEP_SNAPSHOTS), plus orphaned
+        .stage-* dirs older than _STAGE_ORPHAN_SECS. Versions ABOVE current
+        are never touched: they may be another writer's just-claimed commit
+        whose pointer flip is in flight (see _claim_version) — they become
+        sweepable naturally once the version counter passes them."""
         import glob
         import re
+        import time as _time
 
         meta = self._bucket_meta(name)
         cur = (meta or {}).get("version", 0)
-        keep = {cur - i for i in range(self.KEEP_SNAPSHOTS + 1)}
         for d in glob.glob(os.path.join(self.path(name), "v*")):
             m = re.fullmatch(r"v(\d+)", os.path.basename(d))
-            if m and int(m.group(1)) not in keep:
+            if m and int(m.group(1)) < cur - self.KEEP_SNAPSHOTS:
                 spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_ident(name, int(m.group(1)))}"
                 )
                 shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(os.path.join(self.path(name), ".stage-*")):
+            try:
+                if _time.time() - os.path.getmtime(d) > self._STAGE_ORPHAN_SECS:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass  # another writer claimed or swept it mid-check
+
+    # a .stage-* dir this old can only be a crashed writer's leftover
+    _STAGE_ORPHAN_SECS = 3600
+
+    def _stage_dir(self, name: str) -> str:
+        import uuid
+
+        os.makedirs(self.path(name), exist_ok=True)
+        return os.path.join(self.path(name), f".stage-{uuid.uuid4().hex[:12]}")
+
+    def _claim_version(self, name: str, stage: str, start: int) -> int:
+        """Atomically promote a fully-built stage dir to the lowest free
+        version number >= start via os.rename (fails if the target exists —
+        POSIX rename onto a non-empty dir is ENOTEMPTY), so two concurrent
+        writers can NEVER interleave files inside one version dir. Combined
+        with the tmp+rename pointer flip this gives last-committer-wins with
+        no torn snapshot: each v<N>/ is written by exactly one writer and is
+        complete (_SUCCESS included) before it becomes visible; concurrent
+        writers that both started from the same base version race only on
+        the pointer flip, and the loser's committed rows are superseded
+        whole (the documented lost-update window — writers wanting
+        serialized merges must coordinate externally; there is no
+        compare-and-swap on the pointer)."""
+        ver = start
+        while True:
+            target = os.path.join(self.path(name), f"v{ver}")
+            try:
+                os.rename(stage, target)
+                return ver
+            except OSError:
+                ver += 1  # claimed by another writer or a crash orphan
 
     def write_bucketed(
         self,
@@ -159,22 +199,25 @@ class Warehouse:
         bucket, which is what lets downstream scans report both the hash
         partitioning AND the sort order (no Sort before a sort-merge join).
 
-        Snapshot-atomic: the new table materializes into a fresh version dir
-        `name/v<N+1>/`; the bucket-spec pointer flip (tmp+rename) is the
-        commit. A mid-write failure (schema error, OOM) leaves the previous
-        snapshot intact and readable, and a df whose lineage reads the table
-        being overwritten computes from the still-live previous version.
-        """
+        Snapshot-atomic AND concurrent-writer-safe (r4): the table
+        materializes into a UNIQUE `.stage-<uuid>/` dir, is atomically
+        promoted to the lowest free `v<N>/` (_claim_version — rename fails
+        on an existing target, so no two writers ever share a version dir),
+        and the bucket-spec pointer flip (tmp+rename) is the commit. A
+        mid-write failure leaves the previous snapshot intact and readable;
+        concurrent writers serialize to last-committer-wins (see
+        _claim_version for the documented lost-update window)."""
         sort_col = sort_col or bucket_col
         spark = df.sparkSession
         old_meta = self._bucket_meta(name)
         old_ver = (old_meta or {}).get("version", 0)
-        new_ver = old_ver + 1
-        tbl = self._table_ident(name, new_ver)
-        new_dir = os.path.join(self.path(name), f"v{new_ver}")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(new_dir, ignore_errors=True)
         had_plain = old_meta is None and self.exists(name)
+        stage = self._stage_dir(name)
+        # the stage catalog ident is transient: dropped right after the
+        # write; the committed version's ident is (re)created lazily by
+        # read_bucketed from the persisted spec, so nothing in the catalog
+        # can point at a pre-claim path
+        stage_tbl = f"{self._table_ident(name)}_stage_{os.path.basename(stage)[7:]}"
         from pyspark.sql import functions as F
 
         (
@@ -182,9 +225,12 @@ class Warehouse:
             .write.mode("overwrite")
             .bucketBy(n_buckets, bucket_col)
             .sortBy(sort_col)
-            .option("path", new_dir)
-            .saveAsTable(tbl)
+            .option("path", stage)
+            .saveAsTable(stage_tbl)
         )
+        schema_json = spark.table(stage_tbl).schema.json()
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        new_ver = self._claim_version(name, stage, old_ver + 1)
         # COMMIT: flip the snapshot pointer, then sweep superseded state
         self._write_bucket_meta(
             name,
@@ -193,7 +239,7 @@ class Warehouse:
                 "n_buckets": n_buckets,
                 "bucket_col": bucket_col,
                 "sort_col": sort_col,
-                "schema_json": spark.table(tbl).schema.json(),
+                "schema_json": schema_json,
             },
         )
         if old_meta is not None:
@@ -388,25 +434,26 @@ class Warehouse:
         ).localCheckpoint()
 
         # stage the merged touched-bucket rows as a bucketed table with the
-        # SAME spec directly into the next version dir: bucket hashing is
+        # SAME spec into a unique .stage-<uuid> dir: bucket hashing is
         # deterministic, so it holds exactly one correctly-named file per
-        # touched bucket
-        new_ver = old_ver + 1
-        new_dir = os.path.join(self.path(name), f"v{new_ver}")
-        new_tbl = self._table_ident(name, new_ver)
-        spark.sql(f"DROP TABLE IF EXISTS {new_tbl}")
-        shutil.rmtree(new_dir, ignore_errors=True)
+        # touched bucket. The COMPLETE snapshot (merged buckets + hardlinked
+        # untouched buckets) is assembled in the stage before the atomic
+        # rename-claim, so a version dir is all-or-nothing even under
+        # concurrent writers (r4; see _claim_version).
+        stage = self._stage_dir(name)
+        stage_tbl = f"{self._table_ident(name)}_stage_{os.path.basename(stage)[7:]}"
         (
             merged.repartition(n, F.col(bcol))
             .write.mode("overwrite")
             .bucketBy(n, bcol)
             .sortBy(scol)
-            .option("path", new_dir)
-            .saveAsTable(new_tbl)
+            .option("path", stage)
+            .saveAsTable(stage_tbl)
         )
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
         stage_buckets = {
             self._bucket_id_of_file(f)
-            for f in glob.glob(os.path.join(new_dir, "*.parquet"))
+            for f in glob.glob(os.path.join(stage, "*.parquet"))
         }
         if not stage_buckets <= set(touched):
             # unconditional (not an assert, which vanishes under python -O):
@@ -416,15 +463,13 @@ class Warehouse:
                 f"staged rows landed outside touched buckets: "
                 f"{stage_buckets - set(touched)}"
             )
-        # hardlink every untouched bucket file into the new snapshot (same
+        # hardlink every untouched bucket file into the staged snapshot (same
         # filesystem by construction; O(1) per file, shares the bytes)
         for b, files in by_bucket.items():
             if b not in touched:
                 for f in files:
-                    os.link(f, os.path.join(new_dir, os.path.basename(f)))
-        # the catalog entry cached its file listing at saveAsTable time,
-        # before the links landed
-        spark.sql(f"REFRESH TABLE {new_tbl}")
+                    os.link(f, os.path.join(stage, os.path.basename(f)))
+        new_ver = self._claim_version(name, stage, old_ver + 1)
         # COMMIT: flip the snapshot pointer, then sweep the old version
         self._write_bucket_meta(name, {**meta, "version": new_ver})
         spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name, old_ver)}")

@@ -291,3 +291,78 @@ def test_read_bucketed_missing_table_raises_filenotfound(spark, tmp_path):
     wh.drop("t", spark)
     with pytest.raises(FileNotFoundError, match="no bucketed table"):
         wh.read_bucketed(spark, "t")
+
+
+def test_concurrent_merges_no_torn_snapshot(spark, tmp_path):
+    """Two independent writer PROCESSES merging disjoint keys into the same
+    bucketed table concurrently (VERDICT r3 #5). The stage+rename-claim
+    commit protocol guarantees no torn snapshot: the final pointer must
+    reference a complete version dir (_SUCCESS, one file per bucket, every
+    file parseable) whose contents are one of the three serializable
+    outcomes — base+A, base+B (documented lost-update window,
+    last-committer-wins), or base+A+B (one writer observed the other's
+    commit). Both version dirs that were claimed must be complete."""
+    import glob
+    import os
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(f"u{i}", 0) for i in range(8)], "url string, v int"
+    )
+    wh.write_bucketed(base, "t", n_buckets=4)
+
+    worker = os.path.join(os.path.dirname(__file__), "helpers", "concurrent_merge_worker.py")
+    env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, tag, str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for tag in ("a", "b")
+    ]
+    deadline = time.time() + 150
+    while not all(
+        os.path.exists(os.path.join(str(tmp_path), f"ready_{t}")) for t in ("a", "b")
+    ):
+        if time.time() > deadline or any(p.poll() not in (None,) for p in procs):
+            for p in procs:
+                p.kill()
+                print(p.communicate()[0].decode()[-2000:])
+            raise AssertionError("workers failed to reach the barrier")
+        time.sleep(0.1)
+    with open(os.path.join(str(tmp_path), "go"), "w"):
+        pass
+    outs = [p.communicate(timeout=150)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    # pointer references a complete snapshot
+    cur = wh.current_data_dir("t")
+    assert os.path.exists(os.path.join(cur, "_SUCCESS"))
+    files = glob.glob(os.path.join(cur, "*.parquet"))
+    assert len(files) == 4  # exactly one file per bucket, no interleaving
+    for f in files:
+        pq.ParquetFile(f)  # parseable, not torn
+
+    got = {r.url: r.v for r in wh.read(spark, "t").collect()}
+    base_keys = {f"u{i}" for i in range(8)}
+    a_keys = {f"a{i}" for i in range(4)}
+    b_keys = {f"b{i}" for i in range(4)}
+    assert set(got) in (
+        base_keys | a_keys,
+        base_keys | b_keys,
+        base_keys | a_keys | b_keys,
+    ), sorted(got)
+    # base rows survive untouched in every outcome
+    assert all(got[k] == 0 for k in base_keys)
+
+    # every claimed version dir is complete (a loser's committed-but-
+    # superseded snapshot is still a valid snapshot, never a torn one)
+    for d in glob.glob(os.path.join(wh.path("t"), "v*")):
+        assert os.path.exists(os.path.join(d, "_SUCCESS")), d
