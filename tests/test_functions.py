@@ -615,3 +615,29 @@ def test_extract_features_decoder_injection_end_to_end(spark):
         for r in extract_features(media, num_partitions=2, algo="md5").collect()
     }
     assert stub == plain
+
+
+def test_ngram_decontam_against_explicit_suite(spark):
+    """ngram_decontam_against counts a training doc's distinct 4-grams that
+    appear in the explicit eval-suite gram table; clean docs are absent."""
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        eval_suite_grams,
+        ngram_decontam_against,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # 2 grams, both in suite
+            (2, "alpha beta gamma delta unrelated"), # 1 shared gram
+            (3, "totally clean text about engines"), # 0 -> absent
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_shared_ngrams
+        for r in ngram_decontam_against(train, eval_suite_grams(eval_docs)).collect()
+    }
+    assert got == {1: 2, 2: 1}

@@ -229,3 +229,33 @@ def test_no_redundant_corpus_scans(docs, spark):
         # each scan twice — tree + node-detail section)
         n = physical_plan_string(q).count("Scan parquet")
         assert n <= cap, f"{n} corpus scans (cap {cap})"
+
+
+def test_decontam_eval_suite_broadcasts(spark, docs):
+    """ngram_decontam_against with a benchmark-sized eval gram table
+    (VERDICT r3 #7): the planner must pick BroadcastHashJoin with the eval
+    side as the build side purely from size statistics (no hint in the
+    code), keeping the training gram stream map-side."""
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        eval_suite_grams,
+        ngram_decontam_against,
+    )
+
+    eval_docs = spark.range(0, 40).selectExpr(
+        "id as doc_id",
+        "concat('benchmark question ', id, ' asks about topic ', id % 7, "
+        "' with answer choices alpha beta gamma delta') as text",
+    )
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    grams = eval_suite_grams(eval_docs).localCheckpoint()  # bounded suite
+    p = physical_plan_string(ngram_decontam_against(docs, grams))
+    assert "BroadcastHashJoin" in p and "BuildRight" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # simple mode prints the probe branch (parquet scan) BEFORE the build
+    # branch: everything after BroadcastExchange must be the checkpointed
+    # eval grams (ExistingRDD), never the corpus scan
+    bx = p.split("BroadcastExchange", 1)[1]
+    assert "Scan ExistingRDD" in bx and "Scan parquet" not in bx
