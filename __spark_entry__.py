@@ -38,6 +38,8 @@ from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
 )
 from medical_doc_knowledge_graph_system_spark.operators.graph_queries import (
     all_paths,
+    k_hop,
+    multi_source_shortest_paths,
     shortest_path,
 )
 from medical_doc_knowledge_graph_system_spark.functions.curate import (
@@ -58,7 +60,9 @@ from medical_doc_knowledge_graph_system_spark.functions.textfns import (
     with_bpe_token_count,
     with_fingerprint,
     with_lang_guess,
+    eval_suite_grams,
     ngram_decontam,
+    ngram_decontam_against,
     with_repetition,
     with_rolling_hash,
     with_quality_score,
@@ -237,6 +241,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GPT-3-style benchmark decontamination: 4-gram overlap vs the eval split
     q["decontam_ngram"] = lambda s, d: ngram_decontam(_t(s, d, "documents"))
 
+    # decontamination in the PRODUCTION shape (r4): an explicit eval-suite
+    # gram table — built here from a deterministic doc_id % 97 split so the
+    # oracle can mirror it — joined against the training corpus; the plan
+    # broadcasts the suite side from size statistics alone (plan-tested).
+    def decontam_suite(s, d):
+        docs = _t(s, d, "documents")
+        return ngram_decontam_against(
+            docs.where(F.col("doc_id") % 97 != 0),
+            eval_suite_grams(docs.where(F.col("doc_id") % 97 == 0)),
+        )
+
+    q["decontam_suite"] = decontam_suite
+
     # deduplication
     q["dedup_exact"] = lambda s, d: exact_dup_flags_expr(_t(s, d, "documents"))
     q["dedup_minhash_sig"] = lambda s, d: minhash_signatures(_t(s, d, "documents"))
@@ -402,6 +419,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_paths"] = kg_paths
+
+    # C13 at the gate (was pytest-only through r3): ALL seed×target shortest
+    # paths in one BFS loop; oracle enumerates simple paths per seed
+    # recursively and picks (min hops, min path, min rels) per pair — the
+    # same equivalence argument as kg_shortest_path, per seed.
+    def kg_reasoning_paths(s, d):
+        mp = multi_source_shortest_paths(
+            _kg_edges(s, d), ["slow", "scan"], ["table", "join"], max_hops=3
+        )
+        return mp.select(
+            "seed_id",
+            "target_id",
+            "hops",
+            F.array_join("path", "|").alias("path_str"),
+            F.array_join("rels", "|").alias("rels_str"),
+        )
+
+    q["kg_reasoning_paths"] = kg_reasoning_paths
+
+    # C9 at the gate (was pytest-only through r3): relationship-constrained
+    # k-hop — the type filter pushed into every expansion step. Deliberately
+    # runs the DISTRIBUTED frontier loop (k_hop has no driver shortcut), so
+    # the gate keeps an iterative distributed traversal now that the path
+    # queries take the sub-threshold in-memory BFS.
+    def kg_khop_rel(s, d):
+        seeds = s.createDataFrame([("join",)], "node_id string")
+        return k_hop(
+            _kg_edges(s, d),
+            seeds,
+            max_hops=2,
+            allowed_rel_types=["APPLIED_TO", "EXECUTES"],
+        )
+
+    q["kg_khop_rel"] = kg_khop_rel
 
     # gap-based sessionization: lag + cumulative sum of new-session flags
     def events_sessions(s, d):
@@ -1296,6 +1347,54 @@ FROM paths WHERE y = 'table'
 ORDER BY hops, path, rels LIMIT {{lim}}"""
     o["kg_shortest_path"] = _paths_rec.format(max_hops=4, lim=1)
     o["kg_paths"] = _paths_rec.format(max_hops=3, lim=5)
+    # Per-seed simple-path enumeration; first-arrival per (seed, target) ==
+    # per-pair BFS shortest path (multi_source_shortest_paths docstring).
+    o["kg_reasoning_paths"] = f"""
+WITH RECURSIVE {_triples_cte()},
+und AS (
+  SELECT subj AS x, obj AS y, pred AS rel FROM triples
+  UNION
+  SELECT obj AS x, subj AS y, pred AS rel FROM triples
+),
+seeds(s) AS (VALUES ('slow'), ('scan')),
+paths(seed_id, y, path, rels, hops) AS (
+  SELECT s, s, [s], []::VARCHAR[], 0 FROM seeds
+  UNION ALL
+  SELECT p.seed_id, u.y, list_append(p.path, u.y), list_append(p.rels, u.rel), p.hops + 1
+  FROM paths p JOIN und u ON u.x = p.y
+  WHERE NOT list_contains(p.path, u.y) AND p.hops < 3
+),
+hits AS (
+  SELECT seed_id, y AS target_id, hops, path, rels,
+         row_number() OVER (PARTITION BY seed_id, y
+                            ORDER BY hops, path, rels) AS rn
+  FROM paths
+  WHERE y IN ('table', 'join') AND y <> seed_id
+)
+SELECT seed_id, target_id, CAST(hops AS INT) AS hops,
+       array_to_string(path, '|') AS path_str,
+       array_to_string(rels, '|') AS rels_str
+FROM hits WHERE rn = 1"""
+    o["kg_khop_rel"] = f"""
+WITH {_triples_cte()},
+und AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT subj AS x, obj AS y FROM triples WHERE pred IN ('APPLIED_TO', 'EXECUTES')
+    UNION
+    SELECT obj AS x, subj AS y FROM triples WHERE pred IN ('APPLIED_TO', 'EXECUTES')
+  )
+),
+hop1 AS (SELECT DISTINCT y AS node_id FROM und WHERE x = 'join' AND y <> 'join'),
+hop2 AS (
+  SELECT DISTINCT u.y AS node_id
+  FROM und u JOIN hop1 h ON u.x = h.node_id
+  WHERE u.y <> 'join' AND u.y NOT IN (SELECT node_id FROM hop1)
+)
+SELECT * FROM (
+  SELECT node_id, 1 AS hops FROM hop1
+  UNION ALL
+  SELECT node_id, 2 AS hops FROM hop2
+) ORDER BY hops, node_id LIMIT 100"""
     o["events_sessions"] = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -1451,6 +1550,21 @@ ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
 FROM g JOIN ev USING (gram)
 WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id"""
+    o["decontam_suite"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) AS grams
+  FROM toks
+),
+g AS (SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM gl)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id"""
     o["mm_resize"] = """
 WITH m AS (

@@ -61,6 +61,9 @@ HEADLINE = [
     "mm_resize",
     "kg_shortest_path",
     "kg_paths",
+    "kg_reasoning_paths",
+    "kg_khop_rel",
+    "decontam_suite",
     "events_hourly",
     "events_sessions",
     "events_pivot",
@@ -299,9 +302,13 @@ def main() -> None:
                 s = get_spark(app_name="bench_gen", cores=cpus)
                 write_pages_parquet_spark(s, scale_path, scale_pages)
                 s.stop()
-        lo = run_kg_pipeline(n_cores, scale_path, f"scale{n_cores}", shuffle_partitions=16)
+        # pin shuffle width to cover the BIGGER run (4N cores) so reduce-side
+        # task count never caps parallelism; both runs share the pin so only
+        # executor parallelism varies
+        sp = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", str(max(16, 8 * n_cores))))
+        lo = run_kg_pipeline(n_cores, scale_path, f"scale{n_cores}", shuffle_partitions=sp)
         hi = run_kg_pipeline(
-            4 * n_cores, scale_path, f"scale{4 * n_cores}", shuffle_partitions=16
+            4 * n_cores, scale_path, f"scale{4 * n_cores}", shuffle_partitions=sp
         )
         eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
         result["scaling"] = {
