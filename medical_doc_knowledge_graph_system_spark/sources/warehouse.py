@@ -288,6 +288,44 @@ class Warehouse:
             )
         return spark.table(tbl)
 
+    def read_incremental(self, spark: SparkSession, name: str) -> DataFrame:
+        """Rows of the buckets the LAST commit rewrote — the Iceberg
+        snapshot-incremental read (VERDICT r3 #4's remaining catalog-surface
+        gap), implementable natively because untouched bucket files are
+        HARDLINKED between snapshots: any file in the current version that
+        is not hardlinked into the retained previous version (checked by
+        inode, robust to same-bucket rewrites keeping a name) was produced
+        by the last commit. Cost is O(files) metadata stats + a scan of the
+        changed files only — a downstream consumer (re-embedding, index
+        refresh, CDC-ish fanout) re-processes k/N of the table after a
+        merge touching k buckets, never the whole table.
+
+        Granularity is the bucket: a rewritten bucket's rows include
+        unchanged rows that share the bucket (same as Iceberg's
+        copy-on-write file granularity). A fresh table (v1, nothing
+        retained) is entirely new, so all rows return."""
+        import glob
+
+        meta = self._bucket_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no bucketed table {name!r} in warehouse {self.root!r}"
+            )
+        cur = meta.get("version", 0)
+        cur_files = sorted(glob.glob(os.path.join(self._version_dir(name, cur), "*.parquet")))
+        prev_dir = self._version_dir(name, cur - 1)
+        prev_inodes = {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(prev_dir, "*.parquet"))
+        } if cur > 1 and os.path.exists(prev_dir) else set()
+        changed = [f for f in cur_files if os.stat(f).st_ino not in prev_inodes]
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if not changed:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*changed)
+
     def write(
         self,
         df: DataFrame,
@@ -416,6 +454,16 @@ class Warehouse:
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        missing = set(schema.fieldNames()) - set(df.columns)
+        extra = set(df.columns) - set(schema.fieldNames())
+        if missing or extra:
+            # explicit, not silent: the later select(*fieldNames) would drop
+            # unexpected incoming columns without a trace
+            raise ValueError(
+                f"merge schema mismatch for {name!r}: missing {sorted(missing)}, "
+                f"unexpected {sorted(extra)} (schema evolution is not supported "
+                "on merge; rewrite with write_bucketed)"
+            )
         existing_touched = (
             spark.read.schema(schema).parquet(*touched_files)
             if touched_files

@@ -366,3 +366,60 @@ def test_concurrent_merges_no_torn_snapshot(spark, tmp_path):
     # superseded snapshot is still a valid snapshot, never a torn one)
     for d in glob.glob(os.path.join(wh.path("t"), "v*")):
         assert os.path.exists(os.path.join(d, "_SUCCESS")), d
+
+
+def test_read_incremental_returns_only_rewritten_buckets(spark, tmp_path):
+    """Iceberg-style snapshot-incremental read (r4): after a merge touching
+    a subset of buckets, read_incremental returns exactly the rows of the
+    rewritten buckets (hardlinked untouched buckets are excluded by inode
+    identity); after the initial write, everything is new."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(f"u{i}", 0) for i in range(16)], "url string, v int"
+    )
+    wh.write_bucketed(base, "t", n_buckets=4)
+    assert wh.read_incremental(spark, "t").count() == 16  # v1: all new
+
+    upd = spark.createDataFrame([("u3", 1), ("u3b", 1)], "url string, v int")
+    wh.merge_upsert(upd, "t", ["url"])
+    inc = wh.read_incremental(spark, "t")
+    got = {r.url: r.v for r in inc.collect()}
+    assert "u3" in got and got["u3"] == 1 and got["u3b"] == 1
+    # only the touched buckets' rows: every returned row hashes into the
+    # bucket set of the incoming keys
+    n = 4
+    touched = {
+        r.b
+        for r in upd.select(F.pmod(F.hash("url"), F.lit(n)).alias("b")).collect()
+    }
+    for r in inc.collect():
+        b = spark.createDataFrame([(r.url,)], "url string").select(
+            F.pmod(F.hash("url"), F.lit(n)).alias("b")
+        ).collect()[0].b
+        assert b in touched, (r.url, b, touched)
+    # strictly fewer rows than the table unless every bucket was hit
+    assert inc.count() < wh.read(spark, "t").count()
+
+
+def test_merge_schema_mismatch_raises(spark, tmp_path):
+    """A merge whose frame carries unexpected or missing columns must fail
+    loudly instead of silently dropping data (r4)."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame([("u1", 1)], "url string, v int")
+    wh.write_bucketed(df, "t", n_buckets=2)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        wh.merge_upsert(
+            spark.createDataFrame([("u2", 2, "x")], "url string, v int, junk string"),
+            "t",
+            ["url"],
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        wh.merge_upsert(
+            spark.createDataFrame([("u2",)], "url string"), "t", ["url"]
+        )
+    # table untouched by the failed merges
+    assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 1}
