@@ -193,17 +193,18 @@ def _random_graph(spark, n_nodes=24, n_edges=60, seed=7):
     return spark.createDataFrame(rows, "src string, dst string, rel_type string")
 
 
-def test_shortest_path_driver_equals_distributed(spark):
+@pytest.mark.parametrize("seed", [7, 23])
+def test_shortest_path_driver_equals_distributed(spark, seed):
     """The sub-threshold in-memory BFS (corelib/graphalgs.py) must return
     exactly what the distributed frontier loop returns — hops, path, rels —
-    across many (src, dst) pairs of a random multigraph, including
+    across many (src, dst) pairs of random multigraphs, including
     unreachable pairs."""
-    g = _random_graph(spark)
+    g = _random_graph(spark, seed=seed)
     pairs = [("n00", "n13"), ("n05", "n20"), ("n01", "n02"), ("n03", "n99")]
     for src, dst in pairs:
         local = shortest_path(g, src, dst, max_hops=4).collect()
         dist = shortest_path(g, src, dst, max_hops=4, force_distributed=True).collect()
-        assert [tuple(r) for r in local] == [tuple(r) for r in dist], (src, dst)
+        assert [tuple(r) for r in local] == [tuple(r) for r in dist], (src, dst, seed)
 
 
 def test_all_paths_driver_equals_distributed(spark):
