@@ -137,9 +137,17 @@ class Warehouse:
 
         meta = self._bucket_meta(name)
         cur = (meta or {}).get("version", 0)
+        # sweep strictly below the recorded base of the last commit
+        # (prev_version, NOT cur-1: rename-claimed numbers may leave crash
+        # orphans between base and cur). Numbers in [prev, cur] are never
+        # touched — one of them may be a concurrent writer's claimed-but-
+        # not-yet-flipped snapshot (its claim started at its base+1 and its
+        # base was <= our prev at claim time); an orphan in that band is
+        # reaped one commit later when the base moves past it.
+        keep_min = (meta or {}).get("prev_version", cur - 1)
         for d in glob.glob(os.path.join(self.path(name), "v*")):
             m = re.fullmatch(r"v(\d+)", os.path.basename(d))
-            if m and int(m.group(1)) < cur - self.KEEP_SNAPSHOTS:
+            if m and int(m.group(1)) < keep_min:
                 spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_ident(name, int(m.group(1)))}"
                 )
@@ -236,6 +244,10 @@ class Warehouse:
             name,
             {
                 "version": new_ver,
+                # the committed lineage: time travel / sweeping trust this,
+                # never the arithmetic cur-1 (a claim-skipped number may be
+                # a crash orphan, not a snapshot)
+                "prev_version": old_ver,
                 "n_buckets": n_buckets,
                 "bucket_col": bucket_col,
                 "sort_col": sort_col,
@@ -267,7 +279,19 @@ class Warehouse:
             raise FileNotFoundError(
                 f"no bucketed table {name!r} in warehouse {self.root!r}"
             )
-        ver = meta.get("version", 0) if version is None else version
+        cur = meta.get("version", 0)
+        ver = cur if version is None else version
+        if version is not None and version not in {
+            cur,
+            meta.get("prev_version", cur - 1),
+        }:
+            # only the COMMITTED lineage is addressable: a claim-skipped
+            # number may hold a crash orphan with a plausible-looking
+            # _SUCCESS that was never a committed snapshot
+            raise FileNotFoundError(
+                f"v{version} of table {name!r} is not a retained committed "
+                f"snapshot (KEEP_SNAPSHOTS={self.KEEP_SNAPSHOTS})"
+            )
         vdir = self._version_dir(name, ver)
         if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
             raise FileNotFoundError(
@@ -519,7 +543,9 @@ class Warehouse:
                     os.link(f, os.path.join(stage, os.path.basename(f)))
         new_ver = self._claim_version(name, stage, old_ver + 1)
         # COMMIT: flip the snapshot pointer, then sweep the old version
-        self._write_bucket_meta(name, {**meta, "version": new_ver})
+        self._write_bucket_meta(
+            name, {**meta, "version": new_ver, "prev_version": old_ver}
+        )
         spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name, old_ver)}")
         if old_ver == 0:
             # legacy unversioned layout: its files sit at the table root

@@ -423,3 +423,37 @@ def test_merge_schema_mismatch_raises(spark, tmp_path):
         )
     # table untouched by the failed merges
     assert {r.url: r.v for r in wh.read(spark, "t").collect()} == {"u1": 1}
+
+
+def test_claim_skipped_orphan_not_addressable_and_reaped(spark, tmp_path):
+    """A crash orphan occupying a claimed-but-never-committed version
+    number (complete with a plausible _SUCCESS) must (a) push the next
+    writer to the next free number, (b) never be addressable via time
+    travel — only the COMMITTED lineage (version / prev_version) is —
+    and (c) be reaped once the retention base moves past it."""
+    import os
+    import shutil
+
+    import pytest
+
+    wh = Warehouse(str(tmp_path))
+    df = spark.createDataFrame([("u1", 1)], "url string, v int")
+    wh.write_bucketed(df, "t", n_buckets=2)  # v1
+    # fake a claimed-but-unflipped commit at v2 (crashed writer)
+    orphan = os.path.join(wh.path("t"), "v2")
+    shutil.copytree(wh.current_data_dir("t"), orphan)
+    wh.write_bucketed(df.withColumn("v", df.v + 1), "t", n_buckets=2)
+    meta = wh._bucket_meta("t")
+    assert meta["version"] == 3 and meta["prev_version"] == 1  # v2 skipped
+    # committed lineage addressable; the orphan is not
+    assert {r.v for r in wh.read_bucketed(spark, "t", version=1).collect()} == {1}
+    assert {r.v for r in wh.read_bucketed(spark, "t").collect()} == {2}
+    with pytest.raises(FileNotFoundError, match="committed"):
+        wh.read_bucketed(spark, "t", version=2)
+    # orphan survives this commit's sweep (concurrent-claim grace band)...
+    assert os.path.exists(orphan)
+    wh.write_bucketed(df.withColumn("v", df.v + 2), "t", n_buckets=2)  # v4
+    # ...and is reaped once the base (prev_version=3) moves past it
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
+    assert {r.v for r in wh.read_bucketed(spark, "t", version=3).collect()} == {2}
