@@ -173,6 +173,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_components"] = kg_components
 
+    # C3 alternative shape (r4): large-star/small-star CC — the O(log n)-
+    # round algorithm that also converges on large-diameter components
+    # where min-label propagation needs O(diameter) rounds. Same graph,
+    # same oracle as kg_components (the answer is
+    # implementation-independent).
+    def kg_components_star(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.resolve import (
+            _cc_large_small_star,
+        )
+
+        docs = _t(s, d, "documents")
+        m = webkg.doc_mentions(docs).localCheckpoint()
+        edges = (
+            webkg.doc_triples(docs, mentions=m)
+            .select(
+                F.least("subj", "obj").alias("a"),
+                F.greatest("subj", "obj").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        nodes = m.select(F.col("term").alias("name")).distinct()
+        return _cc_large_small_star(nodes, edges)
+
+    q["kg_components_star"] = kg_components_star
+
     # URL canonicalization (crawl-pipeline identity key, functions/urlfns.py):
     # the gate tables carry no URL column, so a deterministic mixed-pathology
     # URL is synthesized per doc_id IDENTICALLY on both engines (uppercase
@@ -1013,6 +1039,8 @@ reach AS (
   SELECT reach.name, und.y AS r FROM reach JOIN und ON reach.r = und.x
 )
 SELECT name, min(r) AS comp FROM reach GROUP BY name"""
+    # same oracle: the component labeling is implementation-independent
+    o["kg_components_star"] = o["kg_components"]
 
     o["kg_mentions"] = f"WITH {_mentions_cte()} SELECT doc_id, term, label FROM mentions"
     o["kg_mention_counts"] = (

@@ -32,6 +32,7 @@ HEADLINE = [
     "kg_mentions",
     "kg_remap_salted",
     "kg_components",
+    "kg_components_star",
     "kg_triples",
     "kg_cooccur_topk",
     "kg_khop2",

@@ -218,10 +218,97 @@ def _cc_iterative(
         # components (name_map drift vs the oracle's union-find) — fail loud.
         raise RuntimeError(
             f"connected components did not converge in {max_iter} iterations; "
-            "a component has diameter > max_iter — raise max_iter or switch "
-            "to large-star/small-star propagation"
+            "a component has diameter > max_iter — raise max_iter or use "
+            "_cc_large_small_star (O(log n) rounds on any diameter)"
         )
     return lbl
+
+
+def _cc_large_small_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50, num_partitions: int = 8
+) -> DataFrame:
+    """Two-phase large-star / small-star CC — the O(log n)-round companion
+    to _cc_iterative for LARGE-DIAMETER components (a chain of length d
+    needs d rounds of min-label propagation but only ~log d star rounds).
+    Same contract: (nodes, edges (a, b)) -> (name, comp) with comp = the
+    lexicographically smallest member — pytest-pinned equal to both
+    _cc_iterative and the union-find oracle, including a chain graph far
+    beyond _cc_iterative's default iteration bound.
+
+    Each round: large-star hangs every neighbor v > u onto
+    m = min(N(u) ∪ {u}); small-star hangs the v <= u neighbors (and u
+    itself) onto m; converged when the directed edge set reaches its
+    fixpoint (a forest of stars centered at component minima). min is an
+    algebraic aggregate, so Spark's map-side partial aggregation absorbs
+    hot-node degree skew without explicit salting. Public-paper algorithm
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond')."""
+
+    def _bi(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _mins(bi: DataFrame) -> DataFrame:
+        return (
+            bi.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        bi = _bi(e)
+        cand = bi.join(_mins(bi), "u")
+        return (
+            cand.where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        bi = _bi(e)
+        withm = bi.join(_mins(bi), "u")
+        hung = withm.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_link = withm.select("u", F.col("m").alias("v"))
+        return (
+            hung.union(self_link)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    E = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(num_partitions, "u")
+        .localCheckpoint()
+    )
+    for i in range(max_iter):
+        new_E = _small_star(_large_star(E)).localCheckpoint()
+        # ONE probe job per round: symmetric difference, first row only
+        # (both exceptAll legs scan the two checkpointed frames). Round 0
+        # always changes on any non-star input — skip its probe.
+        changed = 1
+        if i > 0:
+            changed = (
+                new_E.exceptAll(E)
+                .union(E.exceptAll(new_E))
+                .limit(1)
+                .count()
+            )
+        E = new_E
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a star forest: every non-center points at its component
+    # min; centers (and isolated nodes) label themselves
+    centers = E.groupBy("u").agg(F.min("v").alias("comp"))
+    return nodes.join(centers, nodes.name == centers.u, "left").select(
+        "name", F.coalesce("comp", "name").alias("comp")
+    )
 
 
 def _canonical_per_component(members: DataFrame) -> DataFrame:

@@ -162,3 +162,59 @@ def test_distributed_name_map_template_heavy(spark):
     want = oracle_nm(names)
     assert got == want
     assert sum(1 for k, v in want.items() if k != v) > 100  # real merges happened
+
+
+def test_large_small_star_cc_matches_min_label_and_handles_chains(spark):
+    """_cc_large_small_star must equal _cc_iterative and the union-find
+    min-label ground truth on a random graph, AND converge on a chain whose
+    diameter far exceeds _cc_iterative's default iteration bound (the
+    documented case min-label propagation fail-louds on)."""
+    import random
+
+    import pytest
+
+    from medical_doc_knowledge_graph_system_spark.operators.resolve import (
+        _cc_iterative,
+        _cc_large_small_star,
+    )
+
+    def min_label_oracle(names, pairs):
+        parent = {n: n for n in names}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_members = {}
+        for n in names:
+            comp_members.setdefault(find(n), []).append(n)
+        return {n: min(ms) for ms in comp_members.values() for n in ms}
+
+    rng = random.Random(5)
+    names = [f"n{i:02d}" for i in range(30)]
+    pairs = [
+        (rng.choice(names), rng.choice(names)) for _ in range(25)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    nodes = spark.createDataFrame([(n,) for n in names], "name string")
+    edges = spark.createDataFrame(pairs, "a string, b string")
+    star = {r.name: r.comp for r in _cc_large_small_star(nodes, edges).collect()}
+    it = {r.name: r.comp for r in _cc_iterative(nodes, edges).collect()}
+    assert star == it == min_label_oracle(names, pairs)
+
+    # 60-node chain: diameter 59 — min-label propagation at its default
+    # bound fail-louds; large-star/small-star converges in O(log n) rounds
+    chain_names = [f"c{i:02d}" for i in range(60)]
+    chain_pairs = [(chain_names[i], chain_names[i + 1]) for i in range(59)]
+    cn = spark.createDataFrame([(n,) for n in chain_names], "name string")
+    ce = spark.createDataFrame(chain_pairs, "a string, b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_iterative(cn, ce)
+    star_chain = {r.name: r.comp for r in _cc_large_small_star(cn, ce).collect()}
+    assert star_chain == {n: "c00" for n in chain_names}
