@@ -113,10 +113,27 @@ def codec_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> list[fl
                 for i in range(dim)
             ]
         return None
-    except NotImplementedError:
+    except _decode_error_types():
+        # codec absent or payload undecodable -> deterministic stub fallback.
+        # Deliberately NARROW (ADVICE r4): an unexpected failure (a bug in
+        # the feature math, MemoryError on a huge payload) propagates and
+        # fails the task instead of silently minting plausible fake features.
         return None
+
+
+def _decode_error_types() -> tuple:
+    """Exception types the OPTIONAL codecs raise on absent-codec or
+    undecodable payloads — resolved at call time on the worker, like the
+    codecs themselves. PIL's UnidentifiedImageError subclasses OSError;
+    truncated/garbage media raise OSError/ValueError/EOFError."""
+    types = [NotImplementedError, ValueError, OSError, EOFError]
+    try:
+        import soundfile
+
+        types.append(soundfile.LibsndfileError)  # subclasses RuntimeError
     except Exception:
-        return None  # undecodable payload -> deterministic stub fallback
+        pass
+    return tuple(types)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM, algo: str = "sha256") -> list[float]:

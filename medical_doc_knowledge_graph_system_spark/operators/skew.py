@@ -55,12 +55,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     is a BroadcastExchange does NOT bail out (ADVICE r3): there the probe
     side's partitioning comes from the scan — possibly one split — and the
     probe's cost is just building the (by-definition small) broadcast side.
+    ReusedExchange is also excluded from the bail-out (ADVICE r4): the plan
+    string does not reveal the reused exchange's kind, and the common case
+    in these pipelines is a reused BROADCAST exchange; a reused shuffle
+    would at worst re-run at shuffle width (the pre-r3 conservative cost),
+    never produce a wrong result.
     For hand-tuned widths on shuffle-bearing plans use shuffle_width()
     directly (chunk_pages / extract_features do)."""
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if re.search(r"(?<!Broadcast)Exchange", plan):
+    if re.search(r"(?<!Broadcast)(?<!Reused)Exchange", plan):
         return df
     sc = df.sparkSession.sparkContext
     n = min_partitions or sc.defaultParallelism

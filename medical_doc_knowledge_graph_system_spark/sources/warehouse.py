@@ -106,6 +106,26 @@ class Warehouse:
             json.dump(meta, f)
         os.replace(tmp, p)
 
+    @staticmethod
+    def _build_manifest(data_dir: str, carry: dict | None = None) -> dict:
+        """File manifest of a just-built snapshot dir: {basename: file_id}.
+
+        file_id is a commit-time identity (Iceberg's data-file entry id
+        analogue): files carried over unchanged from the previous snapshot
+        (hardlinked untouched buckets — recognizable by basename, since Spark
+        stamps a fresh job UUID into every newly staged file name) KEEP their
+        previous id; newly written files get a fresh one. The manifest lives
+        in the committed meta, so the change feed (read_incremental) is pure
+        metadata — portable to object stores where inodes don't exist."""
+        import glob
+        import uuid
+
+        carry = carry or {}
+        return {
+            os.path.basename(f): carry.get(os.path.basename(f), uuid.uuid4().hex)
+            for f in glob.glob(os.path.join(data_dir, "*.parquet"))
+        }
+
     def _version_dir(self, name: str, version: int) -> str:
         """Data dir of snapshot `version` (0 = legacy unversioned layout)."""
         return (
@@ -181,14 +201,21 @@ class Warehouse:
         whole (the documented lost-update window — writers wanting
         serialized merges must coordinate externally; there is no
         compare-and-swap on the pointer)."""
+        import errno
+
         ver = start
         while True:
             target = os.path.join(self.path(name), f"v{ver}")
             try:
                 os.rename(stage, target)
                 return ver
-            except OSError:
-                ver += 1  # claimed by another writer or a crash orphan
+            except OSError as e:
+                # only an occupied target means "claimed by another writer /
+                # crash orphan — try the next number". Anything else (stage
+                # dir gone, EACCES, ...) would loop forever: re-raise.
+                if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                    raise
+                ver += 1
 
     def write_bucketed(
         self,
@@ -252,6 +279,11 @@ class Warehouse:
                 "bucket_col": bucket_col,
                 "sort_col": sort_col,
                 "schema_json": schema_json,
+                # full rewrite: every file is new (no carry-over ids)
+                "manifest": self._build_manifest(
+                    self._version_dir(name, new_ver)
+                ),
+                "prev_manifest": (old_meta or {}).get("manifest", {}),
             },
         )
         if old_meta is not None:
@@ -315,19 +347,24 @@ class Warehouse:
     def read_incremental(self, spark: SparkSession, name: str) -> DataFrame:
         """Rows of the buckets the LAST commit rewrote — the Iceberg
         snapshot-incremental read (VERDICT r3 #4's remaining catalog-surface
-        gap), implementable natively because untouched bucket files are
-        HARDLINKED between snapshots: any file in the current version that
-        is not hardlinked into the retained previous version (checked by
-        inode, robust to same-bucket rewrites keeping a name) was produced
-        by the last commit. Cost is O(files) metadata stats + a scan of the
-        changed files only — a downstream consumer (re-embedding, index
-        refresh, CDC-ish fanout) re-processes k/N of the table after a
-        merge touching k buckets, never the whole table.
+        gap). The change feed is PURE METADATA (r5): every commit records a
+        file manifest {basename: file_id} in the bucket meta, where carried
+        (hardlinked-untouched) files keep their previous id and rewritten
+        buckets' files get fresh ones; the diff of the committed manifest vs
+        the committed prev_manifest IS the changed-file set. No inode or
+        filesystem inspection — portable to object stores, and immune to
+        crash orphans occupying claim-skipped version numbers (the manifests
+        come from the committed lineage, never from version arithmetic).
+        Cost is O(changed files) scan only — a downstream consumer
+        (re-embedding, index refresh, CDC-ish fanout) re-processes k/N of
+        the table after a merge touching k buckets, never the whole table.
 
         Granularity is the bucket: a rewritten bucket's rows include
         unchanged rows that share the bucket (same as Iceberg's
         copy-on-write file granularity). A fresh table (v1, nothing
-        retained) is entirely new, so all rows return."""
+        retained) is entirely new, so all rows return. A pre-manifest
+        (legacy) meta falls back to the hardlink-inode diff against the
+        COMMITTED prev_version snapshot."""
         import glob
 
         meta = self._bucket_meta(name)
@@ -336,13 +373,29 @@ class Warehouse:
                 f"no bucketed table {name!r} in warehouse {self.root!r}"
             )
         cur = meta.get("version", 0)
-        cur_files = sorted(glob.glob(os.path.join(self._version_dir(name, cur), "*.parquet")))
-        prev_dir = self._version_dir(name, cur - 1)
-        prev_inodes = {
-            os.stat(f).st_ino
-            for f in glob.glob(os.path.join(prev_dir, "*.parquet"))
-        } if cur > 1 and os.path.exists(prev_dir) else set()
-        changed = [f for f in cur_files if os.stat(f).st_ino not in prev_inodes]
+        cur_dir = self._version_dir(name, cur)
+        manifest = meta.get("manifest")
+        if manifest is not None:
+            prev_manifest = meta.get("prev_manifest", {})
+            changed = sorted(
+                os.path.join(cur_dir, base)
+                for base, fid in manifest.items()
+                if prev_manifest.get(base) != fid
+            )
+        else:
+            # legacy meta (committed before manifests existed): hardlink-inode
+            # diff vs the COMMITTED previous snapshot — prev_version, never
+            # cur-1, which may be a crash orphan dir (ADVICE r4)
+            cur_files = sorted(glob.glob(os.path.join(cur_dir, "*.parquet")))
+            prev = meta.get("prev_version", cur - 1)
+            prev_dir = self._version_dir(name, prev)
+            prev_inodes = {
+                os.stat(f).st_ino
+                for f in glob.glob(os.path.join(prev_dir, "*.parquet"))
+            } if prev >= 1 and os.path.exists(prev_dir) else set()
+            changed = [
+                f for f in cur_files if os.stat(f).st_ino not in prev_inodes
+            ]
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
@@ -542,9 +595,22 @@ class Warehouse:
                 for f in files:
                     os.link(f, os.path.join(stage, os.path.basename(f)))
         new_ver = self._claim_version(name, stage, old_ver + 1)
-        # COMMIT: flip the snapshot pointer, then sweep the old version
+        # COMMIT: flip the snapshot pointer, then sweep the old version.
+        # Hardlinked untouched buckets keep their previous file ids (their
+        # basenames survive the link), so read_incremental sees exactly the
+        # merged buckets as changed.
         self._write_bucket_meta(
-            name, {**meta, "version": new_ver, "prev_version": old_ver}
+            name,
+            {
+                **meta,
+                "version": new_ver,
+                "prev_version": old_ver,
+                "manifest": self._build_manifest(
+                    self._version_dir(name, new_ver),
+                    carry=meta.get("manifest", {}),
+                ),
+                "prev_manifest": meta.get("manifest", {}),
+            },
         )
         spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name, old_ver)}")
         if old_ver == 0:

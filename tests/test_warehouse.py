@@ -457,3 +457,76 @@ def test_claim_skipped_orphan_not_addressable_and_reaped(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert not os.path.exists(os.path.join(wh.path("t"), "v1"))
     assert {r.v for r in wh.read_bucketed(spark, "t", version=3).collect()} == {2}
+
+
+def test_read_incremental_manifest_driven_and_orphan_proof(spark, tmp_path):
+    """r5: the change feed diffs the COMMITTED file manifests — pure
+    metadata, no inode inspection, no version arithmetic — so it is
+    portable to object stores AND immune to the ADVICE-r4 scenario: a
+    crash orphan occupying v(cur-1) must not perturb the incremental
+    read, which still returns exactly the last commit's rewritten
+    buckets."""
+    import os
+    import shutil
+
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(f"u{i}", 0) for i in range(16)], "url string, v int"
+    )
+    wh.write_bucketed(base, "t", n_buckets=4)  # v1
+    wh.merge_upsert(
+        spark.createDataFrame([("u3", 1)], "url string, v int"), "t", ["url"]
+    )  # v2
+    # fake a crashed writer's claimed-but-never-committed dir at v3
+    orphan = os.path.join(wh.path("t"), "v3")
+    shutil.copytree(wh.current_data_dir("t"), orphan)
+    wh.merge_upsert(
+        spark.createDataFrame([("u5", 2)], "url string, v int"), "t", ["url"]
+    )  # claim skips the orphan -> v4, prev_version=2
+    meta = wh._bucket_meta("t")
+    assert meta["version"] == 4 and meta["prev_version"] == 2
+    inc = wh.read_incremental(spark, "t")
+    got = {r.url: r.v for r in inc.collect()}
+    assert got.get("u5") == 2
+    # only u5's bucket came back, NOT the whole table (the pre-r5 inode
+    # diff against the orphan dir returned everything here)
+    assert inc.count() < wh.read(spark, "t").count()
+    # manifest mechanics: carried (hardlinked) files kept their committed
+    # ids; at least one rewritten file got a fresh one
+    m, pm = meta["manifest"], meta["prev_manifest"]
+    assert [b for b in m if pm.get(b) == m[b]], "untouched buckets must carry ids"
+    assert [b for b in m if pm.get(b) != m[b]], "merged bucket must get a new id"
+
+
+def test_read_incremental_legacy_meta_inode_fallback(spark, tmp_path):
+    """A meta committed before manifests existed falls back to the inode
+    diff — against the COMMITTED prev_version, never cur-1 arithmetic."""
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(f"u{i}", 0) for i in range(16)], "url string, v int"
+    )
+    wh.write_bucketed(base, "t", n_buckets=4)  # v1
+    wh.merge_upsert(
+        spark.createDataFrame([("u3", 1)], "url string, v int"), "t", ["url"]
+    )  # v2
+    meta = wh._bucket_meta("t")
+    for k in ("manifest", "prev_manifest"):
+        meta.pop(k, None)
+    wh._write_bucket_meta("t", meta)
+    inc = wh.read_incremental(spark, "t")
+    assert {r.url for r in inc.collect()} >= {"u3"}
+    assert inc.count() < wh.read(spark, "t").count()
+
+
+def test_claim_version_reraises_unexpected_oserror(tmp_path):
+    """_claim_version retries only on an occupied target (ENOTEMPTY/EEXIST);
+    a vanished stage dir (ENOENT — e.g. reaped as a stale orphan) raises
+    instead of looping forever (ADVICE r4)."""
+    import os
+
+    import pytest
+
+    wh = Warehouse(str(tmp_path))
+    os.makedirs(wh.path("t"), exist_ok=True)
+    with pytest.raises(OSError):
+        wh._claim_version("t", os.path.join(wh.path("t"), ".stage-gone"), 1)
