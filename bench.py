@@ -31,6 +31,7 @@ from medical_doc_knowledge_graph_system_spark.session import get_spark
 HEADLINE = [
     "kg_mentions",
     "kg_remap_salted",
+    "kg_name_map",
     "kg_components",
     "kg_components_star",
     "kg_triples",

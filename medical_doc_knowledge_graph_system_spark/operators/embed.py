@@ -29,8 +29,17 @@ def embed_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield batch.map(lambda t: embed_name(t or ""))
 
 
-def embed_chunks(chunks: DataFrame) -> DataFrame:
-    """chunks -> (chunk_id, url, embedding array<float>[EMBED_DIM])."""
+def embed_chunks(chunks: DataFrame, embedder=None) -> DataFrame:
+    """chunks -> (chunk_id, url, embedding array<float>[EMBED_DIM]).
+
+    `embedder`: optional corpus-trained backend (operators.embed_tfidf
+    .TfidfEmbedder, VERDICT r4 #3) — same output schema and unit-norm
+    contract, JVM-only plan (no Arrow round-trip). Default stays the
+    deterministic hash featurizer, which needs no fit step."""
+    if embedder is not None:
+        return embedder.embed(chunks, text_col="text").select(
+            "chunk_id", "url", "embedding"
+        )
     return chunks.select(
         "chunk_id", "url", embed_udf(F.col("text")).alias("embedding")
     )

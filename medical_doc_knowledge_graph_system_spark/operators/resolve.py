@@ -176,9 +176,15 @@ def _cc_iterative(
     produces chain-shaped components, swap this loop for LS/SS — the
     interface (nodes, edges) -> (name, comp) is the only contract.
     """
+    # pin the edge list BEFORE mirroring it: the union references `edges`
+    # twice and Catalyst reuses nothing across union branches, so an
+    # unpinned edge lineage (LSH self-join + verify UDF) would run twice
+    # just to build edges_bi. The pinned frame is the blocked candidate
+    # edge set — vocabulary-sized, tiny relative to the corpus.
+    e0 = edges.select("a", "b").localCheckpoint()
     edges_bi = (
-        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        e0.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(e0.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .repartition(num_partitions, "y")
         .localCheckpoint()
     )

@@ -86,6 +86,7 @@ def run_pipeline(
     resolve_driver_threshold: int = 500_000,
     bucket_by_url: int = 0,
     normalize_urls: bool = False,
+    embed_backend: str = "hash",
 ) -> dict:
     """Run chunk -> extract -> resolve -> materialize; returns stats dict.
 
@@ -110,7 +111,14 @@ def run_pipeline(
     fragment / case / www / default-port / tracking-param / trailing-slash)
     BEFORE the latest-crawl-wins dedup, so variant fetches of the same page
     (utm-tagged links, http/https, www/apex) collapse to ONE document —
-    URL-level dedup, the first dedup tier of a crawl pipeline."""
+    URL-level dedup, the first dedup tier of a crawl pipeline.
+
+    embed_backend: "hash" (default — deterministic char-n-gram hashing, no
+    fit step) or "tfidf" (corpus-trained IDF weighting, operators/
+    embed_tfidf.py; fits on the deduped pages before the embed stage, and
+    embeds JVM-only — no Arrow round-trip)."""
+    if embed_backend not in ("hash", "tfidf"):
+        raise ValueError(f"unknown embed_backend {embed_backend!r}")
     if lang_filter:
         pages = pages.where(F.col("lang") == lang_filter)
     if normalize_urls:
@@ -174,7 +182,22 @@ def run_pipeline(
 
     from .operators.embed import embed_chunks
 
-    _run_stage(wh, spark, "chunk_embeddings", lambda: embed_chunks(chunks), resume, bucket_by_url=bucket_by_url)
+    embedder = None
+    if embed_backend == "tfidf" and not (
+        resume and wh.checkpoint_done("chunk_embeddings")
+    ):
+        # fit on the deduped page corpus (skipped entirely when resume will
+        # skip the embed stage anyway); at larger scales pass a sample —
+        # IDF weights converge long before the corpus is exhausted
+        from .operators.embed_tfidf import fit_tfidf_embedder
+
+        embedder = fit_tfidf_embedder(pages, "text")
+    _run_stage(
+        wh,
+        spark,
+        "chunk_embeddings",
+        lambda: embed_chunks(chunks, embedder=embedder),
+        resume, bucket_by_url=bucket_by_url)
 
     _run_stage(
         wh,

@@ -56,6 +56,13 @@ def main() -> None:
         "(Iceberg bucket(N,url) analogue; downstream url joins shuffle-free)",
     )
     ap.add_argument(
+        "--embed-backend",
+        choices=("hash", "tfidf"),
+        default="hash",
+        help="chunk-embedding featurizer: deterministic hash (default) or "
+        "corpus-trained TF-IDF (fits IDF weights on the input pages)",
+    )
+    ap.add_argument(
         "--normalize-urls",
         action="store_true",
         help="canonicalize URLs before ingest dedup (variant fetches of one "
@@ -87,6 +94,7 @@ def main() -> None:
         resolve_driver_threshold=args.resolve_driver_threshold,
         bucket_by_url=args.bucket_by_url,
         normalize_urls=args.normalize_urls,
+        embed_backend=args.embed_backend,
     )
     print(json.dumps(stats))
 
