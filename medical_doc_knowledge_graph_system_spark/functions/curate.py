@@ -60,8 +60,49 @@ def curate_docs(
     return kept.join(near_losers, "doc_id", "left_anti")
 
 
+# adaptive bucket-depth bounds (VERDICT r4 #4): per-bucket window rows stay
+# under _TARGET_BUCKET_ROWS; the offsets frame (16^p rows) stays single-
+# window-able under the _MAX_PREFIX_LEN cap. At the 10^12-doc north star,
+# p=5 gives ~10^6 buckets of ~10^6 rows — both sides bounded.
+_TARGET_BUCKET_ROWS = 4_000_000
+_MAX_PREFIX_LEN = 5
+_ASSUMED_BYTES_PER_ROW = 512  # deliberate under-estimate: over-counts rows,
+# so the derived depth errs toward MORE buckets (the safe side for the
+# per-bucket sort; the offsets frame is the cheap side)
+
+
+def _hash_prefix_len(n_rows_estimate: int) -> int:
+    """Smallest hex-prefix length whose 16^p buckets keep the per-bucket
+    window under _TARGET_BUCKET_ROWS, capped at _MAX_PREFIX_LEN."""
+    p = 1
+    while (
+        p < _MAX_PREFIX_LEN
+        and n_rows_estimate > _TARGET_BUCKET_ROWS * (16 ** p)
+    ):
+        p += 1
+    return p
+
+
+def _estimated_rows(df: DataFrame) -> int:
+    """Metadata-only row estimate: Catalyst's rowCount when the optimizer
+    has one, else sizeInBytes / _ASSUMED_BYTES_PER_ROW. Never runs a job —
+    the estimate only picks a power-of-16 bucket count, so an order-of-
+    magnitude error moves the depth by at most one step."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(rc.get().longValue()))
+        return max(1, int(stats.sizeInBytes()) // _ASSUMED_BYTES_PER_ROW)
+    except Exception:
+        return 1 << 20
+
+
 def sample_to_token_budget(
-    docs: DataFrame, budget: int, text_col: str = "text"
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    prefix_len: int | None = None,
 ) -> DataFrame:
     """Deterministic token-budget sample: documents in md5(doc_id) order
     until the cumulative token count exceeds `budget` (the 'give me a 1B-token
@@ -70,21 +111,27 @@ def sample_to_token_budget(
 
     Scale shape — a DISTRIBUTED prefix sum, never a single-partition window,
     and ONE fully lazy plan (no driver collect, no double scan): the hash
-    order is bucketed by its first hex byte (256 ordered buckets, prefix
-    order == total order for hex strings); each bucket computes its running
-    sum in parallel (window partitioned BY BUCKET); each bucket's TOTAL is
-    just max(local_cum) per bucket — derived from the same shuffle, so
-    Catalyst plans the exchange once (ReusedExchange); the 256-row totals
-    frame gets its exclusive prefix sum via a window that only ever sees 256
-    rows; a broadcast join adds the offsets back. Null doc_ids are dropped
-    up front (md5(NULL) would otherwise poison the bucket key)."""
+    order is bucketed by its first p hex chars (16^p ordered buckets; prefix
+    order == total order for equal-length hex prefixes, so cum_tokens is
+    IDENTICAL for every p — regression-pinned); each bucket computes its
+    running sum in parallel (window partitioned BY BUCKET); each bucket's
+    TOTAL is just max(local_cum) per bucket — derived from the same shuffle,
+    so Catalyst plans the exchange once (ReusedExchange); the 16^p-row
+    totals frame gets its exclusive prefix sum via a window that only ever
+    sees 16^p rows; a broadcast join adds the offsets back. p adapts to a
+    metadata-only row estimate (VERDICT r4 #4): fixed 256 buckets would mean
+    corpus/256 rows per bucket window at 100 TB; _hash_prefix_len keeps both
+    the per-bucket sort and the offsets window bounded (~10^6 rows each at
+    10^12 docs). Null doc_ids are dropped up front (md5(NULL) would
+    otherwise poison the bucket key)."""
+    p = prefix_len if prefix_len is not None else _hash_prefix_len(_estimated_rows(docs))
     toks = quality_cols(text_col)["token_count"]
     h = F.md5(F.col("doc_id").cast("string"))
     t = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         toks.alias("token_count"),
         h.alias("h"),
-        F.substring(h, 1, 2).alias("bkt"),
+        F.substring(h, 1, p).alias("bkt"),
     )
     w = (
         Window.partitionBy("bkt")
@@ -98,8 +145,8 @@ def sample_to_token_budget(
         F.sum("token_count").over(w).alias("local_cum"),
     )
     # bucket totals from the SAME partitioned data (max of the running sum),
-    # then an exclusive prefix sum over <= 256 rows — this tiny window is the
-    # only place a single-partition sort happens, on 256 rows by design
+    # then an exclusive prefix sum over <= 16^p rows — this small window is
+    # the only place a single-partition sort happens, bounded by design
     w_off = (
         Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -231,6 +231,36 @@ def test_no_redundant_corpus_scans(docs, spark):
         assert n <= cap, f"{n} corpus scans (cap {cap})"
 
 
+def test_gate_query_scan_budget(spark):
+    """Scan-count audit for the r4/r5 iterative gate queries (VERDICT r4
+    #5): the one-corpus-scan property is pinned, not just measured. The
+    iterative queries (frontier loops / CC rounds / LSH+CC resolution)
+    must return frames whose lineage roots in CHECKPOINTED intermediates
+    only — ZERO parquet scans in the final plan, because every corpus-
+    derived input (mention frame, edge set, name dictionary) was pinned
+    exactly once during the loop. decontam_suite reads the corpus twice
+    by design: once to build the doc gram stream, once for the doc-side
+    projection of the report."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    for name, cap in [
+        ("kg_name_map", 0),
+        ("kg_components_star", 0),
+        ("kg_components", 0),
+        ("kg_reasoning_paths", 0),
+        ("kg_khop_rel", 0),
+        ("decontam_suite", 2),
+    ]:
+        p = physical_plan_string(q[name](spark, SF))
+        n = p.count("Scan parquet")
+        assert n <= cap, f"{name}: {n} corpus scans (cap {cap})"
+
+
 def test_decontam_eval_suite_broadcasts(spark, docs):
     """ngram_decontam_against with a benchmark-sized eval gram table
     (VERDICT r3 #7): the planner must pick BroadcastHashJoin with the eval
