@@ -126,6 +126,27 @@ class Warehouse:
             for f in glob.glob(os.path.join(data_dir, "*.parquet"))
         }
 
+    # changed-bucket log entries retained in the committed meta (bounded so
+    # meta stays O(1); a consumer further behind than this gets the safe
+    # full-table superset)
+    CHANGED_LOG_KEEP = 64
+
+    @classmethod
+    def _append_changed_log(
+        cls, meta: dict, new_ver: int, base_ver: int, buckets: list[int] | str
+    ) -> dict:
+        """Per-commit CDC log: {version(str): {"base": prev committed
+        version, "buckets": [bucket ids] | "full"}}. "base" chains commits
+        (claim-skipped orphan numbers never enter the log), letting
+        read_changes_since verify an unbroken window; "full" marks a
+        whole-table rewrite (write_bucketed)."""
+        log = dict(meta.get("changed_log", {}))
+        log[str(new_ver)] = {"base": base_ver, "buckets": buckets}
+        if len(log) > cls.CHANGED_LOG_KEEP:
+            for k in sorted(log, key=int)[: len(log) - cls.CHANGED_LOG_KEEP]:
+                del log[k]
+        return log
+
     def _version_dir(self, name: str, version: int) -> str:
         """Data dir of snapshot `version` (0 = legacy unversioned layout)."""
         return (
@@ -284,6 +305,9 @@ class Warehouse:
                     self._version_dir(name, new_ver)
                 ),
                 "prev_manifest": (old_meta or {}).get("manifest", {}),
+                "changed_log": self._append_changed_log(
+                    old_meta or {}, new_ver, old_ver, "full"
+                ),
             },
         )
         if old_meta is not None:
@@ -402,6 +426,73 @@ class Warehouse:
         if not changed:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*changed)
+
+    def current_version(self, name: str) -> int:
+        """The committed snapshot version — a CDC consumer's watermark:
+        record it BEFORE processing, pass it to read_changes_since next
+        poll."""
+        meta = self._bucket_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no bucketed table {name!r} in warehouse {self.root!r}"
+            )
+        return meta.get("version", 0)
+
+    def read_changes_since(
+        self, spark: SparkSession, name: str, since_version: int
+    ) -> DataFrame:
+        """Current rows of every bucket rewritten by ANY commit after
+        `since_version` — the multi-commit catch-up read a polling CDC
+        consumer needs (read_incremental only covers the LAST commit).
+        Pure committed metadata: each commit logs its touched bucket ids
+        (changed_log); the union of entries in (since_version, current]
+        maps to the CURRENT snapshot's files of those buckets, so a
+        consumer that slept through k commits reads each changed bucket
+        once at its latest content — Iceberg's incremental scan with
+        overwrite semantics, at bucket (copy-on-write file) granularity.
+
+        Falls back to the full current table when the window cannot be
+        proven bucket-exact: a full-rewrite commit ("full" entry) in the
+        window (every bucket really did change), a window reaching past
+        the bounded log, a pre-CDC-log meta, or a since_version not on
+        the committed chain. The fallback is always a correct superset."""
+        import glob
+
+        meta = self._bucket_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no bucketed table {name!r} in warehouse {self.root!r}"
+            )
+        cur = meta.get("version", 0)
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if since_version >= cur:
+            return spark.createDataFrame([], schema)
+        # walk the committed chain cur -> base -> ... back to since_version;
+        # any missing/"full" link degrades to the full-table read
+        log = meta.get("changed_log", {})
+        buckets: set[int] = set()
+        v = cur
+        while v > since_version:
+            ent = log.get(str(v))
+            if ent is None or ent["buckets"] == "full":
+                return self.read_bucketed(spark, name)
+            buckets.update(ent["buckets"])
+            v = ent["base"]
+        if v != since_version:
+            # since_version was never a committed snapshot of this chain
+            return self.read_bucketed(spark, name)
+        cur_files = [
+            f
+            for f in glob.glob(
+                os.path.join(self._version_dir(name, cur), "*.parquet")
+            )
+            if self._bucket_id_of_file(f) in buckets
+        ]
+        if not cur_files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*sorted(cur_files))
 
     def write(
         self,
@@ -610,6 +701,9 @@ class Warehouse:
                     carry=meta.get("manifest", {}),
                 ),
                 "prev_manifest": meta.get("manifest", {}),
+                "changed_log": self._append_changed_log(
+                    meta, new_ver, old_ver, [int(b) for b in touched]
+                ),
             },
         )
         spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name, old_ver)}")

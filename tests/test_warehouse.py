@@ -530,3 +530,58 @@ def test_claim_version_reraises_unexpected_oserror(tmp_path):
     os.makedirs(wh.path("t"), exist_ok=True)
     with pytest.raises(OSError):
         wh._claim_version("t", os.path.join(wh.path("t"), ".stage-gone"), 1)
+
+
+def test_read_changes_since_multi_commit_catchup(spark, tmp_path):
+    """r5 CDC surface: a consumer that slept through several commits reads
+    the union of the buckets those commits rewrote, at their CURRENT
+    content, from pure committed metadata (changed_log base-chaining).
+    Unprovable windows (full rewrite inside, off-chain watermark) degrade
+    to the full-table superset; an up-to-date watermark reads nothing."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path))
+    base = spark.createDataFrame(
+        [(f"u{i}", 0) for i in range(16)], "url string, v int"
+    )
+    wh.write_bucketed(base, "t", n_buckets=4)  # v1 (full)
+    mark = wh.current_version("t")
+    assert mark == 1
+    wh.merge_upsert(
+        spark.createDataFrame([("u3", 1)], "url string, v int"), "t", ["url"]
+    )  # v2
+    wh.merge_upsert(
+        spark.createDataFrame([("u5", 2)], "url string, v int"), "t", ["url"]
+    )  # v3
+    ch = wh.read_changes_since(spark, "t", mark)
+    got = {r.url: r.v for r in ch.collect()}
+    assert got.get("u3") == 1 and got.get("u5") == 2
+    # bucket-exact: every returned row hashes into the touched-bucket union
+    n = 4
+    touched = {
+        r.b
+        for r in spark.createDataFrame([("u3",), ("u5",)], "url string")
+        .select(F.pmod(F.hash("url"), F.lit(n)).alias("b"))
+        .collect()
+    }
+    for url in got:
+        b = (
+            spark.createDataFrame([(url,)], "url string")
+            .select(F.pmod(F.hash("url"), F.lit(n)).alias("b"))
+            .collect()[0]
+            .b
+        )
+        assert b in touched, (url, b, touched)
+    assert ch.count() < wh.read(spark, "t").count()
+    # up-to-date watermark -> empty frame with the table schema
+    cur = wh.current_version("t")
+    assert wh.read_changes_since(spark, "t", cur).count() == 0
+    # full rewrite inside the window -> full-table read (exact: every
+    # bucket really changed)
+    wh.write_bucketed(
+        base.withColumn("v", F.lit(9)), "t", n_buckets=4
+    )  # v4 "full"
+    assert (
+        wh.read_changes_since(spark, "t", mark).count()
+        == wh.read(spark, "t").count()
+    )
