@@ -305,6 +305,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GPT-3-style benchmark decontamination: 4-gram overlap vs the eval split
     q["decontam_ngram"] = lambda s, d: ngram_decontam(_t(s, d, "documents"))
 
+    # PII redaction (r5): the gate tables carry no PII, so deterministic
+    # PII (email / IPv4 / E.164-ish phone) is synthesized per doc_id
+    # IDENTICALLY on both engines (the url_canonical fixture pattern) —
+    # the operator under test is the redaction + audit counts, pure
+    # regexp columns (functions/textfns.py PII_PATTERNS, shared verbatim
+    # with the RE2 oracle).
+    def text_pii_scrub(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            with_pii_scrub,
+        )
+
+        i = F.col("doc_id")
+
+        def st(x):
+            return x.cast("string")
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), st(i),
+                F.lit("@mail.example.com ip 10."), st(i % 256),
+                F.lit(".0."), st(i % 256),
+                F.lit(" tel +1-555-"), F.lpad(st(i % 10000), 4, "0"),
+            ).alias("text"),
+        )
+        return with_pii_scrub(docs)
+
+    q["text_pii_scrub"] = text_pii_scrub
+
+    # corpus-level duplicated-substring spans (r5): the Lee et al. exact-
+    # substring dedup shape — windowed token hashes, one explode + one
+    # algebraic aggregate, no pairs (functions/dedup.py).
+    def dedup_substring(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            substring_dup_spans,
+        )
+
+        return substring_dup_spans(_t(s, d, "documents"))
+
+    q["dedup_substring"] = dedup_substring
+
     # decontamination in the PRODUCTION shape (r4): an explicit eval-suite
     # gram table — built here from a deterministic doc_id % 97 split so the
     # oracle can mirror it — joined against the training corpus; the plan
@@ -1665,6 +1707,55 @@ f AS (
 )
 SELECT doc_id, n_ngrams, dup_ngram_frac, dup_ngram_frac > 0.2 AS flag_repetitive
 FROM f"""
+    # PII scrub: patterns come verbatim from PII_PATTERNS (no drift); the
+    # synthetic PII fixture mirrors the Spark side expression for
+    # expression. DuckDB regexp_replace needs the explicit 'g' flag (Spark
+    # replaces all matches by default).
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        PII_PATTERNS,
+    )
+
+    _pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    _pii_scrub_expr = "t"
+    for _kind, _pat in PII_PATTERNS.items():
+        _pii_scrub_expr = (
+            f"regexp_replace({_pii_scrub_expr}, '{_pat}', '<{_kind.upper()}>', 'g')"
+        )
+    o["text_pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS t
+  FROM documents
+)
+SELECT doc_id, {_pii_counts}, {_pii_scrub_expr} AS scrubbed
+FROM aug"""
+
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        SUBSTR_WINDOW as _SW,
+    )
+
+    o["dedup_substring"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(ts[i:i+{_SW - 1}], ' '))
+                 for i in range(1, greatest(len(ts)-{_SW}+1, 1) + 1)]) AS win_hash
+  FROM toks
+)
+SELECT win_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM wins
+GROUP BY win_hash
+HAVING COUNT(*) >= 2"""
+
     o["decontam_ngram"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 gl AS (

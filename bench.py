@@ -51,6 +51,8 @@ HEADLINE = [
     "text_rolling_hash",
     "url_canonical",
     "text_repetition",
+    "text_pii_scrub",
+    "dedup_substring",
     "decontam_ngram",
     "sim_topk",
     "sim_neardup",

@@ -227,3 +227,46 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("simhash"),
     )
     return sim
+
+
+SUBSTR_WINDOW = 8
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = SUBSTR_WINDOW,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-substring detection — the exact-substring
+    dedup shape of Lee et al. 2022 ('Deduplicating Training Data Makes
+    Language Models Better'), token-windowed: every sliding window of `w`
+    tokens is hashed, and windows occurring >= min_occ times across the
+    corpus are duplicated spans (boilerplate, licenses, templates).
+    Output: (win_hash, n_docs, n_occurrences).
+
+    Scale shape: ONE explode (O(total tokens) rows) + ONE hash aggregate —
+    no self-join, no candidate pairs; min/count are algebraic, so map-side
+    partial aggregation absorbs the extreme skew of template windows
+    (exactly the hot keys this operator exists to find). The suffix-array
+    construction of the paper is replaced by the windowed-hash equivalent,
+    which distributes trivially and catches every duplicated span of
+    length >= w tokens."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0)))
+    wins = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, w)))
+            )
+        ).alias("win_hash"),
+    )
+    return (
+        wins.groupBy("win_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_occ)
+    )

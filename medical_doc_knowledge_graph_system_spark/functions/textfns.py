@@ -291,3 +291,36 @@ def with_rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda acc, t: (acc * 31 + _tok_hash(t)) % F.lit(ROLLING_MOD),
         ).alias("rolling_hash"),
     )
+
+
+# PII redaction patterns — deliberately RE2- AND java.util.regex-compatible
+# (no backreferences, no lookaround), because the DuckDB oracle runs the
+# SAME strings through RE2 while Spark runs them through Java regex. Order
+# of application is fixed (emails first) so one rule's replacement token
+# can never be half-eaten by a later rule.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the scrubbing pass a web-corpus training pipeline
+    runs before anything is retained (emails / IPv4 addresses / E.164-ish
+    phone numbers -> '<EMAIL>'/'<IPV4>'/'<PHONE>' placeholders), plus
+    per-kind match counts from the ORIGINAL text for audit metrics.
+    Output: (doc_id, n_email, n_ipv4, n_phone, scrubbed). Pure column
+    expressions (regexp_extract_all / regexp_replace) — whole-stage
+    codegen, no UDFs, embarrassingly parallel."""
+    out = df.select("doc_id", F.col(text_col).alias("__t"))
+    counts = [
+        F.size(F.regexp_extract_all(F.col("__t"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    scrub = F.col("__t")
+    for kind, pat in PII_PATTERNS.items():
+        scrub = F.regexp_replace(scrub, pat, f"<{kind.upper()}>")
+    return out.select("doc_id", *counts, scrub.alias("scrubbed"))

@@ -685,3 +685,62 @@ def test_ngram_decontam_against_explicit_suite(spark):
         for r in ngram_decontam_against(train, eval_suite_grams(eval_docs)).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk and 192.168.1.1 call +44-207-9460"),
+            (2, "no pii here at all"),
+            (3, "two mails p@q.io r@s.org one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_pii_scrub(docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 1, 1)
+    assert got[1].scrubbed == "mail <EMAIL> and <IPV4> call <PHONE>"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[2].scrubbed == "no pii here at all"
+    assert got[3].n_email == 2 and got[3].n_ipv4 == 1
+    assert got[3].scrubbed == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
+    # idempotent: scrubbing scrubbed text changes nothing
+    again = with_pii_scrub(
+        with_pii_scrub(docs).select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    assert {r.doc_id: r.scrubbed for r in again.collect()} == {
+        k: v.scrubbed for k, v in got.items()
+    }
+
+
+def test_substring_dup_spans_fixture(spark):
+    """A window duplicated across docs (and repeated within one) is found
+    with exact doc/occurrence counts; unique windows are absent."""
+    import hashlib
+
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        substring_dup_spans,
+    )
+
+    boiler = "all rights reserved do not redistribute this text"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon"),
+            (3, f"unrelated words only in this one document here now"),
+            (4, f"{boiler} {boiler}"),  # twice in one doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.win_hash: (r.n_docs, r.n_occurrences)
+        for r in substring_dup_spans(docs, w=8).collect()
+    }
+    h = hashlib.md5(boiler.encode()).hexdigest()
+    assert got[h] == (3, 4)  # docs 1,2,4; doc 4 contributes two occurrences
+    # doc 3's windows are unique -> none of them surface
+    for wh, (nd, no) in got.items():
+        assert no >= 2
