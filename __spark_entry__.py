@@ -692,6 +692,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), budget=20_000
     )
 
+    # GPT-style sequence packing (r5): concat the corpus token stream in
+    # md5(doc_id) order, split into fixed 64-token training sequences;
+    # one row per (doc, overlapped pack). Same bounded distributed prefix
+    # sum as sample_tokens (functions/curate.py::pack_sequences).
+    def sample_pack(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.curate import (
+            pack_sequences,
+        )
+
+        return pack_sequences(_t(s, d, "documents"), window=64)
+
+    q["sample_pack"] = sample_pack
+
     # domain-mix rebalancing: at most 20 docs per source, md5(doc_id) order
     q["sample_stratified"] = lambda s, d: sample_stratified(_t(s, d, "documents"))
     # the extreme-head production shape: per-partition prune before the
@@ -1661,6 +1674,34 @@ c AS (
   FROM t
 )
 SELECT doc_id, token_count, cum_tokens FROM c WHERE cum_tokens <= 20000"""
+
+    # sequence packing: same cumulative-sum CTE, then per-row pack-range
+    # arithmetic (generate_series is inclusive on both ends, matching
+    # F.sequence; // is BIGINT floor division on the non-negative offsets)
+    o["sample_pack"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS tc,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+  WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, tc,
+         CAST(SUM(tc) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum
+  FROM t
+),
+e AS (
+  SELECT doc_id, tc, cum - tc AS g0,
+         unnest(generate_series((cum - tc) // 64, (cum - 1) // 64)) AS pack_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(greatest(pack_id * 64, g0) - g0 AS BIGINT) AS doc_offset,
+       CAST(least((pack_id + 1) * 64, g0 + tc) - greatest(pack_id * 64, g0) AS BIGINT)
+         AS seg_len
+FROM e"""
 
     # pattern shared verbatim with the Spark side (SQL string literals do not
     # process backslash escapes, so the regex reaches RE2 exactly as written)

@@ -124,6 +124,18 @@ def sample_to_token_budget(
     the per-bucket sort and the offsets window bounded (~10^6 rows each at
     10^12 docs). Null doc_ids are dropped up front (md5(NULL) would
     otherwise poison the bucket key)."""
+    return with_cum_tokens(docs, text_col, prefix_len).where(
+        F.col("cum_tokens") <= budget
+    )
+
+
+def with_cum_tokens(
+    docs: DataFrame, text_col: str = "text", prefix_len: int | None = None
+) -> DataFrame:
+    """(doc_id, token_count, cum_tokens): the corpus-wide running token
+    total in md5(doc_id) order — the distributed prefix sum described in
+    sample_to_token_budget's docstring, shared by the budget sampler and
+    the sequence packer."""
     p = prefix_len if prefix_len is not None else _hash_prefix_len(_estimated_rows(docs))
     toks = quality_cols(text_col)["token_count"]
     h = F.md5(F.col("doc_id").cast("string"))
@@ -155,14 +167,49 @@ def sample_to_token_budget(
         .agg(F.max("local_cum").alias("tot"))
         .select("bkt", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off"))
     )
-    return (
-        local.join(F.broadcast(offsets), "bkt")
-        .select(
-            "doc_id",
-            "token_count",
-            (F.col("local_cum") + F.col("off")).cast("long").alias("cum_tokens"),
-        )
-        .where(F.col("cum_tokens") <= budget)
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "token_count",
+        (F.col("local_cum") + F.col("off")).cast("long").alias("cum_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window: int = 2048,
+    text_col: str = "text",
+    prefix_len: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream in
+    deterministic md5(doc_id) order and split it into fixed `window`-token
+    training sequences (concat-and-split packing — documents straddle pack
+    boundaries instead of leaving padding). Each document emits one row per
+    pack it overlaps: (doc_id, pack_id, doc_offset, seg_len), where
+    doc_offset is the segment's first token WITHIN the document and the
+    per-pack segments tile the pack exactly (sum(seg_len) == window for
+    every full pack).
+
+    Scale shape: the global token offset comes from the SAME bounded
+    distributed prefix sum as sample_to_token_budget (with_cum_tokens);
+    the rest is per-row arithmetic + one explode of ceil(len/window)+1
+    rows per doc — no extra shuffle beyond the prefix sum's."""
+    c = with_cum_tokens(docs, text_col, prefix_len)
+    g0 = (F.col("cum_tokens") - F.col("token_count")).alias("g0")
+    first = F.floor(g0 / window).cast("long")
+    # token_count >= 1 always (split of '' is ['']), so cum-1 >= g0
+    last = F.floor((F.col("cum_tokens") - 1) / window).cast("long")
+    e = c.select(
+        "doc_id", "token_count", g0, F.explode(F.sequence(first, last)).alias("pack_id")
+    )
+    seg_begin = F.greatest(F.col("pack_id") * window, F.col("g0"))
+    seg_end = F.least(
+        (F.col("pack_id") + 1) * window, F.col("g0") + F.col("token_count")
+    )
+    return e.select(
+        "doc_id",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (seg_begin - F.col("g0")).cast("long").alias("doc_offset"),
+        (seg_end - seg_begin).cast("long").alias("seg_len"),
     )
 
 

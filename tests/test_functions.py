@@ -744,3 +744,50 @@ def test_substring_dup_spans_fixture(spark):
     # doc 3's windows are unique -> none of them surface
     for wh, (nd, no) in got.items():
         assert no >= 2
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """Concat-and-split packing invariants: every pack except the last sums
+    to exactly `window` tokens; each document's segments cover it end to
+    end in order; global layout matches a driver-computed oracle."""
+    import hashlib
+
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        pack_sequences,
+    )
+
+    rows = [(i, "tok " * (i % 13 + 1), "en", "web", 1) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    W = 16
+    got = pack_sequences(docs, window=W).collect()
+
+    # per-pack tiling
+    by_pack: dict[int, int] = {}
+    for r in got:
+        by_pack[r.pack_id] = by_pack.get(r.pack_id, 0) + r.seg_len
+    last = max(by_pack)
+    for pid, tot in by_pack.items():
+        assert tot == W or (pid == last and 0 < tot <= W), (pid, tot)
+
+    # per-doc coverage: segments start at 0, abut, and sum to token_count
+    segs: dict[int, list] = {}
+    for r in got:
+        segs.setdefault(r.doc_id, []).append((r.doc_offset, r.seg_len))
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    cum = 0
+    for row in order:
+        tc = row[1].strip().count(" ") + 1
+        ss = sorted(segs[row[0]])
+        assert ss[0][0] == 0 and sum(s[1] for s in ss) == tc
+        pos = 0
+        for off, ln in ss:
+            assert off == pos and ln > 0
+            pos += ln
+        # global placement: first segment's pack is cum // W
+        first_pack = min(r.pack_id for r in got if r.doc_id == row[0])
+        assert first_pack == cum // W
+        cum += tc
