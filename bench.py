@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_simhash",
     "curate_docs",
     "sample_tokens",
+    "sample_pack",
     "sample_stratified",
     "text_bpe_tokens",
     "text_rolling_hash",
