@@ -199,6 +199,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_components_star"] = kg_components_star
 
+    def _kg_edge_graph(s, d):
+        """Shared fixture for the whole-graph analytics gates: the distinct
+        undirected (a < b) term edge set from the triple graph — one corpus
+        scan (the pinned mention frame feeds the triple self-join)."""
+        docs = _t(s, d, "documents")
+        m = webkg.doc_mentions(docs).localCheckpoint()
+        return (
+            webkg.doc_triples(docs, mentions=m)
+            .select(
+                F.least("subj", "obj").alias("a"),
+                F.greatest("subj", "obj").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    # Whole-graph analytics (operators/graph_analytics.py, r5): PageRank as
+    # a fixed-8-iteration power method — join + salted two-phase sum per
+    # round, localCheckpoint-flattened lineage, count-free loop. The oracle
+    # unrolls the identical recurrence as 8 DuckDB CTEs; rank_norm = rank*N
+    # (mean 1.0) keeps the shared 4dp float convention scale-invariant.
+    def kg_pagerank(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            pagerank,
+        )
+
+        return pagerank(_kg_edge_graph(s, d), iterations=8)
+
+    q["kg_pagerank"] = kg_pagerank
+
+    # Per-node triangle counts + local clustering coefficient via
+    # degree-ordered orientation (wedge fan-out bounded by the SMALLER
+    # endpoint degree — the shape that survives Zipf hubs). The oracle
+    # enumerates triangles directly from the a<b edge list; the count is
+    # implementation-independent.
+    def kg_triangles(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            triangle_stats,
+        )
+
+        return triangle_stats(_kg_edge_graph(s, d))
+
+    q["kg_triangles"] = kg_triangles
+
     # C2 at the gate (VERDICT r4 #1): the DISTRIBUTED fuzzy name-map build —
     # MinHash-LSH blocked candidate pairs (resolve.candidate_pairs, band
     # pandas UDF + bucket-capped self-join) -> exact token_sort_ratio verify
@@ -1134,6 +1178,63 @@ reach AS (
 SELECT name, min(r) AS comp FROM reach GROUP BY name"""
     # same oracle: the component labeling is implementation-independent
     o["kg_components_star"] = o["kg_components"]
+
+    # PageRank: the fixed-iteration power recurrence unrolled as CTEs —
+    # r_{k+1}(v) = (1-d)/N + d * sum_{u~v} r_k(u)/deg(u) over the mirrored
+    # edge set, exactly the update the Spark loop computes (same IEEE-double
+    # operand order per term; 4dp rounding of rank*N absorbs the
+    # summation-order ulps).
+    _pr_iters = "".join(
+        f""",
+r{k + 1} AS (
+  SELECT und.y AS name,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * SUM(r{k}.rank / deg.deg) AS rank
+  FROM und JOIN r{k} ON r{k}.name = und.x JOIN deg ON deg.x = und.x
+  GROUP BY und.y
+)"""
+        for k in range(8)
+    )
+    o["kg_pagerank"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT x AS name, 1.0 / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
+SELECT name, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM r8"""
+
+    # triangle counts: direct enumeration off the a<b edge list (each
+    # triangle appears once as a<b<c); clust = 2T/deg(deg-1)
+    o["kg_triangles"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+deg AS (SELECT x AS name, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cnt AS (
+  SELECT name, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT u AS name FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY name
+)
+SELECT d.name,
+       CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(c.n_tri, 0) / (d.deg * (d.deg - 1)), 4)
+            ELSE 0.0 END AS clust
+FROM deg d LEFT JOIN cnt c USING (name)"""
 
     # kg_name_map: band keys and fuzzy verdicts are DETERMINISTIC functions
     # of the name strings alone, so they are precomputed HERE from the same

@@ -34,6 +34,8 @@ HEADLINE = [
     "kg_name_map",
     "kg_components",
     "kg_components_star",
+    "kg_pagerank",
+    "kg_triangles",
     "kg_triples",
     "kg_cooccur_topk",
     "kg_khop2",

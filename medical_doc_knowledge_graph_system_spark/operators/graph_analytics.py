@@ -1,0 +1,202 @@
+"""Whole-graph analytics over the materialized KG edge set.
+
+The reference serves its graph from one Neo4j instance, where global
+analytics (centrality, clustering structure) come from APOC/GDS calls on
+the single box (SURVEY §2 non-goal for the *serving* surface). At
+10^12-document scale the entity graph itself is cluster-sized, so the
+Spark-native engine carries the two canonical distributed graph analytics
+as first-class operators:
+
+- ``pagerank``: power iteration expressed as join + aggregate per round,
+  lineage kept flat with ``localCheckpoint`` (the GraphFrames/Pregel
+  shape). Degree skew is absorbed the same way as resolve._cc_iterative:
+  contributions are summed with a salted two-phase aggregate so a head
+  entity's neighbor list never funnels through one reducer.
+- ``triangle_stats``: per-node triangle counts + local clustering
+  coefficient via degree-ordered edge orientation (the MR "count triangles
+  by wedge-closing on the oriented graph" algorithm). Orientation bounds
+  every wedge fan-out by the SMALLER endpoint degree, so a Zipf-headed hub
+  with degree d contributes O(d) oriented wedges, not O(d^2) — the
+  property that keeps the join alive at web scale.
+
+Both take the same undirected edge-list contract as the CC operators:
+``edges`` with columns (a, b), a < b, distinct. Both pin the (tiny,
+vocabulary-sized) edge frame before fanning it out: Catalyst reuses
+nothing across union/self-join branches (CLAUDE.md late-r2), so an
+unpinned corpus-derived lineage would re-run per reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+
+
+def _mirrored(e0: DataFrame) -> DataFrame:
+    """Symmetric (x, y) view of the pinned a<b edge list."""
+    return e0.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+        e0.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = PAGERANK_DAMPING,
+    num_partitions: int = 8,
+    salts: int = 16,
+) -> DataFrame:
+    """PageRank over the undirected graph, fixed-iteration power method.
+
+    Node set = endpoints of ``edges`` (every node therefore has degree >= 1
+    after mirroring, so there is no dangling-mass term and the update is
+    exactly  r'(v) = (1-d)/N + d * sum_{u~v} r(u)/deg(u)  — the same
+    closed recurrence the DuckDB oracle unrolls). Returns
+    (name, rank_norm) where rank_norm = rank * N (mean 1.0), rounded to
+    4dp — N-invariant scaling keeps the driver's 4dp float convention
+    meaningful at any graph size.
+
+    Scale shape: one shuffle per iteration (the contribution aggregate),
+    constant-width lineage via localCheckpoint per round, salted two-phase
+    sum for head-entity degree skew, no driver data path at all (the loop
+    is count-free: a fixed iteration budget is the power-method contract).
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    # deg is also the node list; rank/deg is pre-divided once per round so
+    # the per-edge join carries a single double.
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.select("name", F.lit(0.0).alias("rank_norm"))
+    base = (1.0 - damping) / float(n_nodes)
+    adj = (
+        _mirrored(e0)
+        .repartition(num_partitions, "x")
+        .localCheckpoint()
+    )
+    ranks = deg.select("name", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
+    for _ in range(iterations):
+        shares = ranks.join(deg, "name").select(
+            "name", (F.col("rank") / F.col("deg")).alias("share")
+        )
+        contrib = (
+            adj.join(shares, adj.x == shares.name)
+            .withColumn("__salt", F.pmod(F.xxhash64("y"), F.lit(salts)))
+            .groupBy("y", "__salt")
+            .agg(F.sum("share").alias("__ps"))
+            .groupBy("y")
+            .agg(F.sum("__ps").alias("in_share"))
+        )
+        # every node has an in-edge (mirrored graph, deg >= 1) so an inner
+        # join against deg (the node list) loses nothing; the left join is
+        # belt-and-braces for a future directed caller.
+        ranks = (
+            deg.select("name")
+            .join(contrib, deg.name == contrib.y, "left")
+            .select(
+                "name",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_share", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "name", F.round(F.col("rank") * F.lit(float(n_nodes)), 4).alias("rank_norm")
+    )
+
+
+def triangle_stats(edges: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient.
+
+    Degree-ordered orientation: edge {u, v} is directed from the endpoint
+    with the smaller (deg, name) pair to the larger. Every triangle then
+    has exactly one node with two out-edges (its minimum-rank corner), so
+    counting (wedge at u) ∩ (closing oriented edge) counts each triangle
+    exactly once. clust = 2*T / (deg*(deg-1)) for deg >= 2 else 0.0,
+    rounded to 4dp.
+
+    Scale shape: 2 shuffles to orient (degree join on each endpoint), one
+    self-join on the wedge apex whose fan-out is bounded by min-endpoint
+    degree, one broadcast-size-agnostic closing join on (v, w) — the
+    standard MR triangle enumeration that survives Zipf hubs because a
+    degree-d hub is the APEX of no wedge unless both neighbors have even
+    higher degree.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (
+        e0.join(da, F.col("a") == F.col("da.name"))
+        .join(db, F.col("b") == F.col("db.name"))
+        .select(
+            "a", "b", F.col("da.deg").alias("deg_a"), F.col("db.deg").alias("deg_b")
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    ).localCheckpoint()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge (src -> v, src -> w) with v before w in (deg, name) rank order;
+    # the closing edge {v, w} is then oriented v -> w by construction.
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).where(
+        (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+        | (
+            (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+            & (F.col("o1.dst") < F.col("o2.dst"))
+        )
+    )
+    closer = oriented.select(
+        F.col("src").alias("c_src"), F.col("dst").alias("c_dst")
+    )
+    tris = wedges.join(
+        closer,
+        (F.col("o1.dst") == F.col("c_src")) & (F.col("o2.dst") == F.col("c_dst")),
+    ).select(
+        F.col("o1.src").alias("u"), F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w")
+    )
+    per_node = (
+        tris.select(F.col("u").alias("name"))
+        .union(tris.select(F.col("v").alias("name")))
+        .union(tris.select(F.col("w").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "name", "left")
+        .select(
+            "name",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clust"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Whole-graph analytics (operators/graph_analytics.py): known-answer and
+randomized-equality tests for distributed PageRank and triangle counting.
+
+The driver gate (kg_pagerank / kg_triangles) proves exact DuckDB parity on
+the term graph; these tests prove the operators on graphs with known closed
+answers and on a seeded random graph against an independent driver-side
+oracle (numpy power iteration / set-intersection triangle count), so the
+distributed implementations are pinned by something that shares no code
+with them.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+    pagerank,
+    triangle_stats,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(sorted(edges), "a string, b string")
+
+
+K4_PENDANT = [
+    ("a", "b"), ("a", "c"), ("a", "d"),
+    ("b", "c"), ("b", "d"), ("c", "d"),
+    ("d", "e"),
+]
+
+
+def test_triangles_k4_pendant(spark):
+    got = {r.name: (r.n_tri, r.clust) for r in triangle_stats(_edges_df(spark, K4_PENDANT)).collect()}
+    # a, b, c: corners of K4 only -> 3 triangles, deg 3 -> clust 2*3/6 = 1.0
+    # d: in K4 plus the pendant edge -> 3 triangles, deg 4 -> 2*3/12 = 0.5
+    # e: pendant, deg 1 -> 0 triangles, clust defined as 0.0
+    assert got == {
+        "a": (3, 1.0), "b": (3, 1.0), "c": (3, 1.0), "d": (3, 0.5), "e": (0, 0.0)
+    }
+
+
+def _pr_oracle(edges, iterations=8, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = [[] for _ in nodes]
+    for a, b in edges:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    deg = [len(a) for a in adj]
+    n = len(nodes)
+    r = [1.0 / n] * n
+    for _ in range(iterations):
+        nr = [(1.0 - d) / n] * n
+        for i, ns in enumerate(adj):
+            for j in ns:
+                nr[i] += d * r[j] / deg[j]
+        r = nr
+    return {v: round(r[idx[v]] * n, 4) for v in nodes}
+
+
+def _tri_oracle(edges):
+    nodes = sorted({x for e in edges for x in e})
+    nbrs = {v: set() for v in nodes}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    tri = {v: 0 for v in nodes}
+    for v in nodes:
+        for u in nbrs[v]:
+            tri[v] += sum(1 for w in nbrs[v] & nbrs[u] if w > u)
+    out = {}
+    for v in nodes:
+        dg = len(nbrs[v])
+        out[v] = (tri[v], round(2.0 * tri[v] / (dg * (dg - 1)), 4) if dg >= 2 else 0.0)
+    return out
+
+
+def test_pagerank_k4_pendant(spark):
+    got = {r.name: r.rank_norm for r in pagerank(_edges_df(spark, K4_PENDANT)).collect()}
+    assert got == _pr_oracle(K4_PENDANT)
+
+
+def test_random_graph_matches_driver_oracles(spark):
+    """Seeded G(n, m) graph, ~200 nodes / 600 edges, against independent
+    driver-side oracles. Exercises the salted two-phase sum, the
+    degree-orientation tie-breaks, and zero-triangle / isolated-from-
+    triangles nodes."""
+    rng = random.Random(20260817)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = set()
+    while len(edges) < 600:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    df = _edges_df(spark, edges)
+
+    got_tri = {r.name: (r.n_tri, r.clust) for r in triangle_stats(df).collect()}
+    assert got_tri == _tri_oracle(edges)
+
+    got_pr = {r.name: r.rank_norm for r in pagerank(df).collect()}
+    want_pr = _pr_oracle(edges)
+    assert set(got_pr) == set(want_pr)
+    # float summation order differs (salted partial sums vs sequential
+    # loop); 4dp rounding can still straddle a boundary in principle, so
+    # compare at 4dp with a 1-ulp-of-rounding tolerance.
+    for v, w in want_pr.items():
+        assert abs(got_pr[v] - w) <= 1e-4 + 1e-9, (v, got_pr[v], w)
+
+
+def test_star_graph_hub_skew(spark):
+    """Zipf-hub shape: one center joined to 50 leaves. No triangles anywhere;
+    the center's rank must dominate; the salted aggregate must still produce
+    the exact closed-form ranks (star PageRank has a 2-cycle closed form)."""
+    edges = [("hub", f"leaf{i:02d}") for i in range(50)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges]
+    tri = {r.name: r.n_tri for r in triangle_stats(_edges_df(spark, edges)).collect()}
+    assert set(tri.values()) == {0}
+    pr = {r.name: r.rank_norm for r in pagerank(_edges_df(spark, edges)).collect()}
+    want = _pr_oracle(edges)
+    assert pr == want
+    assert pr["hub"] > 10 * pr["leaf00"]

@@ -254,6 +254,8 @@ def test_gate_query_scan_budget(spark):
         ("kg_components", 0),
         ("kg_reasoning_paths", 0),
         ("kg_khop_rel", 0),
+        ("kg_pagerank", 0),
+        ("kg_triangles", 0),
         ("decontam_suite", 2),
     ]:
         p = physical_plan_string(q[name](spark, SF))
