@@ -82,11 +82,13 @@ def pagerank(
         .repartition(num_partitions, "x")
         .localCheckpoint()
     )
-    ranks = deg.select("name", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank"))
+    # ranks carries deg so each round is exactly 2 joins (contribution
+    # gather + node-list reattach), not 3 — share = rank/deg needs no join.
+    ranks = deg.select(
+        "name", "deg", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
+    )
     for _ in range(iterations):
-        shares = ranks.join(deg, "name").select(
-            "name", (F.col("rank") / F.col("deg")).alias("share")
-        )
+        shares = ranks.select("name", (F.col("rank") / F.col("deg")).alias("share"))
         contrib = (
             adj.join(shares, adj.x == shares.name)
             .withColumn("__salt", F.pmod(F.xxhash64("y"), F.lit(salts)))
@@ -99,10 +101,10 @@ def pagerank(
         # join against deg (the node list) loses nothing; the left join is
         # belt-and-braces for a future directed caller.
         ranks = (
-            deg.select("name")
-            .join(contrib, deg.name == contrib.y, "left")
+            deg.join(contrib, deg.name == contrib.y, "left")
             .select(
                 "name",
+                "deg",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("in_share", F.lit(0.0))
