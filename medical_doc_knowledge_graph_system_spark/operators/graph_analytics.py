@@ -47,16 +47,21 @@ def pagerank(
     damping: float = PAGERANK_DAMPING,
     num_partitions: int = 8,
     salts: int = 16,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph, fixed-iteration power method.
 
     Node set = endpoints of ``edges`` (every node therefore has degree >= 1
     after mirroring, so there is no dangling-mass term and the update is
-    exactly  r'(v) = (1-d)/N + d * sum_{u~v} r(u)/deg(u)  — the same
-    closed recurrence the DuckDB oracle unrolls). Returns
-    (name, rank_norm) where rank_norm = rank * N (mean 1.0), rounded to
-    4dp — N-invariant scaling keeps the driver's 4dp float convention
-    meaningful at any graph size.
+    exactly  r'(v) = (1-d)*p(v) + d * sum_{u~v} r(u)/deg(u)  — the same
+    closed recurrence the DuckDB oracle unrolls). p is uniform over all
+    nodes (global PageRank), or — when ``seeds`` (a one-column ``name``
+    frame) is given — uniform over the seed set (PERSONALIZED PageRank:
+    restart mass concentrates on the seeds, so rank_norm measures
+    importance *relative to the query entities*, the retrieval-side use).
+    Returns (name, rank_norm) where rank_norm = rank * N (mean 1.0),
+    rounded to 4dp — N-invariant scaling keeps the driver's 4dp float
+    convention meaningful at any graph size.
 
     Scale shape: one shuffle per iteration (the contribution aggregate),
     constant-width lineage via localCheckpoint per round, salted two-phase
@@ -76,17 +81,43 @@ def pagerank(
     n_nodes = deg.count()
     if n_nodes == 0:
         return deg.select("name", F.lit(0.0).alias("rank_norm"))
-    base = (1.0 - damping) / float(n_nodes)
     adj = (
         _mirrored(e0)
         .repartition(num_partitions, "x")
         .localCheckpoint()
     )
-    # ranks carries deg so each round is exactly 2 joins (contribution
-    # gather + node-list reattach), not 3 — share = rank/deg needs no join.
-    ranks = deg.select(
-        "name", "deg", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
-    )
+    if seeds is None:
+        # uniform restart: p(v) = 1/N, a plan-time constant
+        base_col = F.lit((1.0 - damping) / float(n_nodes))
+        init_col = F.lit(1.0 / float(n_nodes))
+        deg_p = deg.withColumn("__base", base_col).withColumn("__init", init_col)
+    else:
+        # personalized restart: p uniform over the seed set. seed count is
+        # driver-side (query entities — a handful); the membership join
+        # broadcasts. Non-seed nodes restart with 0 mass and are ranked
+        # purely by proximity to the seeds.
+        seed_set = seeds.select(F.col("name").alias("__sn")).distinct().localCheckpoint()
+        n_seeds = seed_set.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank requires a non-empty seed set")
+        p_val = 1.0 / float(n_seeds)
+        is_seed = F.col("__sn").isNotNull()
+        deg_p = (
+            deg.join(F.broadcast(seed_set), deg.name == F.col("__sn"), "left")
+            .select(
+                "name",
+                "deg",
+                F.when(is_seed, F.lit((1.0 - damping) * p_val))
+                .otherwise(F.lit(0.0))
+                .alias("__base"),
+                F.when(is_seed, F.lit(p_val)).otherwise(F.lit(0.0)).alias("__init"),
+            )
+            .localCheckpoint()
+        )
+    # ranks carries deg and the per-node restart term so each round is
+    # exactly 2 joins (contribution gather + node-list reattach), not 3 —
+    # share = rank/deg needs no join.
+    ranks = deg_p.select("name", "deg", "__base", F.col("__init").alias("rank"))
     for _ in range(iterations):
         shares = ranks.select("name", (F.col("rank") / F.col("deg")).alias("share"))
         contrib = (
@@ -98,15 +129,16 @@ def pagerank(
             .agg(F.sum("__ps").alias("in_share"))
         )
         # every node has an in-edge (mirrored graph, deg >= 1) so an inner
-        # join against deg (the node list) loses nothing; the left join is
-        # belt-and-braces for a future directed caller.
+        # join against deg_p (the node list) loses nothing; the left join
+        # is belt-and-braces for a future directed caller.
         ranks = (
-            deg.join(contrib, deg.name == contrib.y, "left")
+            deg_p.join(contrib, deg_p.name == contrib.y, "left")
             .select(
                 "name",
                 "deg",
+                "__base",
                 (
-                    F.lit(base)
+                    F.col("__base")
                     + F.lit(damping) * F.coalesce("in_share", F.lit(0.0))
                 ).alias("rank"),
             )

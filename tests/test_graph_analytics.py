@@ -112,6 +112,52 @@ def test_random_graph_matches_driver_oracles(spark):
         assert abs(got_pr[v] - w) <= 1e-4 + 1e-9, (v, got_pr[v], w)
 
 
+def _ppr_oracle(edges, seeds, iterations=8, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = [[] for _ in nodes]
+    for a, b in edges:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    deg = [len(a) for a in adj]
+    n = len(nodes)
+    p = [1.0 / len(seeds) if v in seeds else 0.0 for v in nodes]
+    r = list(p)
+    for _ in range(iterations):
+        nr = [(1.0 - d) * pv for pv in p]
+        for i, ns in enumerate(adj):
+            for j in ns:
+                nr[i] += d * r[j] / deg[j]
+        r = nr
+    return {v: round(r[idx[v]] * n, 4) for v in nodes}
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """Restart mass on a seed set: ranks must match the numpy recurrence
+    and decay with distance from the seeds (the retrieval-side semantics:
+    importance relative to the query entities)."""
+    # two K4s bridged by a path: d -(bridge)- e - f -(bridge)- g, seeds in
+    # the left clique only
+    edges = K4_PENDANT + [("e", "f"), ("f", "g"), ("g", "h"), ("g", "i"), ("h", "i")]
+    seeds = {"a", "b"}
+    df = _edges_df(spark, edges)
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "name string")
+    got = {r.name: r.rank_norm for r in pagerank(df, seeds=sdf).collect()}
+    want = _ppr_oracle(edges, seeds)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert abs(got[v] - w) <= 1e-4 + 1e-9, (v, got[v], w)
+    # proximity ordering: seed > seed-adjacent > far side of the bridge
+    assert got["a"] > got["d"] > got["f"] > got["i"]
+
+
+def test_pagerank_empty_seed_set_raises(spark):
+    df = _edges_df(spark, K4_PENDANT)
+    empty = spark.createDataFrame([], "name string")
+    with pytest.raises(ValueError, match="non-empty seed set"):
+        pagerank(df, seeds=empty)
+
+
 def test_star_graph_hub_skew(spark):
     """Zipf-hub shape: one center joined to 50 leaves. No triangles anywhere;
     the center's rank must dominate; the salted aggregate must still produce
