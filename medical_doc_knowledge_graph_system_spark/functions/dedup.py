@@ -83,14 +83,17 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> D
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", k: int = MINHASH_SEEDS
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_SEEDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): min over shingles of md5(seed||shingle).
 
     md5 hex-string min == lexicographic min — identical in DuckDB, so the
-    signature is exactly oracle-able.
+    signature is exactly oracle-able. ``shingles`` lets a composed pipeline
+    (neardup_clusters) pass a pinned (doc_id, shingle) frame so signature
+    and verify stages share ONE corpus scan.
     """
-    sh = doc_shingles(df, text_col)
+    sh = shingles if shingles is not None else doc_shingles(df, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(k)
@@ -104,6 +107,7 @@ def minhash_band_pairs(
     k: int = MINHASH_SEEDS,
     band_rows: int = 2,
     max_bucket: int = MAX_DEDUP_BUCKET,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing any minhash band.
 
@@ -113,7 +117,7 @@ def minhash_band_pairs(
     the self-join — cluster membership is still recoverable by transitive
     closure over the star edges.
     """
-    sigs = minhash_signatures(df, text_col, k)
+    sigs = minhash_signatures(df, text_col, k, shingles=shingles)
     bands = F.array(
         *[
             F.concat_ws(
@@ -269,4 +273,70 @@ def substring_dup_spans(
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         )
         .where(F.col("n_occurrences") >= min_occ)
+    )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = MINHASH_SEEDS,
+    band_rows: int = 2,
+    max_bucket: int = MAX_DEDUP_BUCKET,
+) -> DataFrame:
+    """End-to-end near-duplicate CLUSTERING: the keep/drop decision a
+    training-data pipeline actually ships (reference keeps per-doc dedup at
+    the chunk level only; this is the corpus-curation extension).
+
+    MinHash-LSH candidate pairs -> exact n-gram Jaccard verify on the
+    blocked candidates ONLY -> distributed min-label connected components
+    over the verified edges -> canonical (minimum doc_id) per cluster.
+    Output one row per document: (doc_id, cluster_id, n_cluster, keep) with
+    keep = (doc_id == cluster_id), so `where keep` is the deduplicated
+    corpus and `where NOT keep` the drop list.
+
+    Scale shape: ONE corpus scan (the pinned shingle frame feeds signature
+    AND verify stages); the verify join fans out per candidate pair, never
+    all-pairs; components via resolve._cc_iterative (min-label over joins,
+    localCheckpoint lineage) — near-dup clusters are star/clique shaped, so
+    the loop converges in a handful of rounds regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.resolve import _cc_iterative
+
+    sh = doc_shingles(df, text_col).localCheckpoint()
+    cand = minhash_band_pairs(
+        df, text_col, k, band_rows, max_bucket, shingles=sh
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    edges = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            )
+            >= threshold
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    nodes = df.select(F.col("doc_id").alias("name"))
+    comp = _cc_iterative(nodes, edges)
+    w_cluster = Window.partitionBy("comp")
+    return comp.select(
+        F.col("name").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1)).over(w_cluster).cast("long").alias("n_cluster"),
+        (F.col("name") == F.col("comp")).alias("keep"),
     )

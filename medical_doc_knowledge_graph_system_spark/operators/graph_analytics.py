@@ -234,3 +234,47 @@ def triangle_stats(edges: DataFrame, num_partitions: int = 8) -> DataFrame:
             .alias("clust"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame, k: int = 2, rounds: int | None = 8, num_partitions: int = 8
+) -> DataFrame:
+    """k-core peeling over the undirected (a, b) edge list.
+
+    Each round drops every node of degree < k and every edge touching one;
+    the fixpoint is the classic k-core subgraph. ``rounds`` fixes the peel
+    budget (count-free loop, exactly oracle-able by unrolling — the same
+    fixed-iteration convention as ``pagerank``); ``rounds=None`` peels to
+    convergence with one count probe per round (the production mode —
+    peel depth is bounded by the graph's degeneracy ordering length, in
+    practice tens of rounds on web graphs). Returns (name, deg): the
+    surviving nodes with their degree in the peeled subgraph.
+
+    Scale shape: per round, one degree aggregate (algebraic min/count —
+    map-side partials absorb hub skew) and two semi-join filters on the
+    checkpointed edge frame; lineage stays flat via localCheckpoint, and
+    the edge set only ever shrinks.
+    """
+    e = edges.select("a", "b").localCheckpoint()
+    budget = rounds if rounds is not None else 1 << 30
+    prev_edges = -1
+    for _ in range(budget):
+        deg = (
+            _mirrored(e)
+            .groupBy(F.col("x").alias("name"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("name").localCheckpoint()
+        ka = keep.select(F.col("name").alias("a"))
+        kb = keep.select(F.col("name").alias("b"))
+        e = e.join(ka, "a").join(kb, "b").select("a", "b").localCheckpoint()
+        if rounds is None:
+            n = e.count()
+            if n == prev_edges:
+                break
+            prev_edges = n
+    return (
+        _mirrored(e)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

@@ -791,3 +791,38 @@ def test_pack_sequences_tiles_exactly(spark):
         first_pack = min(r.pack_id for r in got if r.doc_id == row[0])
         assert first_pack == cum // W
         cum += tc
+
+
+def test_neardup_clusters_end_to_end(spark, docs):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import neardup_clusters
+
+    rows = {r.doc_id: r for r in neardup_clusters(docs, threshold=0.8).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # 0/1 exact dups -> one cluster at min id 0; doc 2 differs in 1 of 8
+    # union shingles (jaccard 0.75) so it stays OUT at 0.8
+    assert rows[0].cluster_id == rows[1].cluster_id == 0
+    assert rows[0].n_cluster == 2
+    assert rows[0].keep and not rows[1].keep
+    assert rows[2].cluster_id == 2 and rows[2].n_cluster == 1 and rows[2].keep
+    # 3 shares nothing -> singleton, kept
+    assert rows[3].cluster_id == 3 and rows[3].n_cluster == 1 and rows[3].keep
+    # at 0.7 the near dup joins the cluster
+    low = {r.doc_id: r for r in neardup_clusters(docs, threshold=0.7).collect()}
+    assert low[2].cluster_id == 0 and low[0].n_cluster == 3
+
+
+def test_neardup_clusters_transitive_via_star(spark):
+    # a chain a~b~c where a~c alone is below threshold must still be ONE
+    # cluster: components run over verified pair edges, not pairwise cliques
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf"
+    toks = base.split()
+    rows = [
+        (0, " ".join(toks), 0),
+        (1, " ".join(toks[:-1] + ["x1"]), 0),       # near dup of 0
+        (2, " ".join(["x0"] + toks[1:-1] + ["x1"]), 0),  # near dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {r.doc_id: r.cluster_id for r in
+           __import__("medical_doc_knowledge_graph_system_spark.functions.dedup",
+                      fromlist=["neardup_clusters"]).neardup_clusters(docs, threshold=0.6).collect()}
+    assert got[0] == got[1] == got[2] == 0

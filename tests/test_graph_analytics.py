@@ -170,3 +170,48 @@ def test_star_graph_hub_skew(spark):
     want = _pr_oracle(edges)
     assert pr == want
     assert pr["hub"] > 10 * pr["leaf00"]
+
+
+def test_kcore_k4_pendant(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import kcore
+
+    # 2-core of K4 + pendant = the K4 itself (e peeled round 1, every
+    # remaining node then has degree 3)
+    got = {r.name: r.deg for r in kcore(_edges_df(spark, K4_PENDANT), k=2).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_chain_fully_peels(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import kcore
+
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(6)]
+    assert kcore(_edges_df(spark, chain), k=2, rounds=8).count() == 0
+
+
+def test_kcore_convergence_mode_equals_fixed_budget(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import kcore
+
+    rng = random.Random(11)
+    edges = {tuple(sorted((f"v{rng.randrange(30)}", f"v{rng.randrange(30)}")))
+             for _ in range(60)}
+    edges = [(a, b) for a, b in edges if a != b]
+    fixed = {(r.name, r.deg) for r in kcore(_edges_df(spark, edges), k=3, rounds=12).collect()}
+    conv = {(r.name, r.deg) for r in kcore(_edges_df(spark, edges), k=3, rounds=None).collect()}
+    assert fixed == conv
+    # independent oracle: iterative peeling on plain python sets
+    es = set(map(tuple, edges))
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        nes = {(a, b) for a, b in es if a in keep and b in keep}
+        if nes == es:
+            break
+        es = nes
+    exp_deg = {}
+    for a, b in es:
+        exp_deg[a] = exp_deg.get(a, 0) + 1
+        exp_deg[b] = exp_deg.get(b, 0) + 1
+    assert conv == set(exp_deg.items())
