@@ -36,6 +36,9 @@ HEADLINE = [
     "kg_components_star",
     "kg_pagerank",
     "kg_triangles",
+    "kg_kcore",
+    "kg_hits",
+    "kg_lpa",
     "kg_triples",
     "kg_cooccur_topk",
     "kg_khop2",
@@ -46,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_cluster",
     "curate_docs",
     "sample_tokens",
     "sample_pack",
@@ -73,6 +77,7 @@ HEADLINE = [
     "decontam_suite",
     "events_hourly",
     "events_sessions",
+    "events_asof",
     "events_pivot",
     "tpch_pricing",
     "tpch_rollup",

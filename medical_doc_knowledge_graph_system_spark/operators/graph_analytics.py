@@ -28,7 +28,7 @@ unpinned corpus-derived lineage would re-run per reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_DAMPING = 0.85
@@ -278,3 +278,130 @@ def kcore(
         .groupBy(F.col("x").alias("name"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def hits(
+    edges: DataFrame, iterations: int = 8, num_partitions: int = 8, salts: int = 16
+) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED (src, dst) edge list.
+
+    Classic Kleinberg recurrence with a fixed iteration budget:
+    a_k(v) = sum_{u->v} h_{k-1}(u);  h_k(u) = sum_{u->v} a_k(v).
+    No per-round normalization — every intermediate stays an exact integer
+    sum (the loop is pure adds), and a single final L1 normalization
+    rescales to mean 1.0 over the node set (hub_norm / auth_norm, 4dp) —
+    the same N-invariant convention as pagerank's rank_norm.
+
+    Scale shape mirrors pagerank: two shuffles per round (gather into
+    authorities, scatter back into hubs), salted two-phase sums so a Zipf
+    hub's in/out neighbor list never funnels through one reducer,
+    localCheckpoint per round, count-free loop. Frames stay SPARSE inside
+    the loop (a node missing from h/a contributes exactly 0 through the
+    inner joins); the full node set is reattached once at the end.
+    """
+    e0 = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e0.select(F.col("src").alias("name"))
+        .union(e0.select(F.col("dst").alias("name")))
+        .distinct()
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "name", F.lit(0.0).alias("hub_norm"), F.lit(0.0).alias("auth_norm")
+        )
+    e_src = e0.repartition(num_partitions, "src").localCheckpoint()
+    e_dst = e0.repartition(num_partitions, "dst").localCheckpoint()
+
+    def _salted_sum(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        return (
+            df.withColumn("__salt", F.pmod(F.xxhash64(key), F.lit(salts)))
+            .groupBy(key, "__salt")
+            .agg(F.sum(val).alias("__ps"))
+            .groupBy(key)
+            .agg(F.sum("__ps").alias(out))
+            .withColumnRenamed(key, "name")
+        )
+
+    h = nodes.select("name", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(iterations):
+        hs = h.select(F.col("name").alias("__hn"), "h")
+        a = _salted_sum(
+            e_src.join(hs, e_src.src == F.col("__hn")).select("dst", "h"), "dst", "h", "a"
+        ).localCheckpoint()
+        as_ = a.select(F.col("name").alias("__an"), "a")
+        h = _salted_sum(
+            e_dst.join(as_, e_dst.dst == F.col("__an")).select("src", "a"), "src", "a", "h"
+        ).localCheckpoint()
+    s_h = h.agg(F.sum("h")).collect()[0][0] or 0.0
+    s_a = a.agg(F.sum("a")).collect()[0][0] or 0.0
+    n_lit = F.lit(float(n_nodes))
+    return (
+        nodes.join(h, "name", "left")
+        .join(a, "name", "left")
+        .select(
+            "name",
+            (
+                F.round(F.coalesce("h", F.lit(0.0)) * n_lit / F.lit(float(s_h)), 4)
+                if s_h
+                else F.lit(0.0)
+            ).alias("hub_norm"),
+            (
+                F.round(F.coalesce("a", F.lit(0.0)) * n_lit / F.lit(float(s_a)), 4)
+                if s_a
+                else F.lit(0.0)
+            ).alias("auth_norm"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 4, num_partitions: int = 8
+) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected (a, b)
+    edge list — the classic near-linear community detector (Raghavan et
+    al.), made fully deterministic: every node starts as its own label and
+    each round adopts the most frequent label among its NEIGHBORS, ties
+    broken by lexicographically smallest label. A fixed round budget keeps
+    the loop count-free and exactly oracle-able (the same convention as
+    pagerank/kcore); synchronous + fixed rounds also sidesteps the
+    classic LPA caveats (update-order nondeterminism, bipartite
+    oscillation) because both engines run the identical recurrence.
+
+    Returns (name, community). Everything is integer counts and string
+    mins — no floats anywhere, so parity is bit-exact by construction.
+
+    Scale shape: per round one join (neighbor-label gather), one algebraic
+    count aggregate, one per-node top-1 window (partitioned by node — never
+    global); lineage flattened per round via localCheckpoint.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    adj = _mirrored(e0).repartition(num_partitions, "x").localCheckpoint()
+    labels = (
+        adj.select(F.col("x").alias("name"))
+        .distinct()
+        .withColumn("label", F.col("name"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    w_top = Window.partitionBy("name").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nl = adj.join(labels.select(F.col("name").alias("__ln"), "label"),
+                      adj.x == F.col("__ln"))
+        cnt = (
+            nl.select(F.col("y").alias("name"), "label")
+            .groupBy("name", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("__rn", F.row_number().over(w_top))
+            .where(F.col("__rn") == 1)
+            .select("name", "label")
+            .localCheckpoint()
+        )
+    return labels.select("name", F.col("label").alias("community"))

@@ -215,3 +215,89 @@ def test_kcore_convergence_mode_equals_fixed_budget(spark):
         exp_deg[a] = exp_deg.get(a, 0) + 1
         exp_deg[b] = exp_deg.get(b, 0) + 1
     assert conv == set(exp_deg.items())
+
+
+def test_hits_star_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import hits
+
+    de = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r.name: (r.hub_norm, r.auth_norm) for r in hits(de, iterations=8).collect()}
+    # a, b: pure hubs sharing all hub mass (N=3 -> 1.5 each); c: the only
+    # authority (3.0); zero cross-scores
+    assert got == {"a": (1.5, 0.0), "b": (1.5, 0.0), "c": (0.0, 3.0)}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import hits
+
+    rng = random.Random(23)
+    edges = sorted({(f"v{rng.randrange(25)}", f"v{rng.randrange(25)}") for _ in range(80)})
+    edges = [(s, d) for s, d in edges if s != d]
+    de = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.name: (r.hub_norm, r.auth_norm) for r in hits(de, iterations=8).collect()}
+
+    names = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(names)}
+    A = np.zeros((len(names), len(names)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(names))
+    for _ in range(8):
+        a = A.T @ h
+        h = A @ a
+    n = float(len(names))
+    hub = h * n / h.sum()
+    auth = a * n / a.sum()
+    assert set(got) == set(names)
+    for nm in names:
+        gh, ga = got[nm]
+        assert abs(gh - hub[idx[nm]]) <= 2e-4, (nm, gh, hub[idx[nm]])
+        assert abs(ga - auth[idx[nm]]) <= 2e-4, (nm, ga, auth[idx[nm]])
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    # two triangles joined by one bridge edge: LPA must find two
+    # communities labeled by each clique's lexicographic minimum
+    edges = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+             ("a3", "b1")]
+    got = {r.name: r.community for r in
+           label_propagation(_edges_df(spark, edges), rounds=4).collect()}
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    assert got["b1"] == got["b2"] == got["b3"] == "a1" or \
+        got["b2"] == got["b3"] == got["b1"]
+    # the b-clique converges to ONE label regardless of which
+
+
+def test_lpa_matches_python_oracle(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    rng = random.Random(31)
+    edges = sorted({tuple(sorted((f"v{rng.randrange(20)}", f"v{rng.randrange(20)}")))
+                    for _ in range(40)})
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {r.name: r.community for r in
+           label_propagation(_edges_df(spark, edges), rounds=4).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    assert got == labels

@@ -256,11 +256,30 @@ def test_gate_query_scan_budget(spark):
         ("kg_khop_rel", 0),
         ("kg_pagerank", 0),
         ("kg_triangles", 0),
+        ("kg_kcore", 0),
+        ("kg_hits", 0),
+        ("kg_lpa", 0),
+        ("dedup_cluster", 0),
         ("decontam_suite", 2),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
         assert n <= cap, f"{name}: {n} corpus scans (cap {cap})"
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of join's whole point at scale: ONE exchange (the window
+    partition on the equality keys), never a broadcast of the build side,
+    never a range explode. Two scans are the probe/build branches."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    p = physical_plan_string(entry.queries()["events_asof"](spark, SF))
+    assert p.count("Scan parquet") == 2
+    assert p.count("Exchange") == 1 and p.count("BroadcastExchange") == 0
 
 
 def test_decontam_eval_suite_broadcasts(spark, docs):
