@@ -39,18 +39,24 @@ def asof_join(
     tolerance: float | None = None,
     tiebreak: str | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join (``direction``: "backward" matches the greatest
+    ``right_ts <= left_ts``, "forward" the smallest ``right_ts >=
+    left_ts``; exact-timestamp matches qualify in both).
 
     Returns every ``left`` row with its columns unchanged, plus
     ``prefix + c`` for each right payload column ``c`` and
     ``prefix + right_ts`` (the matched right timestamp) — all NULL when no
     right row qualifies. ``tolerance`` (seconds, timestamp inputs compared
-    at microsecond precision) drops matches older than
-    ``left_ts - tolerance``. ``tiebreak`` makes equal-timestamp right rows
-    deterministic (the greatest tiebreak value wins); required for an
-    exact oracle when (keys, right_ts) is not unique.
+    at microsecond precision) drops matches further than that from
+    ``left_ts`` in the match direction. ``tiebreak`` makes
+    equal-timestamp right rows deterministic (the greatest tiebreak value
+    wins); required for an exact oracle when (keys, right_ts) is not
+    unique.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     keys = list(on)
     pay = payload if payload is not None else [
         c for c in right.columns if c not in keys and c != right_ts
@@ -92,10 +98,13 @@ def asof_join(
     )
     # builds sort before probes at an equal timestamp (__probe 0 < 1), so
     # exact-time matches are visible to the probe; among equal-ts builds the
-    # greatest tiebreak is last and wins last_value.
+    # greatest tiebreak is last and wins last_value. Forward direction is
+    # the same scan over reversed time: descending __ts makes "the next
+    # right row at-or-after the probe" the last non-null behind it.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__probe").asc(), F.col("__tb").asc())
+        .orderBy(ts_order, F.col("__probe").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (
@@ -108,7 +117,10 @@ def asof_join(
         # (microsecond-exact, timezone-free — no double cast exists for NTZ);
         # numeric timestamps compare directly in their own unit.
         ts_kind = matched.schema["__ts"].dataType.typeName()
-        gap = F.col("__ts") - F.col("__m.__rts")
+        if direction == "backward":
+            gap = F.col("__ts") - F.col("__m.__rts")
+        else:
+            gap = F.col("__m.__rts") - F.col("__ts")
         if ts_kind in ("timestamp", "timestamp_ntz"):
             in_tol = gap <= F.expr(f"make_dt_interval(0, 0, 0, {float(tolerance)})")
         else:

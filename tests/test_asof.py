@@ -92,3 +92,51 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert got.isna().equals(exp.isna())
     mask = ~exp.isna()
     assert (got[mask] == exp[mask]).all()
+
+
+def test_asof_forward_known_answer(spark):
+    left = spark.createDataFrame([(1, "u", 50.0)], "lid long, k string, ts double")
+    right = spark.createDataFrame(
+        [(5, "u", 40.0), (6, "u", 50.0), (7, "u", 70.0)],
+        "rid long, k string, ts double",
+    )
+    got = asof_join(left, right, on=["k"], direction="forward").collect()[0]
+    assert got.r_rid == 6  # exact-ts match qualifies forward too
+    got2 = asof_join(
+        left,
+        right.where("rid <> 6"),
+        on=["k"],
+        direction="forward",
+        tolerance=10.0,
+    ).collect()[0]
+    assert got2.r_rid is None  # next match at 70 is outside the 10 s tolerance
+
+
+def test_asof_forward_matches_pandas(spark):
+    rng = random.Random(13)
+    lrows = [(i, f"k{rng.randrange(4)}", float(rng.randrange(5000))) for i in range(200)]
+    seen, rrows = set(), []
+    for i in range(200):
+        k, t = f"k{rng.randrange(4)}", float(rng.randrange(5000))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((1000 + i, k, t))
+    left = spark.createDataFrame(lrows, "lid long, k string, ts double")
+    right = spark.createDataFrame(rrows, "rid long, k string, ts double")
+    got = (
+        asof_join(left, right, on=["k"], direction="forward", tolerance=300.0)
+        .select("lid", "r_rid")
+        .toPandas()
+        .set_index("lid")["r_rid"]
+        .sort_index()
+    )
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values("ts")
+    exp = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction="forward", tolerance=300.0)
+        .set_index("lid")["rid"]
+        .sort_index()
+    )
+    assert got.isna().equals(exp.isna())
+    mask = ~exp.isna()
+    assert (got[mask] == exp[mask]).all()
