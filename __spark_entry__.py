@@ -471,6 +471,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster"] = dedup_cluster
 
+    # asymmetric containment dedup (Broder): c(a in b) = |A∩B|/|A| catches a
+    # short doc embedded in a longer one where symmetric Jaccard stays low.
+    def dedup_containment(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            containment_pairs,
+        )
+
+        return containment_pairs(_t(s, d, "documents"), threshold=0.5)
+
+    q["dedup_containment"] = dedup_containment
+
     # similarity search
     q["sim_topk"] = lambda s, d: topk_cosine(
         _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5
@@ -1635,6 +1646,26 @@ SELECT doc_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_cluster,
        doc_id = cluster_id AS keep
 FROM dcomp"""
+
+    o["dedup_containment"] = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM shr l JOIN shr r USING (shingle)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / sa.n_sh, 4) AS cont_a,
+       round(n_inter * 1.0 / sb.n_sh, 4) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter * 1.0 / sa.n_sh, 4) >= 0.5
+   OR round(n_inter * 1.0 / sb.n_sh, 4) >= 0.5"""
 
     bit_sums = ", ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(60)

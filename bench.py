@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_cluster",
+    "dedup_containment",
     "curate_docs",
     "sample_tokens",
     "sample_pack",

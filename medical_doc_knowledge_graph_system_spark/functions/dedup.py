@@ -340,3 +340,50 @@ def neardup_clusters(
         F.count(F.lit(1)).over(w_cluster).cast("long").alias("n_cluster"),
         (F.col("name") == F.col("comp")).alias("keep"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by Broder CONTAINMENT:
+    c(a in b) = |S(a) ∩ S(b)| / |S(a)|. A short doc wholly embedded in a
+    longer one scores c≈1 while its symmetric Jaccard can be arbitrarily
+    low — the quote-inclusion / boilerplate-wrapper case Jaccard misses.
+
+    Same rare-shingle blocking and scale shape as ngram_jaccard_pairs (one
+    pinned shingle frame, candidates only through shared rare shingles).
+    Output: (doc_a, doc_b, cont_a, cont_b) with doc_a < doc_b, both
+    directions rounded 4dp, kept when either direction >= threshold.
+    """
+    sh = doc_shingles(df, text_col).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_r = sh.join(rare, "shingle").localCheckpoint()
+    l = sh_r.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r = sh_r.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        l.join(r, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.round(F.col("n_inter") / F.col("n_a"), 4)
+    cont_b = F.round(F.col("n_inter") / F.col("n_b"), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", cont_a.alias("cont_a"), cont_b.alias("cont_b")
+        )
+        .where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+    )

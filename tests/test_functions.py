@@ -826,3 +826,24 @@ def test_neardup_clusters_transitive_via_star(spark):
            __import__("medical_doc_knowledge_graph_system_spark.functions.dedup",
                       fromlist=["neardup_clusters"]).neardup_clusters(docs, threshold=0.6).collect()}
     assert got[0] == got[1] == got[2] == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_toks = [f"w{i}" for i in range(60)]
+    rows = [
+        (0, " ".join(long_toks)),
+        (1, " ".join(long_toks[20:32])),  # wholly embedded 12-token span
+        (2, " ".join(f"x{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.cont_a, r.cont_b)
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    # doc 1's 10 shingles all appear in doc 0 -> cont_b = 1.0, while
+    # jaccard = 10/58 stays far below any dedup threshold
+    assert (0, 1) in got and got[(0, 1)][1] == 1.0 and got[(0, 1)][0] < 0.2
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
