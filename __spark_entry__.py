@@ -229,6 +229,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pagerank"] = kg_pagerank
 
+    # WEIGHTED PageRank over the same term graph: edge weight = total
+    # n_docs supporting the undirected pair (summed across predicates and
+    # directions), W(u) = incident weight sum replaces deg(u), and each
+    # neighbor receives (r(u)/W(u)) * w_uv — rank flows proportionally to
+    # co-occurrence strength. The oracle unrolls the identical weighted
+    # recurrence; the per-edge term is written (rank/deg)*wt on BOTH sides
+    # (same IEEE operand order).
+    def kg_pagerank_weighted(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            pagerank,
+        )
+
+        docs = _t(s, d, "documents")
+        m = webkg.doc_mentions(docs).localCheckpoint()
+        we = (
+            webkg.doc_triples(docs, mentions=m)
+            .where(F.col("subj") != F.col("obj"))
+            .groupBy(
+                F.least("subj", "obj").alias("a"),
+                F.greatest("subj", "obj").alias("b"),
+            )
+            .agg(F.sum("n_docs").alias("wt"))
+        )
+        return pagerank(we, iterations=8, weight_col="wt")
+
+    q["kg_pagerank_weighted"] = kg_pagerank_weighted
+
+    # Common-neighbor link prediction (KG completion baselines): for every
+    # NON-adjacent term pair sharing >= 1 neighbor, cn / Adamic-Adar /
+    # Jaccard. One wedge self-join through the common neighbor + one
+    # algebraic pair aggregate + an anti-join against the edge set; the
+    # oracle computes the identical closed-form scores (integer wedge
+    # counts; the only floats are 1/ln(deg) sums and one exact division,
+    # 4dp on both sides).
+    def kg_linkpred(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            link_prediction,
+        )
+
+        return link_prediction(_kg_edge_graph(s, d))
+
+    q["kg_linkpred"] = kg_linkpred
+
     # Per-node triangle counts + local clustering coefficient via
     # degree-ordered orientation (wedge fan-out bounded by the SMALLER
     # endpoint degree — the shape that survives Zipf hubs). The oracle
@@ -1307,6 +1350,65 @@ deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 r0 AS (SELECT x AS name, 1.0 / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT name, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM r8"""
+
+    # weighted PageRank: same unrolled recurrence with W(u) = SUM(wt) and
+    # per-edge contribution (rank/deg)*wt — parenthesized to match the
+    # Spark operand order (share first, then the weight multiply).
+    _wpr_iters = "".join(
+        f""",
+r{k + 1} AS (
+  SELECT und.y AS name,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * SUM((r{k}.rank / deg.deg) * und.wt) AS rank
+  FROM und JOIN r{k} ON r{k}.name = und.x JOIN deg ON deg.x = und.x
+  GROUP BY und.y
+)"""
+        for k in range(8)
+    )
+    o["kg_pagerank_weighted"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+         CAST(SUM(n_docs) AS BIGINT) AS wt
+  FROM triples WHERE subj <> obj GROUP BY 1, 2
+),
+und AS (SELECT a AS x, b AS y, wt FROM e
+        UNION ALL SELECT b AS x, a AS y, wt FROM e),
+deg AS (SELECT x, CAST(SUM(wt) AS BIGINT) AS deg FROM und GROUP BY x),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT x AS name, 1.0 / (SELECT n FROM nn) AS rank FROM deg){_wpr_iters}
+SELECT name, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM r8"""
+
+    # link prediction: wedge enumeration through the common neighbor,
+    # grouped per non-adjacent pair; jaccard = cn/(deg_u+deg_v-cn) is a
+    # single division of exact integers (bit-identical across engines),
+    # adamic_adar = SUM(1.0/ln(deg)) rounds at 4dp on both sides.
+    o["kg_linkpred"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x),
+wed AS (
+  SELECT c1.y AS u, c2.y AS v, c1.x AS w
+  FROM und c1 JOIN und c2 ON c1.x = c2.x AND c1.y < c2.y
+),
+cand AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn, SUM(1.0 / ln(d.deg)) AS aa
+  FROM wed JOIN deg d ON d.x = wed.w
+  GROUP BY u, v
+),
+nonadj AS (
+  SELECT c.u, c.v, c.cn, c.aa FROM cand c
+  LEFT JOIN e ON e.a = c.u AND e.b = c.v
+  WHERE e.a IS NULL
+)
+SELECT n.u, n.v, n.cn,
+       round(n.aa, 4) AS adamic_adar,
+       round(n.cn / (du.deg + dv.deg - n.cn), 4) AS jaccard
+FROM nonadj n JOIN deg du ON du.x = n.u JOIN deg dv ON dv.x = n.v"""
 
     # triangle counts: direct enumeration off the a<b edge list (each
     # triangle appears once as a<b<c); clust = 2T/deg(deg-1)

@@ -48,8 +48,16 @@ def pagerank(
     num_partitions: int = 8,
     salts: int = 16,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph, fixed-iteration power method.
+
+    ``weight_col`` (a positive numeric column on ``edges``) switches to the
+    WEIGHTED recurrence: deg(u) becomes the weight sum W(u) and each
+    neighbor receives (r(u)/W(u)) * w_uv — rank flows proportionally to
+    edge strength (for the KG term graph, n_docs co-occurrence counts).
+    With weight_col=None the plan is byte-identical to the unweighted
+    operator (count aggregate, no weight column shipped per edge).
 
     Node set = endpoints of ``edges`` (every node therefore has degree >= 1
     after mirroring, so there is no dangling-mass term and the update is
@@ -68,13 +76,26 @@ def pagerank(
     sum for head-entity degree skew, no driver data path at all (the loop
     is count-free: a fixed iteration budget is the power-method contract).
     """
-    e0 = edges.select("a", "b").localCheckpoint()
+    cols = ["a", "b"] + ([weight_col] if weight_col else [])
+    e0 = edges.select(*cols).localCheckpoint()
+    if weight_col is None:
+        mirror = _mirrored(e0)
+        deg_agg = F.count(F.lit(1)).alias("deg")
+    else:
+        mirror = e0.select(
+            F.col("a").alias("x"), F.col("b").alias("y"), F.col(weight_col).alias("wt")
+        ).union(
+            e0.select(
+                F.col("b").alias("x"), F.col("a").alias("y"), F.col(weight_col).alias("wt")
+            )
+        )
+        deg_agg = F.sum("wt").alias("deg")
     # deg is also the node list; rank/deg is pre-divided once per round so
     # the per-edge join carries a single double.
     deg = (
-        _mirrored(e0)
+        mirror
         .groupBy(F.col("x").alias("name"))
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(deg_agg)
         .repartition(num_partitions, "name")
         .localCheckpoint()
     )
@@ -82,7 +103,7 @@ def pagerank(
     if n_nodes == 0:
         return deg.select("name", F.lit(0.0).alias("rank_norm"))
     adj = (
-        _mirrored(e0)
+        mirror
         .repartition(num_partitions, "x")
         .localCheckpoint()
     )
@@ -118,10 +139,17 @@ def pagerank(
     # exactly 2 joins (contribution gather + node-list reattach), not 3 —
     # share = rank/deg needs no join.
     ranks = deg_p.select("name", "deg", "__base", F.col("__init").alias("rank"))
+    # weighted: each neighbor receives share * w_uv (share is rank/W(u), so
+    # the per-edge multiply restores rank * w_uv / W(u)); unweighted: the
+    # share column IS the contribution.
+    edge_val = (
+        F.col("share") if weight_col is None else (F.col("share") * F.col("wt"))
+    )
     for _ in range(iterations):
         shares = ranks.select("name", (F.col("rank") / F.col("deg")).alias("share"))
         contrib = (
             adj.join(shares, adj.x == shares.name)
+            .select("y", edge_val.alias("share"))
             .withColumn("__salt", F.pmod(F.xxhash64("y"), F.lit(salts)))
             .groupBy("y", "__salt")
             .agg(F.sum("share").alias("__ps"))
@@ -232,6 +260,75 @@ def triangle_stats(edges: DataFrame, num_partitions: int = 8) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("clust"),
+        )
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    num_partitions: int = 8,
+    max_center_deg: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected (a, b) edge list.
+
+    For every NON-adjacent pair (u, v) with at least one common neighbor:
+    - ``cn``           = |N(u) ∩ N(v)|
+    - ``adamic_adar``  = sum over common neighbors w of 1/ln(deg(w))
+      (Adamic–Adar: rare shared neighbors are stronger evidence), 4dp
+    - ``jaccard``      = cn / (deg(u) + deg(v) - cn), 4dp
+
+    The KG-completion use: score candidate missing edges of the entity
+    graph by neighborhood overlap (the standard non-embedding baselines).
+
+    Scale shape: one wedge self-join through the common neighbor (the
+    center), one algebraic (count + sum) aggregate on the pair, one
+    left-anti join against the existing edge set, two broadcast-size-
+    agnostic degree reattaches. The wedge fan-out is O(deg(w)^2) per
+    center — the one quadratic term; ``max_center_deg`` excludes
+    super-hub centers (a degree-10^5 stopword-like entity contributes
+    ~1/ln(10^5) ≈ 0.09 to AA but 10^10 wedge pairs — production runs cap
+    it; the gate query runs exact so the oracle is closed-form). Centers
+    have deg >= 2 by construction so ln(deg) > 0 always.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    ctr = _mirrored(e0).join(deg, F.col("x") == F.col("name")).select(
+        "x", "y", F.col("deg").alias("wdeg")
+    )
+    if max_center_deg is not None:
+        ctr = ctr.where(F.col("wdeg") <= max_center_deg)
+    ctr = ctr.repartition(num_partitions, "x").localCheckpoint()
+    c1, c2 = ctr.alias("c1"), ctr.alias("c2")
+    wedges = c1.join(
+        c2, (F.col("c1.x") == F.col("c2.x")) & (F.col("c1.y") < F.col("c2.y"))
+    ).select(
+        F.col("c1.y").alias("u"), F.col("c2.y").alias("v"),
+        F.col("c1.wdeg").alias("wdeg"),
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(F.lit(1.0) / F.log(F.col("wdeg"))).alias("aa"),
+    )
+    nonadj = cand.join(
+        e0, (cand.u == e0.a) & (cand.v == e0.b), "left_anti"
+    )
+    du = deg.select(F.col("name").alias("__du"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("name").alias("__dv"), F.col("deg").alias("deg_v"))
+    return (
+        nonadj.join(du, nonadj.u == F.col("__du"))
+        .join(dv, nonadj.v == F.col("__dv"))
+        .select(
+            "u", "v", "cn",
+            F.round("aa", 4).alias("adamic_adar"),
+            F.round(
+                F.col("cn") / (F.col("deg_u") + F.col("deg_v") - F.col("cn")), 4
+            ).alias("jaccard"),
         )
     )
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
     pagerank,
@@ -149,6 +150,143 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
         assert abs(got[v] - w) <= 1e-4 + 1e-9, (v, got[v], w)
     # proximity ordering: seed > seed-adjacent > far side of the bridge
     assert got["a"] > got["d"] > got["f"] > got["i"]
+
+
+def _wpr_oracle(edges_w, iterations=8, d=0.85):
+    """Weighted recurrence: W(u) = sum of incident weights; each neighbor
+    receives (r(u)/W(u)) * w_uv — same operand order as the operator."""
+    nodes = sorted({x for a, b, _ in edges_w for x in (a, b)})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = [[] for _ in nodes]
+    for a, b, w in edges_w:
+        adj[idx[a]].append((idx[b], w))
+        adj[idx[b]].append((idx[a], w))
+    W = [sum(w for _, w in ns) for ns in adj]
+    n = len(nodes)
+    r = [1.0 / n] * n
+    for _ in range(iterations):
+        nr = [(1.0 - d) / n] * n
+        for i, ns in enumerate(adj):
+            for j, w in ns:
+                nr[i] += d * (r[j] / W[j]) * w
+        r = nr
+    return {v: round(r[idx[v]] * n, 4) for v in nodes}
+
+
+def test_weighted_pagerank_matches_oracle(spark):
+    # triangle with one heavy edge plus a pendant: the heavy edge's
+    # endpoints must outrank the light corner
+    edges_w = [("a", "b", 10), ("a", "c", 1), ("b", "c", 1), ("c", "d", 2)]
+    df = spark.createDataFrame(edges_w, "a string, b string, wt long")
+    got = {r.name: r.rank_norm for r in
+           pagerank(df, weight_col="wt").collect()}
+    want = _wpr_oracle(edges_w)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert abs(got[v] - w) <= 1e-4 + 1e-9, (v, got[v], w)
+    assert got["a"] > got["c"] and got["b"] > got["c"]
+
+
+def test_weighted_pagerank_random_graph(spark):
+    rng = random.Random(47)
+    seen = {}
+    while len(seen) < 150:
+        a, b = rng.sample([f"n{i:02d}" for i in range(60)], 2)
+        seen[(min(a, b), max(a, b))] = rng.randrange(1, 9)
+    edges_w = sorted((a, b, w) for (a, b), w in seen.items())
+    df = spark.createDataFrame(edges_w, "a string, b string, wt long")
+    got = {r.name: r.rank_norm for r in pagerank(df, weight_col="wt").collect()}
+    want = _wpr_oracle(edges_w)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert abs(got[v] - w) <= 1e-4 + 1e-9, (v, got[v], w)
+
+
+def test_weighted_pagerank_unit_weights_equals_unweighted(spark):
+    """wt=1 everywhere must reproduce the unweighted ranks bit-for-bit
+    (deg == weight sum, share * 1 is exact in IEEE)."""
+    df = _edges_df(spark, K4_PENDANT)
+    dfw = df.select("a", "b", F.lit(1).cast("long").alias("wt"))
+    unw = {r.name: r.rank_norm for r in pagerank(df).collect()}
+    wtd = {r.name: r.rank_norm for r in pagerank(dfw, weight_col="wt").collect()}
+    assert unw == wtd
+
+
+def _lp_oracle(edges):
+    import math
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    eset = set(edges)
+    out = {}
+    for u in nbrs:
+        for v in nbrs:
+            if u >= v or (u, v) in eset:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if not common:
+                continue
+            cn = len(common)
+            aa = sum(1.0 / math.log(len(nbrs[w])) for w in common)
+            jac = cn / (len(nbrs[u]) + len(nbrs[v]) - cn)
+            out[(u, v)] = (cn, round(aa, 4), round(jac, 4))
+    return out
+
+
+def test_link_prediction_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    # path a-b-c plus b-d: non-adjacent pairs through b: (a,c), (a,d), (c,d)
+    edges = [("a", "b"), ("b", "c"), ("b", "d")]
+    got = {(r.u, r.v): (r.cn, r.adamic_adar, r.jaccard) for r in
+           link_prediction(_edges_df(spark, edges)).collect()}
+    assert got == _lp_oracle(edges)
+    # deg(b)=3 -> every score is 1/ln(3); jaccard 1/1 (deg 1 endpoints)
+    import math
+    assert got[("a", "c")] == (1, round(1.0 / math.log(3), 4), 1.0)
+
+
+def test_link_prediction_random_graph(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    rng = random.Random(59)
+    edges = sorted({tuple(sorted(rng.sample([f"v{i:02d}" for i in range(40)], 2)))
+                    for _ in range(120)})
+    got = {(r.u, r.v): (r.cn, r.adamic_adar, r.jaccard) for r in
+           link_prediction(_edges_df(spark, edges)).collect()}
+    want = _lp_oracle(edges)
+    assert set(got) == set(want)
+    for k, (cn, aa, jac) in want.items():
+        gcn, gaa, gjac = got[k]
+        assert gcn == cn, (k, gcn, cn)
+        assert abs(gaa - aa) <= 1e-4 + 1e-9, (k, gaa, aa)
+        assert gjac == jac, (k, gjac, jac)
+
+
+def test_link_prediction_center_cap_subsets_exact(spark):
+    """max_center_deg only PRUNES candidates (wedges through hot centers);
+    every surviving pair's scores must be computed from capped wedges only
+    — the documented approximation contract."""
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    # hub h connects l0..l5 (deg 6); a separate square with a diagonal path
+    edges = [("h", f"l{i}") for i in range(6)] + [("p", "q"), ("q", "r")]
+    edges = sorted((min(a, b), max(a, b)) for a, b in edges)
+    df = _edges_df(spark, edges)
+    exact = {(r.u, r.v) for r in link_prediction(df).collect()}
+    capped = {(r.u, r.v) for r in
+              link_prediction(df, max_center_deg=3).collect()}
+    # hub wedges (15 leaf pairs) pruned; the deg-2 center q survives
+    assert capped == {("p", "r")}
+    assert ("p", "r") in exact and len(exact) == 16
 
 
 def test_pagerank_empty_seed_set_raises(spark):
