@@ -256,6 +256,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pagerank_weighted"] = kg_pagerank_weighted
 
+    # PERSONALIZED PageRank: restart mass uniform over a 2-term seed set
+    # (the two lexicographically smallest graph nodes — deterministic and
+    # data-derived at any SF), so rank_norm measures importance RELATIVE to
+    # the query entities — the retrieval-side ranking. Exercises the
+    # seeds= path of pagerank(): per-node restart term carried on the rank
+    # frame, broadcast seed-membership join, non-seed nodes ranked purely
+    # by proximity. The oracle unrolls the identical recurrence with the
+    # per-node base joined back per round; base = (1.0 - 0.85) * (1.0/ns)
+    # in the SAME operand order as the Spark plan-time literal.
+    def kg_ppr(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            pagerank,
+        )
+
+        e = _kg_edge_graph(s, d).localCheckpoint()
+        nodes = (
+            e.select(F.col("a").alias("name"))
+            .union(e.select(F.col("b").alias("name")))
+            .distinct()
+        )
+        seeds = nodes.orderBy("name").limit(2)
+        return pagerank(e, iterations=8, seeds=seeds)
+
+    q["kg_ppr"] = kg_ppr
+
     # Common-neighbor link prediction (KG completion baselines): for every
     # NON-adjacent term pair sharing >= 1 neighbor, cn / Adamic-Adar /
     # Jaccard. One wedge self-join through the common neighbor + one
@@ -272,17 +297,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_linkpred"] = kg_linkpred
 
+    # k-truss: fixed-4-round per-EDGE triangle-support peel (k=3 -> every
+    # surviving edge in >= 1 triangle among survivors), then the final
+    # support report — the cohesion notion one level above kg_kcore, over
+    # the DOC-SIMILARITY graph where the peel genuinely cascades at every
+    # SF (117->28 / 130->18 / 10316->2282 edges; the term graphs are
+    # degenerate — triple graph bipartite = 0 triangles, co-occurrence =
+    # complete K24). The oracle unrolls the identical rounds (direct a<b<c
+    # triangle enumeration per round, MATERIALIZED against DuckDB CTE
+    # inlining).
+    def kg_ktruss(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            ktruss,
+        )
+
+        return ktruss(_kg_docgraph(s, d), k=3, rounds=4)
+
+    q["kg_ktruss"] = kg_ktruss
+
+    def _kg_docgraph(s, d):
+        """Doc-similarity graph: (a, b) doc_id pairs sharing >= 3 rare
+        shingles — ngram_jaccard_pairs' blocking stage as a graph. Sparse
+        and SF-scaling where every TERM graph over this corpus is
+        degenerate (the 24-term co-occurrence graph is complete at every
+        SF, the triple graph bipartite); trusses/triangles here separate
+        robust duplicate clusters from LSH chaining artifacts."""
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            shingle_overlap_edges,
+        )
+
+        return shingle_overlap_edges(_t(s, d, "documents"), min_shared=3)
+
     # Per-node triangle counts + local clustering coefficient via
     # degree-ordered orientation (wedge fan-out bounded by the SMALLER
-    # endpoint degree — the shape that survives Zipf hubs). The oracle
-    # enumerates triangles directly from the a<b edge list; the count is
+    # endpoint degree — the shape that survives Zipf hubs), over the
+    # doc-similarity graph (see _kg_docgraph: the term graphs are
+    # degenerate, all-1.0 or all-0 clust). The oracle enumerates triangles
+    # directly from the a<b edge list; the count is
     # implementation-independent.
     def kg_triangles(s, d):
         from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
             triangle_stats,
         )
 
-        return triangle_stats(_kg_edge_graph(s, d))
+        return triangle_stats(_kg_docgraph(s, d))
 
     q["kg_triangles"] = kg_triangles
 
@@ -1211,6 +1269,23 @@ sh AS (
 )"""
 
 
+def _docgraph_ctes() -> str:
+    """CTE chain to e0 = the doc-similarity graph of shingle_overlap_edges
+    (pairs sharing >= 3 rare shingles): same shingle/rare blocking as the
+    dedup oracles. MATERIALIZED — the truss/triangle oracles reference e0
+    several times and DuckDB inlines CTEs (invariant #3)."""
+    return f"""{_shingles_cte()},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+e0 AS MATERIALIZED (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM shr l JOIN shr r USING (shingle)
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)"""
+
+
 def _minhash_sig_select(k: int = MINHASH_SEEDS) -> str:
     aggs = ", ".join(f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(k))
     return f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
@@ -1379,6 +1454,39 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 r0 AS (SELECT x AS name, 1.0 / (SELECT n FROM nn) AS rank FROM deg){_wpr_iters}
 SELECT name, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM r8"""
 
+    # personalized PageRank: the seeded recurrence unrolled — base(v) =
+    # (1-d)*p(v) with p uniform over the 2 smallest node names, r0 = p;
+    # each round joins the per-node base back on the grouped contribution
+    # sum. Same 4dp rank*N convention as kg_pagerank.
+    _ppr_iters = "".join(
+        f""",
+r{k + 1} AS (
+  SELECT und.y AS name, b.base + 0.85 * SUM(r{k}.rank / deg.deg) AS rank
+  FROM und JOIN r{k} ON r{k}.name = und.x JOIN deg ON deg.x = und.x
+  JOIN r0 b ON b.name = und.y
+  GROUP BY und.y, b.base
+)"""
+        for k in range(8)
+    )
+    o["kg_ppr"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+deg AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+sd AS (SELECT x AS name FROM deg ORDER BY x LIMIT 2),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd),
+r0 AS MATERIALIZED (
+  SELECT deg.x AS name,
+         CASE WHEN sd.name IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank,
+         CASE WHEN sd.name IS NOT NULL
+              THEN (1.0 - 0.85) * (1.0 / (SELECT n FROM ns)) ELSE 0.0 END AS base
+  FROM deg LEFT JOIN sd ON sd.name = deg.x){_ppr_iters}
+SELECT name, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM r8"""
+
     # link prediction: wedge enumeration through the common neighbor,
     # grouped per non-adjacent pair; jaccard = cn/(deg_u+deg_v-cn) is a
     # single division of exact integers (bit-identical across engines),
@@ -1410,14 +1518,46 @@ SELECT n.u, n.v, n.cn,
        round(n.cn / (du.deg + dv.deg - n.cn), 4) AS jaccard
 FROM nonadj n JOIN deg du ON du.x = n.u JOIN deg dv ON dv.x = n.v"""
 
-    # triangle counts: direct enumeration off the a<b edge list (each
-    # triangle appears once as a<b<c); clust = 2T/deg(deg-1)
-    o["kg_triangles"] = f"""
-WITH {_triples_cte()},
-e AS (
-  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
-  FROM triples WHERE subj <> obj
+    # k-truss (k=3): 4 peel rounds unrolled over the doc-similarity graph;
+    # per round, triangles by direct a<b<c enumeration, per-edge support by
+    # crediting each triangle's 3 id-ordered pairs, then the supp >= k-2
+    # filter; final support recomputed on the surviving edge set (t4/s4).
+    # MATERIALIZED is load-bearing (each e{i} is referenced 4x by t{i} +
+    # s-join — DuckDB would inline exponentially, same trap as kg_kcore).
+    _kt_rounds = "".join(
+        f""",
+t{i} AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.b
+  JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b
 ),
+s{i} AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM (SELECT u AS a, v AS b FROM t{i}
+        UNION ALL SELECT u AS a, w AS b FROM t{i}
+        UNION ALL SELECT v AS a, w AS b FROM t{i}) p
+  GROUP BY a, b
+)""" + (
+            f""",
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e JOIN s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE s.supp >= 1
+)"""
+            if i < 4
+            else ""
+        )
+        for i in range(5)
+    )
+    o["kg_ktruss"] = f"""
+WITH {_docgraph_ctes()}{_kt_rounds}
+SELECT e.a, e.b, CAST(coalesce(s.supp, 0) AS BIGINT) AS supp
+FROM e4 e LEFT JOIN s4 s ON s.a = e.a AND s.b = e.b"""
+
+    # triangle counts: direct enumeration off the a<b doc-graph edge list
+    # (each triangle appears once as a<b<c); clust = 2T/deg(deg-1)
+    o["kg_triangles"] = f"""
+WITH {_docgraph_ctes()},
+e AS (SELECT a, b FROM e0),
 und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
 deg AS (SELECT x AS name, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY x),
 tri AS (

@@ -35,7 +35,10 @@ HEADLINE = [
     "kg_components",
     "kg_components_star",
     "kg_pagerank",
+    "kg_pagerank_weighted",
+    "kg_linkpred",
     "kg_triangles",
+    "kg_ktruss",
     "kg_kcore",
     "kg_hits",
     "kg_lpa",

@@ -200,6 +200,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_overlap_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    min_shared: int = 3,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Document-similarity graph: undirected edges (a, b) between doc pairs
+    sharing >= min_shared rare shingles (a < b, one row per pair). This is
+    ngram_jaccard_pairs' blocking stage promoted to a graph constructor —
+    the candidate graph a curation pipeline runs cohesion analytics on
+    (trusses/triangles separate robust duplicate clusters from the chain
+    artifacts single-shingle LSH blocking produces).
+
+    Scale shape: identical to the Jaccard verify path — map-side shingle
+    explode, one rare-shingle DF filter (bucket fan-out capped at
+    max_shingle_df), one blocked self-join, one algebraic pair count.
+    Never all-pairs.
+    """
+    sh = doc_shingles(df, text_col).localCheckpoint()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_r = sh.join(rare, "shingle").localCheckpoint()
+    l = sh_r.select(F.col("doc_id").alias("a"), "shingle")
+    r = sh_r.select(F.col("doc_id").alias("b"), "shingle")
+    return (
+        l.join(r, ["shingle"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("a", "b")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash per document: bit j is the sign of the sum over tokens
     of (bit j of md5-derived token hash ? +1 : -1). Pure column expressions;

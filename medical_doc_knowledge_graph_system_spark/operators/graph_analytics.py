@@ -177,31 +177,18 @@ def pagerank(
     )
 
 
-def triangle_stats(edges: DataFrame, num_partitions: int = 8) -> DataFrame:
-    """Per-node triangle count + local clustering coefficient.
+def _triangles(e0: DataFrame, deg: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the pinned a<b edge list exactly once as
+    (u, v, w) — vertices in (deg, name) rank order, NOT name order.
 
     Degree-ordered orientation: edge {u, v} is directed from the endpoint
     with the smaller (deg, name) pair to the larger. Every triangle then
     has exactly one node with two out-edges (its minimum-rank corner), so
-    counting (wedge at u) ∩ (closing oriented edge) counts each triangle
-    exactly once. clust = 2*T / (deg*(deg-1)) for deg >= 2 else 0.0,
-    rounded to 4dp.
-
-    Scale shape: 2 shuffles to orient (degree join on each endpoint), one
-    self-join on the wedge apex whose fan-out is bounded by min-endpoint
-    degree, one broadcast-size-agnostic closing join on (v, w) — the
-    standard MR triangle enumeration that survives Zipf hubs because a
-    degree-d hub is the APEX of no wedge unless both neighbors have even
-    higher degree.
+    (wedge at u) ∩ (closing oriented edge) hits each triangle exactly once,
+    and a degree-d Zipf hub is the APEX of no wedge unless both neighbors
+    have even higher degree — the property that keeps the self-join alive
+    at web scale.
     """
-    e0 = edges.select("a", "b").localCheckpoint()
-    deg = (
-        _mirrored(e0)
-        .groupBy(F.col("x").alias("name"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .repartition(num_partitions, "name")
-        .localCheckpoint()
-    )
     da, db = deg.alias("da"), deg.alias("db")
     with_deg = (
         e0.join(da, F.col("a") == F.col("da.name"))
@@ -231,12 +218,34 @@ def triangle_stats(edges: DataFrame, num_partitions: int = 8) -> DataFrame:
     closer = oriented.select(
         F.col("src").alias("c_src"), F.col("dst").alias("c_dst")
     )
-    tris = wedges.join(
+    return wedges.join(
         closer,
         (F.col("o1.dst") == F.col("c_src")) & (F.col("o2.dst") == F.col("c_dst")),
     ).select(
         F.col("o1.src").alias("u"), F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w")
     )
+
+
+def triangle_stats(edges: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient.
+
+    Triangle enumeration via ``_triangles`` (degree-ordered orientation);
+    clust = 2*T / (deg*(deg-1)) for deg >= 2 else 0.0, rounded to 4dp.
+
+    Scale shape: 2 shuffles to orient (degree join on each endpoint), one
+    self-join on the wedge apex whose fan-out is bounded by min-endpoint
+    degree, one broadcast-size-agnostic closing join on (v, w) — the
+    standard MR triangle enumeration.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    tris = _triangles(e0, deg)
     per_node = (
         tris.select(F.col("u").alias("name"))
         .union(tris.select(F.col("v").alias("name")))
@@ -374,6 +383,88 @@ def kcore(
         _mirrored(e)
         .groupBy(F.col("x").alias("name"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
+def _edge_support(e: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """Per-edge triangle support of the pinned a<b edge list: (a, b, supp)
+    for every edge in >= 1 triangle. Each enumerated triangle credits its
+    three edges; pairs are re-normalized with least/greatest because
+    ``_triangles`` orders vertices by (deg, name) rank, not name."""
+    deg = (
+        _mirrored(e)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    tris = _triangles(e, deg).localCheckpoint()
+    pairs = (
+        tris.select(F.col("u").alias("p"), F.col("v").alias("q"))
+        .union(tris.select(F.col("u").alias("p"), F.col("w").alias("q")))
+        .union(tris.select(F.col("v").alias("p"), F.col("w").alias("q")))
+    )
+    return (
+        pairs.select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    )
+
+
+def ktruss(
+    edges: DataFrame, k: int = 4, rounds: int | None = 4, num_partitions: int = 8
+) -> DataFrame:
+    """k-truss peeling over the undirected (a, b) edge list.
+
+    Each round recomputes per-EDGE triangle support and drops every edge in
+    fewer than k-2 triangles; the fixpoint is the classic k-truss — the
+    cohesion notion one level above k-core (an edge survives only if its
+    endpoints share >= k-2 common surviving neighbors, so trusses are
+    locally dense where cores can be stars of stars). ``rounds`` fixes the
+    peel budget (count-free loop, exactly oracle-able by unrolling);
+    ``rounds=None`` peels to convergence with one count probe per round.
+    Returns (a, b, supp): surviving edges with their support in the final
+    subgraph.
+
+    Scale shape: per round one triangle enumeration (degree-ordered
+    orientation — wedge fan-out bounded by the smaller endpoint degree),
+    one algebraic per-edge count, one filtering SEMI join; the edge set
+    only ever shrinks and lineage stays flat via localCheckpoint. This is
+    the standard distributed k-truss (triangle-support peel), whose round
+    count in practice is small because dropping an edge only reduces
+    support of edges in shared triangles.
+
+    The per-round filter MUST be a LEFT SEMI join, not an inner/left join
+    + filter: localCheckpoint carries the pre-checkpoint sizeInBytes
+    ESTIMATE onto the new leaf, and Catalyst's join size estimate is the
+    product of its children — an inner filtering join multiplies e's own
+    estimate into itself ~x10 per round, so the BigInt bit-length grows
+    exponentially with rounds and stats computation itself becomes the
+    bottleneck (measured: 567 -> 5,095 -> 45,855... bits; round 4 planning
+    burned 35 CPU-minutes in BigInteger.multiply). Semi-join output size is
+    estimated as the LEFT side only, so e's estimate stays constant across
+    rounds. Same reason kcore (semi-join peel) never hit this.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3 (k-2 >= 1 triangle per edge)")
+    e = edges.select("a", "b").localCheckpoint()
+    budget = rounds if rounds is not None else 1 << 30
+    prev_edges = -1
+    for _ in range(budget):
+        # supp only contains edges in >= 1 triangle, and k - 2 >= 1, so
+        # semi-joining on the pre-filtered support keys == the left-join +
+        # coalesce(supp, 0) >= k - 2 filter.
+        keep = _edge_support(e, num_partitions).where(F.col("supp") >= k - 2)
+        e = e.join(keep, ["a", "b"], "semi").localCheckpoint()
+        if rounds is None:
+            n = e.count()
+            if n == prev_edges:
+                break
+            prev_edges = n
+    supp = _edge_support(e, num_partitions)
+    return (
+        e.join(supp, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("supp", F.lit(0)).cast("long").alias("supp"))
     )
 
 

@@ -76,6 +76,42 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_shingle_overlap_edges_matches_set_oracle(spark, docs):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        shingle_overlap_edges,
+        SHINGLE_N,
+    )
+
+    rows = docs.collect()
+    sh = {
+        r.doc_id: {
+            " ".join(r.text.lower().split()[i : i + SHINGLE_N])
+            for i in range(max(len(r.text.split()) - SHINGLE_N + 1, 1))
+        }
+        for r in rows
+    }
+    all_sh = [s for v in sh.values() for s in v]
+    rare = {s for s in set(all_sh) if all_sh.count(s) <= 50}
+    ids = sorted(sh)
+    for m in (1, 3):
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if len(sh[a] & sh[b] & rare) >= m
+        }
+        got = {
+            (r.a, r.b)
+            for r in shingle_overlap_edges(docs, min_shared=m).collect()
+        }
+        assert got == want, (m, got, want)
+    # exact dups (0,1) share every shingle; the near-dup pair (0,2) shares
+    # most; the unrelated doc 3 is isolated
+    e3 = {(r.a, r.b) for r in shingle_overlap_edges(docs, min_shared=3).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= e3
+    assert not any(3 in e for e in e3)
+
+
 def test_simhash_near_for_near_dups(spark, docs):
     sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
     assert sh[0] == sh[1]

@@ -355,6 +355,79 @@ def test_kcore_convergence_mode_equals_fixed_budget(spark):
     assert conv == set(exp_deg.items())
 
 
+def _ktruss_oracle(edges, k, rounds=None):
+    """Iterative support peel on python sets; rounds=None -> fixpoint."""
+    es = {tuple(e) for e in edges}
+    done = 0
+    while rounds is None or done < rounds:
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        nes = {(a, b) for a, b in es if len(nbrs[a] & nbrs[b]) >= k - 2}
+        if nes == es and rounds is None:
+            break
+        es = nes
+        done += 1
+    nbrs = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return {(a, b): len(nbrs[a] & nbrs[b]) for a, b in es}
+
+
+def test_ktruss_k4_pendant(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import ktruss
+
+    # 4-truss of K4 + pendant = the K4 (every K4 edge sits in 2 triangles;
+    # the pendant edge sits in none)
+    got = {(r.a, r.b): r.supp for r in
+           ktruss(_edges_df(spark, K4_PENDANT), k=4).collect()}
+    want = {(a, b): 2 for a, b in K4_PENDANT if (a, b) != ("d", "e")}
+    assert got == want
+    # 5-truss (supp >= 3) peels everything
+    assert ktruss(_edges_df(spark, K4_PENDANT), k=5, rounds=8).count() == 0
+
+
+def test_ktruss_cascading_peel(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import ktruss
+
+    # two K4s sharing one edge: the shared edge has support 4 but each K4
+    # edge only 2 — the 5-truss must cascade to empty (dropping the outer
+    # edges strips the shared edge's support)
+    k4a = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    k4b = [("c", "d"), ("c", "e"), ("c", "f"), ("d", "e"), ("d", "f"), ("e", "f")]
+    edges = sorted(set(k4a + k4b))
+    assert ktruss(_edges_df(spark, edges), k=5, rounds=None).count() == 0
+    # the 4-truss keeps everything (every edge in >= 2 triangles)
+    got = {(r.a, r.b): r.supp for r in
+           ktruss(_edges_df(spark, edges), k=4, rounds=None).collect()}
+    assert got == _ktruss_oracle(edges, 4)
+
+
+def test_ktruss_random_graph_convergence_equals_fixed(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import ktruss
+
+    rng = random.Random(67)
+    edges = sorted({tuple(sorted(rng.sample([f"v{i:02d}" for i in range(25)], 2)))
+                    for _ in range(140)})
+    df = _edges_df(spark, edges)
+    conv = {(r.a, r.b): r.supp for r in ktruss(df, k=4, rounds=None).collect()}
+    fixed = {(r.a, r.b): r.supp for r in ktruss(df, k=4, rounds=12).collect()}
+    assert conv == _ktruss_oracle(edges, 4)
+    assert fixed == conv
+    # the gate's fixed-4-round budget matches the 4-round python unroll
+    four = {(r.a, r.b): r.supp for r in ktruss(df, k=4, rounds=4).collect()}
+    assert four == _ktruss_oracle(edges, 4, rounds=4)
+
+
+def test_ktruss_k2_raises(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import ktruss
+
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss(_edges_df(spark, K4_PENDANT), k=2)
+
+
 def test_hits_star_known_answer(spark):
     from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import hits
 

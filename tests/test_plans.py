@@ -256,6 +256,8 @@ def test_gate_query_scan_budget(spark):
         ("kg_khop_rel", 0),
         ("kg_pagerank", 0),
         ("kg_pagerank_weighted", 0),
+        ("kg_ppr", 0),
+        ("kg_ktruss", 0),
         ("kg_linkpred", 0),
         ("kg_triangles", 0),
         ("kg_kcore", 0),
