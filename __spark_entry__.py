@@ -281,6 +281,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ppr"] = kg_ppr
 
+    # Weighted single-source shortest path (fixed-6-round Bellman-Ford):
+    # edge cost = (1000 + wt - 1) div wt over the co-occurrence weight wt =
+    # sum(n_docs) per undirected pair — strong co-occurrence is cheap, so
+    # dist ranks entities by association strength from the seed, the
+    # KG-retrieval "proximity" ranking with weights (kg_shortest_path is
+    # the unweighted hop version). ALL-INTEGER min-plus arithmetic: parity
+    # with the unrolled oracle is bit-exact by construction. div/// are
+    # both floor division on positive BIGINTs.
+    def kg_sssp(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            sssp,
+        )
+
+        docs = _t(s, d, "documents")
+        m = webkg.doc_mentions(docs).localCheckpoint()
+        we = (
+            webkg.doc_triples(docs, mentions=m)
+            .where(F.col("subj") != F.col("obj"))
+            .groupBy(
+                F.least("subj", "obj").alias("a"),
+                F.greatest("subj", "obj").alias("b"),
+            )
+            .agg(F.sum("n_docs").alias("wt"))
+            .select(
+                "a", "b", F.expr("(1000 + wt - 1) div wt").alias("cost")
+            )
+        )
+        return sssp(we, source="slow", weight_col="cost", rounds=6)
+
+    q["kg_sssp"] = kg_sssp
+
     # Common-neighbor link prediction (KG completion baselines): for every
     # NON-adjacent term pair sharing >= 1 neighbor, cn / Adamic-Adar /
     # Jaccard. One wedge self-join through the common neighbor + one
@@ -607,6 +638,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5, n_cells=16, nprobe=2
     )
 
+    # SemDeDup (cluster -> within-cell cosine prune): the embedding-space
+    # analogue of dedup_cluster; drops every vector with an earlier
+    # cell-mate at cosine >= threshold. Cell assignment = the same
+    # deterministic fixed-sample quantizer as the IVF gates (kmeans is the
+    # production path, not oracle-able).
+    def sim_semdedup(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+            semdedup,
+        )
+
+        return semdedup(_dbl_emb(_t(s, d, "embeddings")), n_cells=16, threshold=0.25)
+
+    q["sim_semdedup"] = sim_semdedup
+
     # E3 rerank shape: score vs query embedding, threshold-prune, sort desc,
     # cap per element class (reference context_builder.py:164-278)
     def rerank_class_cap(s, d):
@@ -839,6 +884,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_asof"] = events_asof
+
+    # Conversion funnel (operators/funnel.py): earliest strictly-increasing
+    # view -> click -> purchase chain per user; per step one user-key join
+    # + one algebraic min — no event self-join, no full-stream window.
+    # Timestamps leave as SECOND deltas (unix_timestamp floors each side,
+    # matching DuckDB date_diff('second', ...) — the events_asof pairing).
+    def events_funnel(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.funnel import funnel
+
+        fn = funnel(_t(s, d, "events"), ["view", "click", "purchase"])
+        return fn.select(
+            "user_id",
+            "stage",
+            (F.unix_timestamp("t_1") - F.unix_timestamp("t_0")).alias("sec_to_click"),
+            (F.unix_timestamp("t_2") - F.unix_timestamp("t_0")).alias(
+                "sec_to_purchase"
+            ),
+        )
+
+    q["events_funnel"] = events_funnel
 
     # A2/A3: JSON scan + flatten (events.props is a JSON string column)
     def events_json(s, d):
@@ -1454,6 +1519,33 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 r0 AS (SELECT x AS name, 1.0 / (SELECT n FROM nn) AS rank FROM deg){_wpr_iters}
 SELECT name, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM r8"""
 
+    # weighted SSSP: the 6 Bellman-Ford rounds unrolled; all-BIGINT
+    # min-plus (no floats anywhere). // is BIGINT floor division, matching
+    # Spark's div on positive operands; MATERIALIZED because each d{k} is
+    # referenced twice per round (relax + carry).
+    _sssp_rounds = "".join(
+        f""",
+d{k + 1} AS MATERIALIZED (
+  SELECT name, min(dist) AS dist FROM (
+    SELECT und.y AS name, d{k}.dist + und.w AS dist
+    FROM und JOIN d{k} ON d{k}.name = und.x
+    UNION ALL SELECT name, dist FROM d{k}
+  ) GROUP BY name
+)"""
+        for k in range(6)
+    )
+    o["kg_sssp"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+         (1000 + CAST(SUM(n_docs) AS BIGINT) - 1) // CAST(SUM(n_docs) AS BIGINT) AS w
+  FROM triples WHERE subj <> obj GROUP BY 1, 2
+),
+und AS MATERIALIZED (SELECT a AS x, b AS y, w FROM e
+                     UNION ALL SELECT b AS x, a AS y, w FROM e),
+d0 AS (SELECT 'slow' AS name, CAST(0 AS BIGINT) AS dist){_sssp_rounds}
+SELECT name, dist FROM d6"""
+
     # personalized PageRank: the seeded recurrence unrolled — base(v) =
     # (1-d)*p(v) with p uniform over the 2 smallest node names, r0 = p;
     # each round joins the per-node base back on the grouped contribution
@@ -1679,6 +1771,32 @@ SELECT p.event_id, p.user_id,
        CASE WHEN p.ts - c.ts <= INTERVAL 1 DAY
             THEN date_diff('second', c.ts, p.ts) END AS gap_s
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+    # funnel: one sequential min-aggregate per step, each gated on the
+    # previous step's match time; stage = 1 + completed later steps.
+    # date_diff('second', ...) == Spark's unix_timestamp floor-diff (the
+    # events_asof equivalence).
+    o["events_funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+              + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage,
+       date_diff('second', v.t0, c.t1) AS sec_to_click,
+       date_diff('second', v.t0, p.t2) AS sec_to_purchase
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id"""
 
     # kg_name_map: band keys and fuzzy verdicts are DETERMINISTIC functions
     # of the name strings alone, so they are precomputed HERE from the same
@@ -2029,6 +2147,33 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"""
+    # SemDeDup: same assignment CTE as the IVF oracles, then within-cell
+    # pairs only; _cos operand order (earlier vector first) matches the
+    # Spark expression exactly.
+    o["sim_semdedup"] = f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM e ORDER BY vec_id LIMIT 16),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, cents.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_cos("e.embedding", "cents.c_emb")}, 6) DESC,
+                                     cents.cell ASC) AS rn
+  FROM e, cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+pairs AS (
+  SELECT r.vec_id, l.vec_id AS dup_of,
+         round({_cos("l.embedding", "r.embedding")}, 4) AS score
+  FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE round({_cos("l.embedding", "r.embedding")}, 4) >= 0.25
+),
+ranked AS (
+  SELECT vec_id, dup_of, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, dup_of, score FROM ranked WHERE rn = 1"""
+
     o["rerank_class_cap"] = f"""
 WITH e AS (SELECT vec_id, {emb} AS embedding, label FROM embeddings),
 qv AS (SELECT embedding AS q_embedding FROM e WHERE vec_id = 0),

@@ -39,6 +39,7 @@ HEADLINE = [
     "kg_linkpred",
     "kg_triangles",
     "kg_ktruss",
+    "kg_sssp",
     "kg_kcore",
     "kg_hits",
     "kg_lpa",
@@ -70,6 +71,7 @@ HEADLINE = [
     "sim_neardup_bands",
     "sim_ivf_topk",
     "sim_ivf_probe2",
+    "sim_semdedup",
     "rerank_class_cap",
     "mm_features",
     "mm_frame_sample",
@@ -82,6 +84,7 @@ HEADLINE = [
     "events_hourly",
     "events_sessions",
     "events_asof",
+    "events_funnel",
     "events_pivot",
     "tpch_pricing",
     "tpch_rollup",

@@ -293,6 +293,50 @@ def topk_cosine_ivf(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.85,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with the IVF coarse quantizer, then compute
+    pairwise cosine WITHIN each cell only and drop every vector that has an
+    earlier (smaller vec_id) cell-mate at cosine >= threshold. Returns the
+    DROP decisions (vec_id, dup_of, score) with dup_of the smallest
+    qualifying earlier cell-mate (deterministic canonical) and score its
+    cosine; keep-set = embeddings anti-join this.
+
+    Scale shape: the quadratic stage is blocked per cell — never all-pairs.
+    With cells ~ sqrt(N) (auto_ivf_params) and a TRAINED quantizer
+    (ivf_centroids_kmeans) cell sizes stay near-uniform, so the within-cell
+    self-join is the same bounded-bucket shape as the LSH dedup paths; the
+    cell assignment itself is one broadcast join + one per-vector top-1
+    window. This trades exactness at cell boundaries for never comparing
+    across cells — the published SemDeDup design point.
+    """
+    a = ivf_assign(embeddings, n_cells, cents)
+    lhs = a.select(
+        "cell", F.col("vec_id").alias("dup_of"), F.col("embedding").alias("l_emb")
+    )
+    pairs = (
+        a.join(lhs, "cell")
+        .where(F.col("dup_of") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "dup_of",
+            F.round(cosine_col(F.col("l_emb"), F.col("embedding")), 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dup_of"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "dup_of", "score")
+    )
+
+
 def rerank_score_filter_cap(
     items: DataFrame,
     query_vec: DataFrame,

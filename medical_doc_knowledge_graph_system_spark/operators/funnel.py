@@ -1,0 +1,68 @@
+"""N-step conversion funnel over an event stream.
+
+The canonical product-analytics sequential-pattern operator (the batch
+analogue of what event warehouses call a funnel / windowFunnel): for each
+user, match the earliest strictly-increasing timestamp chain through the
+ordered step list — step i's match is the user's first step-i event AFTER
+the step i-1 match. Greedy-earliest matching is the standard funnel
+semantics and is exactly SQL-expressible (one sequential min-aggregate per
+step), so the whole operator stays JVM-side and oracle-able.
+
+Scale shape: one pass to project/filter the event table, then per step ONE
+equi-join on the user key (the per-step frame only ever SHRINKS — step i's
+users are a subset of step i-1's) + one algebraic min aggregate whose
+map-side partials absorb per-user event skew. No windows over the full
+event set, no self-join of events with events: the join left side is
+events filtered to one step type, the right side is the per-user match
+frame (|users| rows). At 100 TB the step joins all shuffle on the same
+user key, so AQE reuses the exchange layout across steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Match the ordered ``steps`` chain per user.
+
+    Returns one row per user who completed at least step 0:
+    (user_col, stage, t_0 .. t_{n-1}) where stage in [1, n] is the number
+    of completed steps and t_i is the timestamp matched for step i (NULL
+    past the reached stage). Strictly-increasing timestamps: a step event
+    at exactly the previous match's timestamp does NOT advance the funnel
+    (the same event can never satisfy two steps).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel requires >= 2 steps")
+    ev = events.select(user_col, type_col, ts_col)
+    cur = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        prev_t = f"t_{i - 1}"
+        nxt = (
+            ev.where(F.col(type_col) == step)
+            .join(cur.select(user_col, prev_t), user_col)
+            .where(F.col(ts_col) > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    stage = F.lit(1)
+    for i in range(1, len(steps)):
+        stage = stage + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+    return cur.select(
+        user_col,
+        stage.cast("int").alias("stage"),
+        *[f"t_{i}" for i in range(len(steps))],
+    )

@@ -468,6 +468,56 @@ def ktruss(
     )
 
 
+def sssp(
+    edges: DataFrame,
+    source: str,
+    weight_col: str | None = None,
+    rounds: int = 8,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Single-source shortest path by fixed-round Bellman-Ford relaxation
+    over the undirected (a, b[, weight]) edge list; integer weights ONLY,
+    so every distance is a BIGINT min-plus sum — bit-exact across engines
+    (the float-free analogue of what kg_pagerank does for the 4dp floats).
+    ``weight_col=None`` means unit weights (hop counts). Returns
+    (name, dist) for every node reachable within ``rounds`` edges; after
+    ``rounds`` >= the graph's hop diameter this is the exact SSSP (each
+    round extends the relaxed-path length bound by one edge — the classic
+    Bellman-Ford invariant).
+
+    Scale shape: per round ONE shuffle join (frontier x adjacency, the
+    standard distributed Bellman-Ford / Pregel relaxation) + one algebraic
+    min aggregate (map-side partials absorb hub skew), lineage flattened
+    per round via localCheckpoint. The dist frame never exceeds |V| rows
+    and the relax join never exceeds sum-of-degrees rows per round, so the
+    per-round cost is bounded by |E| regardless of round count. Stats
+    growth across rounds is additive-in-bits (dist x und product once per
+    round), not multiplicative — safe from the ktruss stats explosion.
+    """
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w")
+    e0 = edges.select("a", "b", w).localCheckpoint()
+    und = (
+        e0.select(F.col("a").alias("x"), F.col("b").alias("y"), "w")
+        .union(e0.select(F.col("b").alias("x"), F.col("a").alias("y"), "w"))
+        .repartition(num_partitions, "x")
+        .localCheckpoint()
+    )
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "name string, dist bigint"
+    )
+    for _ in range(rounds):
+        relax = dist.join(und, dist["name"] == und["x"]).select(
+            F.col("y").alias("name"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            relax.unionByName(dist)
+            .groupBy("name")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
 def hits(
     edges: DataFrame, iterations: int = 8, num_partitions: int = 8, salts: int = 16
 ) -> DataFrame:

@@ -255,6 +255,61 @@ def test_ivf_kmeans_quantizer_deterministic_and_compatible(spark):
     assert full == exact
 
 
+def test_semdedup_drops_within_cell_keeps_across(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import semdedup
+
+    # n_cells=2 -> centroids are vec 0 and vec 1 themselves. vec 2 is a
+    # near-copy of vec 0 (same cell, cos ~ 1) -> dropped with dup_of=0;
+    # vec 3 is a near-copy of vec 1 but vec 1 is a CENTROID of its own cell,
+    # so both land in cell 1 -> 3 dropped with dup_of=1; vec 4 is orthogonal
+    # to everything in its cell -> kept. vec 0 vs vec 1 are near-dups ACROSS
+    # cells -> kept (the published SemDeDup boundary-miss trade-off).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.02]),
+        (1, [0.95, 0.0, 0.0, -0.3]),
+        (2, [0.99, 0.01, 0.0, 0.02]),
+        (3, [0.94, 0.01, 0.0, -0.31]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.dup_of for r in semdedup(emb, n_cells=2, threshold=0.9).collect()}
+    assert got == {2: 0, 3: 1}
+
+
+def test_semdedup_matches_python_oracle(spark):
+    import random
+
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import semdedup
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    # plant exact duplicates to guarantee drops
+    rows += [(100 + i, list(rows[i][1])) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return d / n
+
+    cents = sorted(rows)[:4]
+    cell = {
+        i: max(cents, key=lambda c: (round(cos(v, c[1]), 6), -c[0]))[0]
+        for i, v in rows
+    }
+    want = {}
+    for i, v in sorted(rows):
+        cands = [
+            j for j, u in sorted(rows)
+            if j < i and cell[j] == cell[i] and round(cos(u, v), 4) >= 0.8
+        ]
+        if cands:
+            want[i] = min(cands)
+    got = {r.vec_id: r.dup_of for r in semdedup(emb, n_cells=4, threshold=0.8).collect()}
+    assert got == want
+    assert all(100 + i in got for i in range(5))  # planted dups all dropped
+
+
 def test_rerank_score_filter_cap(spark):
     from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
         rerank_score_filter_cap,

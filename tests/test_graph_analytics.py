@@ -421,6 +421,75 @@ def test_ktruss_random_graph_convergence_equals_fixed(spark):
     assert four == _ktruss_oracle(edges, 4, rounds=4)
 
 
+def _dijkstra(edges, source):
+    """Exact SSSP on python dicts (binary-heap Dijkstra); edges are
+    (a, b, w) undirected."""
+    import heapq
+
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def _wedges_df(spark, edges):
+    return spark.createDataFrame(sorted(edges), "a string, b string, w long")
+
+
+def test_sssp_known_answer_and_round_semantics(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import sssp
+
+    # a -1- b -1- c -1- d, plus a -5- d direct: 3-hop path wins (3 < 5),
+    # but only once rounds >= 3
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 5)]
+    df = _wedges_df(spark, edges)
+    full = {r.name: r.dist for r in sssp(df, "a", "w", rounds=4).collect()}
+    assert full == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # after 1 round only direct edges are relaxed
+    one = {r.name: r.dist for r in sssp(df, "a", "w", rounds=1).collect()}
+    assert one == {"a": 0, "b": 1, "d": 5}
+    # after 2 rounds the 2-edge path to c lands; d still via the direct edge
+    two = {r.name: r.dist for r in sssp(df, "a", "w", rounds=2).collect()}
+    assert two == {"a": 0, "b": 1, "c": 2, "d": 5}
+
+
+def test_sssp_random_graph_matches_dijkstra(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import sssp
+
+    rng = random.Random(41)
+    pairs = sorted({tuple(sorted(rng.sample([f"v{i:02d}" for i in range(30)], 2)))
+                    for _ in range(120)})
+    edges = [(a, b, rng.randint(1, 20)) for a, b in pairs]
+    got = {r.name: r.dist for r in
+           sssp(_wedges_df(spark, edges), "v00", "w", rounds=29).collect()}
+    assert got == _dijkstra(edges, "v00")
+
+
+def test_sssp_unit_weights_equal_bfs_hops(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import sssp
+
+    rng = random.Random(43)
+    pairs = sorted({tuple(sorted(rng.sample([f"v{i:02d}" for i in range(20)], 2)))
+                    for _ in range(50)})
+    df = _edges_df(spark, pairs)
+    got = {r.name: r.dist for r in sssp(df, "v00", rounds=19).collect()}
+    assert got == _dijkstra([(a, b, 1) for a, b in pairs], "v00")
+    # unreachable nodes are absent, not infinite
+    assert all(n in {a for p in pairs for a in p} for n in got)
+
+
 def test_ktruss_k2_raises(spark):
     from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import ktruss
 

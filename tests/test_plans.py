@@ -258,6 +258,7 @@ def test_gate_query_scan_budget(spark):
         ("kg_pagerank_weighted", 0),
         ("kg_ppr", 0),
         ("kg_ktruss", 0),
+        ("kg_sssp", 0),
         ("kg_linkpred", 0),
         ("kg_triangles", 0),
         ("kg_kcore", 0),
