@@ -905,7 +905,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel"] = events_funnel
 
-    # A2/A3: JSON scan + flatten (events.props is a JSON string column)
+    # Range join (operators/rangejoin.py): clicks inside each purchase's
+    # following 30-minute window, counted per purchase with zeros kept.
+    # Spark plans the time-bucket explode + hash equi-join + exact filter
+    # (never a nested loop); the oracle is DuckDB's native inequality
+    # LEFT JOIN — an independent evaluation of the same half-open window.
+    def events_range_join(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.rangejoin import (
+            interval_point_count,
+        )
+
+        ev = _t(s, d, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("ts_begin"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts_end"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+        return interval_point_count(
+            purchases, clicks, keys=["user_id"], interval_id="event_id"
+        ).select("event_id", "user_id", "n_points")
+
+    q["events_range_join"] = events_range_join
+
+    # Cohort retention: cohort = each user's first active DATE; one row per
+    # (cohort, day-offset) with the count of distinct users active at that
+    # offset. Shape: distinct user-days (one shuffle), an algebraic min for
+    # the cohort, a user-key join, one count aggregate — each user
+    # contributes at most one row per offset by construction, so the count
+    # is plain (never count-distinct).
+    def events_retention(s, d):
+        ev = _t(s, d, "events")
+        days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+        cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_d"))
+        return (
+            days.join(cohort, "user_id")
+            .select(
+                F.col("cohort_d").cast("string").alias("cohort_d"),
+                F.datediff("day", "cohort_d").cast("long").alias("offset_d"),
+            )
+            .groupBy("cohort_d", "offset_d")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+
+    q["events_retention"] = events_retention
     def events_json(s, d):
         ev = _t(s, d, "events")
         return (
@@ -1018,6 +1062,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # domain-mix rebalancing: at most 20 docs per source, md5(doc_id) order
     q["sample_stratified"] = lambda s, d: sample_stratified(_t(s, d, "documents"))
+
+    # Temperature remixing (curate.sample_temperature): downsample each
+    # language toward p_g ∝ sqrt(count) — the multilingual-corpus
+    # rebalancing rule. sqrt is IEEE-correctly-rounded and the weights are
+    # quantized to BIGINT, so the whole target computation is integer-exact
+    # on both engines (see the operator docstring).
+    def sample_temperature_q(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.curate import (
+            sample_temperature,
+        )
+
+        return sample_temperature(
+            _t(s, d, "documents"), target_total=200, group_col="lang"
+        )
+
+    q["sample_temperature"] = sample_temperature_q
     # the extreme-head production shape: per-partition prune before the
     # global per-group window (skew.topk_per_group) — identical output to
     # sample_stratified, identical oracle
@@ -1797,6 +1857,55 @@ SELECT v.user_id,
        date_diff('second', v.t0, p.t2) AS sec_to_purchase
 FROM v LEFT JOIN c ON c.user_id = v.user_id
        LEFT JOIN p ON p.user_id = v.user_id"""
+
+    # range join: DuckDB's native inequality LEFT JOIN evaluates the same
+    # half-open [ts, ts+30min) window the Spark side reaches through the
+    # time-bucket equi-join; count(c.ts) keeps empty windows as 0 rows.
+    o["events_range_join"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(count(c.ts) AS BIGINT) AS n_points
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+GROUP BY p.event_id, p.user_id"""
+
+    # cohort retention: distinct user-days, min-day cohort, day-offset
+    # counts. CAST(DATE AS VARCHAR) prints ISO dates exactly like Spark's
+    # date->string cast; date_diff('day', ...) on DATE values == Spark
+    # datediff (whole-day integers, no timezone in play).
+    o["events_retention"] = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+coh AS (SELECT user_id, min(day) AS cohort_d FROM days GROUP BY user_id)
+SELECT CAST(coh.cohort_d AS VARCHAR) AS cohort_d,
+       CAST(date_diff('day', coh.cohort_d, days.day) AS BIGINT) AS offset_d,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM days JOIN coh ON days.user_id = coh.user_id
+GROUP BY 1, 2"""
+
+    # temperature remix: the identical integer pipeline — sqrt weights
+    # floored to BIGINT at 2^20 scale (sqrt is correctly rounded, so the
+    # quantized weights are bit-identical), BIGINT floor-division targets
+    # (// == Spark DIV on positives; DuckDB's BIGINT sum() widening to
+    # HUGEINT is exact), md5-order per-group ranks.
+    o["sample_temperature"] = """
+WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id IS NOT NULL),
+cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY lang),
+wts AS (SELECT lang, c,
+               CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS s
+        FROM cnt),
+tg AS (SELECT lang,
+              least((CAST(200 AS BIGINT) * s) // (SELECT sum(s) FROM wts), c)
+                AS n_target
+       FROM wts),
+rk AS (SELECT doc_id, lang,
+              row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+              ) AS smp_rank
+       FROM base)
+SELECT rk.doc_id, rk.lang, CAST(rk.smp_rank AS BIGINT) AS smp_rank
+FROM rk JOIN tg ON rk.lang = tg.lang
+WHERE rk.smp_rank <= tg.n_target"""
 
     # kg_name_map: band keys and fuzzy verdicts are DETERMINISTIC functions
     # of the name strings alone, so they are precomputed HERE from the same

@@ -213,6 +213,77 @@ def pack_sequences(
     )
 
 
+# weight quantization for sample_temperature: sqrt weights are scaled by
+# 2^20 and floored to BIGINT, so every downstream step is integer-exact
+# (order-free sums, floor division) — cross-engine bit parity without
+# trusting any float summation order. 2^20 keeps ~6 significant digits of
+# the weight: a corpus would need >10^6 groups for the quantization to
+# move any group's target by a whole document.
+_TEMP_WEIGHT_SCALE = 1 << 20
+
+
+def sample_temperature(
+    docs: DataFrame,
+    target_total: int,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain remixing: downsample each group toward the
+    flattened mix p_g ∝ c_g^alpha (alpha = 1/temperature; alpha=1 keeps the
+    natural mix, alpha→0 flattens to uniform — the multilingual-corpus
+    rebalancing rule from the mBERT/XLM-R recipes). Picks
+    n_g = floor(target_total * w_g / Σw) documents from group g, capped at
+    the group's size (downsample-only — no replacement), deterministically
+    in md5(doc_id) order. Output: (doc_id, <group_col>, smp_rank).
+
+    Exactness: with the default alpha=0.5 the per-group weight is
+    sqrt(count) — IEEE-754 sqrt is correctly rounded, so after scaling by
+    2^20 and flooring to BIGINT, every weight, the Σw sum, and the
+    floor-division target are INTEGER arithmetic — bit-identical on any
+    engine regardless of aggregation order. Other alphas use pow(), which
+    is not correctly rounded across libms; production-fine, but the exact
+    oracle gate runs alpha=0.5.
+
+    Scale shape: one count aggregate on the group key (algebraic), a
+    group-cardinality-sized target frame broadcast back, one per-group
+    rank window in hash order (the Zipf head can route through
+    skew.topk_per_group exactly as sample_stratified does — same window
+    spec). No driver data path, no floats in the keep predicate.
+    """
+    base = docs.where(F.col("doc_id").isNotNull()).select("doc_id", group_col)
+    cnt = base.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    if alpha == 0.5:
+        w_raw = F.sqrt(F.col("c").cast("double"))
+    else:
+        w_raw = F.pow(F.col("c").cast("double"), F.lit(float(alpha)))
+    wts = cnt.select(
+        group_col,
+        "c",
+        F.floor(w_raw * F.lit(float(_TEMP_WEIGHT_SCALE))).cast("long").alias("s"),
+    )
+    # Σw over the group-cardinality frame: an unpartitioned window over
+    # |groups| rows (bounded by design); the sum is BIGINT so aggregation
+    # order cannot matter.
+    targets = wts.select(
+        group_col,
+        F.least(
+            F.expr(f"CAST({int(target_total)} AS BIGINT) * s DIV sum(s) OVER ()"),
+            F.col("c"),
+        ).alias("n_target"),
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "doc_id", group_col, F.row_number().over(w_rank).alias("smp_rank")
+    )
+    return (
+        ranked.join(F.broadcast(targets), group_col)
+        .where(F.col("smp_rank") <= F.col("n_target"))
+        .select("doc_id", group_col, F.col("smp_rank").cast("long").alias("smp_rank"))
+    )
+
+
 def sample_stratified(
     docs: DataFrame,
     per_group: int = 20,
