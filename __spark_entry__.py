@@ -419,6 +419,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_lpa"] = kg_lpa
 
+    # Degree distribution of the doc-similarity graph (the term graph is
+    # near-complete — a 2-bucket histogram): mirror the (a<b) edge set,
+    # one algebraic count per node, one count per degree — the quick
+    # skew censor run before any iterative analytic (a heavy head in this
+    # histogram is what the salted/two-phase variants exist for).
+    def kg_degree_hist(s, d):
+        e = _kg_docgraph(s, d)
+        deg = (
+            e.select(F.col("a").alias("x"))
+            .unionAll(e.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        return deg.groupBy("deg").agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        )
+
+    q["kg_degree_hist"] = kg_degree_hist
+
+    # Closeness centrality + eccentricity: multi-source BFS carrying
+    # (src, node, d) state — every node a source at gate scale (the exact
+    # mode; production samples sources). closeness = n_reach/sum_d per
+    # component (Wasserman-Faust). Oracle = min-distance over the
+    # recursive reachability closure with the same 8-round cap.
+    def kg_closeness(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            closeness,
+        )
+
+        return closeness(_kg_docgraph(s, d), rounds=8)
+
+    q["kg_closeness"] = kg_closeness
+
+    # Degree assortativity (Newman's r) of the doc-similarity graph: six
+    # exact BIGINT moments + one closed-form double expression — float
+    # parity is structural (no float ever enters an aggregate).
+    def kg_assortativity(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            assortativity,
+        )
+
+        return assortativity(_kg_docgraph(s, d))
+
+    q["kg_assortativity"] = kg_assortativity
+
     # C2 at the gate (VERDICT r4 #1): the DISTRIBUTED fuzzy name-map build —
     # MinHash-LSH blocked candidate pairs (resolve.candidate_pairs, band
     # pandas UDF + bucket-capped self-join) -> exact token_sort_ratio verify
@@ -524,6 +569,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition"] = lambda s, d: with_repetition(_t(s, d, "documents"))
     # GPT-3-style benchmark decontamination: 4-gram overlap vs the eval split
     q["decontam_ngram"] = lambda s, d: ngram_decontam(_t(s, d, "documents"))
+
+    # Corpus statistics (functions/corpusstats.py): the MapReduce-classic
+    # web-scale text workloads. ngram_topk = LM counting with a
+    # TakeOrderedAndProject top-k (no global sort); bigram_lm = ML
+    # next-token table where the per-w1 window sorts DISTINCT successors
+    # (vocab-bounded, the stopword head is absorbed by the map-side pair
+    # count); inverted_index = posting lists capped through the two-phase
+    # skew.topk_per_group prune BEFORE collect_list (a stopword never
+    # materializes its corpus-sized posting list on one reducer).
+    def text_ngram_topk(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            ngram_topk,
+        )
+
+        return ngram_topk(_t(s, d, "documents"), n=2, k=100)
+
+    q["text_ngram_topk"] = text_ngram_topk
+
+    def text_bigram_lm(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            bigram_lm,
+        )
+
+        return bigram_lm(_t(s, d, "documents"), min_count=5)
+
+    q["text_bigram_lm"] = text_bigram_lm
+
+    def text_inverted_index(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            inverted_index,
+        )
+
+        return inverted_index(_t(s, d, "documents"), max_postings=20)
+
+    q["text_inverted_index"] = text_inverted_index
+
+    # TF-IDF top-3 terms per doc: integer tf/df counts, one ln per
+    # (term, doc) JVM-side, ranking on the ROUNDED score + term-asc
+    # tiebreak so the selected set is the same total order both engines
+    # compute. N arrives as a broadcast 1-row frame (no driver collect).
+    def text_tfidf_topk(s, d):
+        docs = _t(s, d, "documents")
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            tokens_col,
+        )
+
+        pairs = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        tf = pairs.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        dfreq = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "term",
+                "tf",
+                F.round(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+                ).alias("tfidf"),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf"), F.asc("term")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select(
+                "doc_id", "term", "tf", "tfidf",
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
+
+    q["text_tfidf_topk"] = text_tfidf_topk
 
     # PII redaction (r5): the gate tables carry no PII, so deterministic
     # PII (email / IPv4 / E.164-ish phone) is synthesized per doc_id
@@ -994,6 +1118,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_quantiles"] = events_quantiles
+
+    # Multi-dimensional aggregation: CUBE over (event_type, day) — every
+    # grouping-set combination in ONE pass (Spark plans Expand + a single
+    # partial+final aggregate; no per-set rescans). '(all)' marks the
+    # rolled-up dimension on both engines.
+    def events_cube(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.select(
+                "event_type",
+                F.to_date("ts").cast("string").alias("day"),
+                "value",
+            )
+            .cube("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+                F.coalesce("day", F.lit("(all)")).alias("day"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    q["events_cube"] = events_cube
+
+    # Window FRAMES: trailing 7-row (= 7-day on a dense calendar) moving
+    # average of daily counts per type. The frame average sums <= 7
+    # BIGINTs — exact in a double regardless of accumulation order, so
+    # float parity is structural, not luck.
+    def events_ma7(s, d):
+        ev = _t(s, d, "events")
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(-6, Window.currentRow)
+        )
+        return daily.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.round(F.avg("n").over(w), 4).alias("ma7"),
+        )
+
+    q["events_ma7"] = events_ma7
+
+    # EXACT count-distinct at scale, spelled as the two-level aggregate
+    # (distinct pairs -> count): the first shuffle dedups on the full
+    # (type, user) key with map-side partials — no single reducer ever
+    # sees a hot type's full user multiset (the same Expand shape
+    # Catalyst rewrites count(DISTINCT) into, made explicit).
+    def events_distinct2(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.select("event_type", "user_id")
+            .distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+
+    q["events_distinct2"] = events_distinct2
 
     # multi-dimensional aggregation: ROLLUP
     def tpch_rollup(s, d):
@@ -1523,6 +1713,64 @@ SELECT name, min(r) AS comp FROM reach GROUP BY name"""
     # same oracle: the component labeling is implementation-independent
     o["kg_components_star"] = o["kg_components"]
 
+    # degree histogram of the (a<b) doc-similarity edge set: mirror,
+    # count per node, count per degree — all integers.
+    o["kg_degree_hist"] = f"""
+WITH {_docgraph_ctes()},
+und AS (SELECT a AS x FROM e0 UNION ALL SELECT b AS x FROM e0),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY x)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY deg"""
+
+    # closeness: BFS min-distance == MIN(d) over the d-capped recursive
+    # closure (walk rows dedup on the full (src, node, d) tuple — bounded
+    # by pairs x rounds). (count-1)/sum is the same two-BIGINT double
+    # division the Spark side performs.
+    o["kg_closeness"] = f"""
+WITH RECURSIVE {_docgraph_ctes()},
+und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
+nodes AS (SELECT DISTINCT x AS name FROM und),
+walk AS (
+  SELECT name AS src, name AS node, 0 AS d FROM nodes
+  UNION
+  SELECT walk.src, und.y, walk.d + 1
+  FROM walk JOIN und ON walk.node = und.x
+  WHERE walk.d < 8
+),
+sp AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2)
+SELECT src AS name,
+       CAST(count(*) - 1 AS BIGINT) AS n_reach,
+       CAST(sum(d) AS BIGINT) AS sum_d,
+       CAST(max(d) AS BIGINT) AS ecc,
+       CASE WHEN sum(d) > 0
+            THEN round((count(*) - 1) / sum(d), 4) ELSE 0.0 END AS closeness
+FROM sp GROUP BY src"""
+
+    # assortativity: six exact integer moments, one closed-form double
+    # expression in the identical operand order (sqrt x sqrt, then one
+    # division) — NULL when either variance is degenerate.
+    o["kg_assortativity"] = f"""
+WITH {_docgraph_ctes()},
+und AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b AS x, a AS y FROM e0),
+deg AS (SELECT x AS name, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY x),
+ends AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM und JOIN deg dx ON dx.name = und.x JOIN deg dy ON dy.name = und.y
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT m AS m_ends,
+       CASE WHEN sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy) > 0
+            THEN round((m * sxy - sx * sy)
+                       / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 4)
+            ELSE NULL END AS r_assort
+FROM mom"""
+
     # PageRank: the fixed-iteration power recurrence unrolled as CTEs —
     # r_{k+1}(v) = (1-d)/N + d * sum_{u~v} r_k(u)/deg(u) over the mirrored
     # edge set, exactly the update the Spark loop computes (same IEEE-double
@@ -1906,6 +2154,39 @@ rk AS (SELECT doc_id, lang,
 SELECT rk.doc_id, rk.lang, CAST(rk.smp_rank AS BIGINT) AS smp_rank
 FROM rk JOIN tg ON rk.lang = tg.lang
 WHERE rk.smp_rank <= tg.n_target"""
+
+    # CUBE: all four grouping sets in one statement on both engines;
+    # '(all)' marks a rolled-up dimension (no real NULLs in these columns,
+    # so the sentinel is unambiguous). sum(value) parity: ~60k doubles of
+    # magnitude <= 1e3 — accumulation-order ulps are ~1e-9, far inside the
+    # 4dp round.
+    o["events_cube"] = """
+WITH base AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, '(all)') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM base GROUP BY CUBE(event_type, day)"""
+
+    # trailing 7-row moving average: the frame sums <= 7 BIGINTs (exact in
+    # a double in any order) then divides once — structural float parity.
+    o["events_ma7"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily"""
+
+    # exact distinct users per type — the oracle states the semantics
+    # directly; the Spark side spells the two-level shape out.
+    o["events_distinct2"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
 
     # kg_name_map: band keys and fuzzy verdicts are DETERMINISTIC functions
     # of the name strings alone, so they are precomputed HERE from the same
@@ -2599,6 +2880,83 @@ f AS (
 )
 SELECT doc_id, n_ngrams, dup_ngram_frac, dup_ngram_frac > 0.2 AS flag_repetitive
 FROM f"""
+
+    # corpus bigram counts, top-100 under the (c DESC, ngram ASC) total
+    # order — deterministic ties, so LIMIT selects the same SET. Same
+    # full-window multiset grams as text_repetition.
+    o["text_ngram_topk"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> concat_ws(' ', t[i], t[i+1]))) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS c
+FROM g GROUP BY ngram
+ORDER BY c DESC, ngram ASC
+LIMIT 100"""
+
+    # bigram LM: two equal-length unnests zip positionally in DuckDB, so
+    # (w1, w2) pairs come straight off the token array; integer counts,
+    # one exact double division rounded 4dp (both engines divide the same
+    # two BIGINTs — c1 is an integer sum, order-free).
+    o["text_bigram_lm"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+pr AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i+1])) AS w2
+  FROM toks
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2),
+tot AS (
+  SELECT w1, w2, c12,
+         CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2 ASC) AS rn
+  FROM big
+)
+SELECT w1, w2 AS w2_top, c1, c12, round(c12 / c1, 4) AS p
+FROM tot WHERE rn = 1 AND c1 >= 5"""
+
+    # inverted index: ordered array_agg sliced to 20, stringified per
+    # element then joined (matches Spark's sort_array + transform cast +
+    # array_join); coalesce per invariant #3 (array_to_string on an empty
+    # list is NULL in DuckDB, '' in Spark).
+    o["text_inverted_index"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       coalesce(array_to_string(
+         list_transform(list_slice(array_agg(doc_id ORDER BY doc_id), 1, 20),
+                        x -> CAST(x AS VARCHAR)), ','), '') AS postings
+FROM pairs GROUP BY term"""
+
+    # TF-IDF: integer tf/df, scalar N, one ln over the same BIGINT/BIGINT
+    # double division; rank on the ROUNDED score + term tiebreak (the
+    # total order both engines share).
+    o["text_tfidf_topk"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM pairs GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 3"""
     # PII scrub: patterns come verbatim from PII_PATTERNS (no drift); the
     # synthetic PII fixture mirrors the Spark side expression for
     # expression. DuckDB regexp_replace needs the explicit 'g' flag (Spark

@@ -86,6 +86,13 @@ HEADLINE = [
     "events_asof",
     "events_funnel",
     "events_pivot",
+    "events_range_join",
+    "events_retention",
+    "events_cube",
+    "text_ngram_topk",
+    "text_inverted_index",
+    "sample_temperature",
+    "kg_degree_hist",
     "tpch_pricing",
     "tpch_rollup",
     "tpch_top_customers",

@@ -1,0 +1,144 @@
+"""Corpus-level statistics: n-gram counting, bigram language-model tables,
+and inverted-index construction — the classic web-scale MapReduce text
+workloads, expressed as pure DataFrame plans (no Python in the hot path).
+
+The reference computes per-corpus term statistics while linking entities
+(`app/kg/entity_resolver.py` builds its alias dictionaries from corpus
+terms); at 10^12 documents these corpus passes are the dominant cost, so
+each operator here is shaped for that scale:
+
+* `ngram_topk` — one explode + one algebraic count + TakeOrderedAndProject
+  (top-k never global-sorts: each partition keeps k candidates, the driver
+  merges k x partitions rows).
+* `bigram_lm` — conditional next-token table P(w2|w1): after the pair
+  count, every per-w1 window runs over the DISTINCT-successor frame whose
+  group size is bounded by vocabulary, not corpus size — the stopword head
+  is absorbed by the map-side partial count, never by a window sort.
+* `inverted_index` — posting lists capped BEFORE collection via the
+  two-phase `skew.topk_per_group` prune, so a stopword's reducer holds
+  k x partitions doc ids, never its full (corpus-sized) posting list; the
+  document frequency is a separate algebraic count over the same exploded
+  frame (pinned once).
+
+Tokenization is `textfns.tokens_col` (literal single-space split) so every
+operator has an exact DuckDB oracle; n-gram windows follow the
+full-window multiset policy of `textfns._ngrams_col` (no partial grams,
+empty for sub-n docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textfns import _ngrams_col, tokens_col
+from ..operators.skew import topk_per_group
+
+
+def ngram_topk(
+    docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus n-grams by occurrence count (the LM-counting workload).
+    Deterministic total order (count desc, gram asc) so the top-k SET is
+    well-defined under ties. Output: (ngram, c).
+
+    Plan shape: explode -> partial+final count (one shuffle) ->
+    TakeOrderedAndProject (no global sort, no full-result materialize).
+    """
+    grams = _ngrams_col(tokens_col(text_col), n)
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def bigram_lm(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Maximum-likelihood bigram next-token table: for every token w1 seen
+    at least `min_count` times as a non-final token, the most likely
+    successor w2 with its conditional probability c(w1 w2)/c(w1*).
+    Ties break lexicographically on w2 (total order — deterministic).
+    Output: (w1, w2_top, c1, c12, p).
+
+    c1 is the CONTINUATION count (occurrences of w1 followed by anything),
+    i.e. sum of c12 over w1 — so p is a true distribution over successors.
+    The per-w1 window sorts distinct successors only (vocab-bounded), not
+    corpus occurrences; the corpus-sized explode is absorbed by the
+    map-side partial of the (w1, w2) count.
+    """
+    toks = tokens_col(text_col)
+    pairs = (
+        docs.where(F.size(toks) >= 2)
+        .select(toks.alias("ts"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", (i + F.lit(1)).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    w_tot = Window.partitionBy("w1")
+    w_rank = Window.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    return (
+        big.withColumn("c1", F.sum("c12").over(w_tot).cast("long"))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .where((F.col("__rn") == 1) & (F.col("c1") >= int(min_count)))
+        .select(
+            "w1",
+            F.col("w2").alias("w2_top"),
+            "c1",
+            "c12",
+            F.round(F.col("c12") / F.col("c1"), 4).alias("p"),
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame, max_postings: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: one row per distinct term with its document
+    frequency and the first `max_postings` doc_ids ascending, serialized
+    as a comma-joined string (cross-engine comparable). Output:
+    (term, df, postings).
+
+    Scale shape: the exploded (term, doc_id) frame is pinned once and
+    feeds BOTH the algebraic df count AND the posting-list build; postings
+    are capped through `skew.topk_per_group` BEFORE collect_list, so a
+    stopword term never materializes its corpus-sized posting list on one
+    reducer — the cap bounds reducer memory by k x partitions.
+    """
+    toks = tokens_col(text_col)
+    pairs = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(toks)).alias("term")
+        ).localCheckpoint()
+    )
+    dfreq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    top = topk_per_group(
+        pairs, ["term"], [F.asc("doc_id")], k=int(max_postings)
+    )
+    postings = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return dfreq.join(postings, "term").select("term", "df", "postings")

@@ -643,3 +643,130 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("name", F.col("label").alias("community"))
+
+
+def closeness(
+    edges: DataFrame,
+    rounds: int = 8,
+    sources: DataFrame | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Closeness centrality + eccentricity via multi-source BFS: one
+    simultaneous frontier expansion carrying (src, node, d) state, exactly
+    the multi_source_shortest_paths shape but from EVERY source at once.
+    Returns (name, n_reach, sum_d, ecc, closeness) with
+    closeness = n_reach / sum_d over the reachable set (the Wasserman-Faust
+    per-component convention, zeros for nothing reachable) and
+    ecc = max distance seen within the round budget — exact whenever
+    ``rounds`` >= the graph's diameter (reference analogue: Neo4j GDS
+    closeness on the single box).
+
+    ``sources`` restricts the BFS origins (closeness at web scale is
+    customarily estimated from a hash-sampled source set — pass the sample
+    here; default = all nodes, the exact mode the gate oracles).
+
+    Scale shape: per round ONE join of the (src, node)-keyed frontier
+    against the pinned mirrored adjacency, a distinct on the (src, node)
+    key (map-side partials), and a LEFT ANTI against the visited union —
+    anti-join keeps the Catalyst size estimate bounded by the left side
+    (the r5 stats-explosion rule). Frontiers are disjoint by construction,
+    so `visited` is a plain union of checkpointed frontiers, never
+    re-joined with itself. State is O(sources x reachable): full-graph
+    exact closeness is quadratic by definition — that cost lives in the
+    explicitly-passed source sample, not hidden in the plan.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    adj = _mirrored(e0).repartition(num_partitions, "x").localCheckpoint()
+    nodes = adj.select(F.col("x").alias("name")).distinct()
+    if sources is not None:
+        nodes = nodes.join(
+            sources.select(F.col(sources.columns[0]).alias("name")), "name"
+        )
+    frontier = (
+        nodes.select(
+            F.col("name").alias("src"),
+            F.col("name").alias("node"),
+            F.lit(0).cast("int").alias("d"),
+        )
+        .repartition(num_partitions, "src", "node")
+        .localCheckpoint()
+    )
+    layers = [frontier]
+    for r in range(rounds):
+        visited = layers[0]
+        for extra in layers[1:]:
+            visited = visited.unionAll(extra)
+        nxt = (
+            frontier.join(adj, frontier.node == adj.x)
+            .select("src", F.col("y").alias("node"))
+            .distinct()
+            .join(visited.select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(r + 1).cast("int").alias("d"))
+            .localCheckpoint()
+        )
+        frontier = nxt
+        layers.append(nxt)
+        # empty frontier => every later round is empty too: exiting early
+        # is result-identical to the fixed budget (take(1) on the just-
+        # checkpointed frame is one cheap partition-local probe)
+        if not nxt.take(1):
+            break
+    dist = layers[0]
+    for extra in layers[1:]:
+        dist = dist.unionAll(extra)
+    agg = dist.groupBy(F.col("src").alias("name")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reach"),
+        F.sum("d").cast("long").alias("sum_d"),
+        F.max("d").cast("long").alias("ecc"),
+    )
+    return agg.select(
+        "name",
+        "n_reach",
+        "sum_d",
+        "ecc",
+        F.when(
+            F.col("sum_d") > 0, F.round(F.col("n_reach") / F.col("sum_d"), 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman's r): Pearson correlation of the
+    endpoint degrees over the MIRRORED edge ends. Every moment (M, Sx, Sy,
+    Sxy, Sxx, Syy) is an exact BIGINT sum — aggregation-order-free — and
+    the correlation is ONE closed-form double expression over those six
+    integers, so cross-engine parity is structural. Returns a single row
+    (m_ends, r_assort), r rounded 4dp (NULL for degenerate variance, e.g.
+    a regular graph).
+
+    Scale shape: one degree aggregate, two hash joins to decorate the edge
+    ends, one algebraic 6-sum aggregate. The degree frame is node-sized;
+    at dimension scale Spark's statistics pick broadcast on their own.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ends = (
+        _mirrored(e0)
+        .join(deg.select(F.col("name").alias("x"), F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("name").alias("y"), F.col("deg").alias("dy")), "y")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = m.m * m.sxy - m.sx * m.sy
+    den = F.sqrt(m.m * m.sxx - m.sx * m.sx) * F.sqrt(m.m * m.syy - m.sy * m.sy)
+    return m.select(
+        F.col("m").alias("m_ends"),
+        F.when(den > 0, F.round(num / den, 4)).alias("r_assort"),
+    )

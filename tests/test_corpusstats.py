@@ -1,0 +1,85 @@
+"""Corpus statistics (functions/corpusstats.py): known-answer n-gram
+counts / bigram LM / inverted index, short-doc window policy, posting cap,
+determinism across partitionings, top-k plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+    bigram_lm,
+    inverted_index,
+    ngram_topk,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_ngram_topk_known_answer(spark):
+    docs = _docs(spark, ["a b a b", "a b c", "x"])
+    got = {(r.ngram, r.c) for r in ngram_topk(docs, n=2, k=10).collect()}
+    # "a b a b" -> [a b, b a, a b]; "a b c" -> [a b, b c]; "x" -> none
+    assert got == {("a b", 3), ("b a", 1), ("b c", 1)}
+
+
+def test_ngram_topk_limit_is_deterministic_under_ties(spark):
+    docs = _docs(spark, ["a b", "b c", "c d", "d e"])
+    got = [(r.ngram, r.c) for r in ngram_topk(docs, n=2, k=2).collect()]
+    # all counts tie at 1 -> lexicographic tiebreak picks 'a b', 'b c'
+    assert sorted(got) == [("a b", 1), ("b c", 1)]
+
+
+def test_bigram_lm_probabilities_and_ties(spark):
+    # 'the cat' x3, 'the dog' x3 (tie -> 'cat' wins lexicographically),
+    # 'a mouse' x1 (below min_count)
+    docs = _docs(
+        spark,
+        ["the cat", "the cat", "the cat", "the dog", "the dog", "the dog",
+         "a mouse"],
+    )
+    rows = {r.w1: r for r in bigram_lm(docs, min_count=2).collect()}
+    assert set(rows) == {"the"}
+    r = rows["the"]
+    assert (r.w2_top, r.c1, r.c12, r.p) == ("cat", 6, 3, 0.5)
+
+
+def test_inverted_index_df_full_postings_capped(spark):
+    # term 'a' in 30 docs; postings capped at 5, df stays 30
+    docs = _docs(spark, [f"a w{i}" for i in range(30)])
+    rows = {r.term: r for r in inverted_index(docs, max_postings=5).collect()}
+    assert rows["a"].df == 30
+    assert rows["a"].postings == "0,1,2,3,4"
+    assert rows["w7"].df == 1 and rows["w7"].postings == "7"
+
+
+def test_inverted_index_distinct_within_doc(spark):
+    docs = _docs(spark, ["a a a b"])
+    rows = {r.term: r for r in inverted_index(docs).collect()}
+    assert rows["a"].df == 1  # repeated token counts once per doc
+
+
+def test_deterministic_across_partitionings(spark):
+    docs = _docs(spark, [f"t{i % 7} u{i % 3} common" for i in range(50)])
+    a = {tuple(r) for r in inverted_index(docs, max_postings=4).collect()}
+    b = {
+        tuple(r)
+        for r in inverted_index(docs.repartition(13), max_postings=4).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_topk_plan_no_global_sort(spark):
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    docs = _docs(spark, ["a b c"])
+    plan = physical_plan_string(ngram_topk(docs, n=2, k=10))
+    assert "TakeOrderedAndProject" in plan

@@ -581,3 +581,157 @@ def test_lpa_matches_python_oracle(spark):
             new[n] = min(cnt, key=lambda l: (-cnt[l], l))
         labels = new
     assert got == labels
+
+
+# ── closeness / eccentricity ─────────────────────────────────────────────────
+
+
+def _bfs_oracle(edges, rounds=8):
+    """Driver-side BFS closeness sharing no code with the operator."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for src in adj:
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= rounds:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        n_reach = len(dist) - 1
+        sum_d = sum(dist.values())
+        ecc = max(dist.values())
+        clo = round(n_reach / sum_d, 4) if sum_d else 0.0
+        out[src] = (n_reach, sum_d, ecc, clo)
+    return out
+
+
+def test_closeness_path_graph(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        closeness,
+    )
+
+    # path a-b-c-d: ends ecc 3, sum 1+2+3=6 -> clo 0.5; middles ecc 2,
+    # sum 1+1+2=4 -> clo 0.75
+    got = {
+        r.name: (r.n_reach, r.sum_d, r.ecc, r.closeness)
+        for r in closeness(
+            _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        ).collect()
+    }
+    assert got["a"] == (3, 6, 3, 0.5)
+    assert got["b"] == (3, 4, 2, 0.75)
+    assert got == _bfs_oracle([("a", "b"), ("b", "c"), ("c", "d")])
+
+
+def test_closeness_random_graph_matches_bfs(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        closeness,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(70)
+        }
+    )
+    got = {
+        r.name: (r.n_reach, r.sum_d, r.ecc, r.closeness)
+        for r in closeness(_edges_df(spark, edges)).collect()
+    }
+    assert got == _bfs_oracle(edges)
+
+
+def test_closeness_rounds_cap_truncates(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        closeness,
+    )
+
+    # path of length 3 with rounds=1: each node sees only direct neighbors
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {
+        r.name: (r.n_reach, r.ecc)
+        for r in closeness(_edges_df(spark, edges), rounds=1).collect()
+    }
+    assert got == {"a": (1, 1), "b": (2, 1), "c": (2, 1), "d": (1, 1)}
+
+
+def test_closeness_sources_subset(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        closeness,
+    )
+
+    edges = [("a", "b"), ("b", "c")]
+    src = spark.createDataFrame([("a",)], "name string")
+    got = {r.name for r in closeness(_edges_df(spark, edges), sources=src).collect()}
+    assert got == {"a"}
+
+
+# ── assortativity ────────────────────────────────────────────────────────────
+
+
+def test_assortativity_star_is_negative(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        assortativity,
+    )
+
+    # star K1,4: every edge joins deg-4 hub to deg-1 leaf -> r = -1
+    star = [("hub", f"l{i}") for i in range(4)]
+    row = assortativity(_edges_df(spark, star)).collect()[0]
+    assert row.m_ends == 8 and row.r_assort == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        assortativity,
+    )
+
+    # cycle: all degrees equal -> zero variance -> NULL
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    row = assortativity(_edges_df(spark, cyc)).collect()[0]
+    assert row.m_ends == 6 and row.r_assort is None
+
+
+def test_assortativity_random_graph_matches_numpy(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        assortativity,
+    )
+
+    import collections
+    import math
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)}
+    )
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    want = round(
+        (m * sxy - sx * sy)
+        / (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)),
+        4,
+    )
+    row = assortativity(_edges_df(spark, edges)).collect()[0]
+    assert row.m_ends == m and row.r_assort == pytest.approx(want, abs=1e-9)
