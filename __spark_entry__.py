@@ -439,16 +439,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_degree_hist"] = kg_degree_hist
 
     # Closeness centrality + eccentricity: multi-source BFS carrying
-    # (src, node, d) state — every node a source at gate scale (the exact
-    # mode; production samples sources). closeness = n_reach/sum_d per
-    # component (Wasserman-Faust). Oracle = min-distance over the
-    # recursive reachability closure with the same 8-round cap.
+    # (src, node, d) state from a DETERMINISTIC hash-sample of sources
+    # (doc_id % 31 == 0 — the production estimator shape: exact all-pairs
+    # closeness is quadratic by definition; sf0.1's doc graph has a
+    # 3869-node giant component, so all-sources state would be ~15M pairs).
+    # closeness = n_reach/sum_d per source (Wasserman-Faust). Oracle =
+    # MIN(d) over the recursive closure seeded by the same sampled set,
+    # same 8-round cap.
     def kg_closeness(s, d):
         from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
             closeness,
         )
 
-        return closeness(_kg_docgraph(s, d), rounds=8)
+        g = _kg_docgraph(s, d)
+        src = (
+            g.select(F.col("a").alias("name"))
+            .unionAll(g.select(F.col("b").alias("name")))
+            .distinct()
+            .where(F.col("name") % 31 == 0)
+        )
+        return closeness(g, rounds=8, sources=src)
 
     q["kg_closeness"] = kg_closeness
 
@@ -1722,13 +1732,14 @@ deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY x)
 SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY deg"""
 
     # closeness: BFS min-distance == MIN(d) over the d-capped recursive
-    # closure (walk rows dedup on the full (src, node, d) tuple — bounded
-    # by pairs x rounds). (count-1)/sum is the same two-BIGINT double
-    # division the Spark side performs.
+    # closure seeded by the SAME doc_id % 31 source sample (walk rows
+    # dedup on the full (src, node, d) tuple — bounded by
+    # sources x reach x rounds). (count-1)/sum is the same two-BIGINT
+    # double division the Spark side performs.
     o["kg_closeness"] = f"""
 WITH RECURSIVE {_docgraph_ctes()},
 und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
-nodes AS (SELECT DISTINCT x AS name FROM und),
+nodes AS (SELECT DISTINCT x AS name FROM und WHERE x % 31 = 0),
 walk AS (
   SELECT name AS src, name AS node, 0 AS d FROM nodes
   UNION
