@@ -659,6 +659,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tfidf_topk"] = text_tfidf_topk
 
+    # Heaps-law vocabulary growth: "first doc introduces the term" is an
+    # algebraic min, so the curve costs one min + one count + the bucketed
+    # two-phase prefix sum (keyed by doc_id RANGE buckets — the only
+    # single-partition window is the |buckets|-row offsets frame).
+    def text_vocab_growth(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            vocab_growth,
+        )
+
+        return vocab_growth(_t(s, d, "documents"), bucket_width=256)
+
+    q["text_vocab_growth"] = text_vocab_growth
+
     # PII redaction (r5): the gate tables carry no PII, so deterministic
     # PII (email / IPv4 / E.164-ish phone) is synthesized per doc_id
     # IDENTICALLY on both engines (the url_canonical fixture pattern) —
@@ -1194,6 +1207,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_distinct2"] = events_distinct2
+
+    # Native SLIDING windows (60 min width / 30 min slide): each event
+    # lands in exactly two windows; Spark's F.window plans one Expand +
+    # one aggregate (no self-union). The oracle derives the same two
+    # epoch-aligned window starts arithmetically.
+    def events_sliding(s, d):
+        ev = _t(s, d, "events")
+        return (
+            ev.groupBy(
+                F.window("ts", "60 minutes", "30 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.col("w.start").cast("string").alias("w_start"),
+                F.col("w.end").cast("string").alias("w_end"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    q["events_sliding"] = events_sliding
+
+    # Gaps-and-islands: each user's longest same-event-type streak in
+    # (ts, event_id) order — the rn_all - rn_type island id, one count per
+    # island, max per (user, type), deterministic top-1 per user.
+    def events_streaks(s, d):
+        ev = _t(s, d, "events")
+        w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w_type = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        isl = ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+                "grp"
+            ),
+        )
+        runs = isl.groupBy("user_id", "event_type", "grp").agg(
+            F.count(F.lit(1)).cast("long").alias("streak")
+        )
+        per_type = runs.groupBy("user_id", "event_type").agg(
+            F.max("streak").cast("long").alias("streak")
+        )
+        w_top = Window.partitionBy("user_id").orderBy(
+            F.desc("streak"), F.asc("event_type")
+        )
+        return (
+            per_type.withColumn("__rn", F.row_number().over(w_top))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "event_type", "streak")
+        )
+
+    q["events_streaks"] = events_streaks
 
     # multi-dimensional aggregation: ROLLUP
     def tpch_rollup(s, d):
@@ -2199,6 +2267,48 @@ FROM daily"""
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type"""
 
+    # sliding windows: an epoch-aligned 60/30 window contains ts iff its
+    # start is one of the two 1800s-grid points below ts; floor(epoch)
+    # is safe because window boundaries are integral seconds (ts and
+    # floor(ts) share the same 1800s bucket). make_timestamp(us) renders
+    # identically to Spark's timestamp_ntz->string cast.
+    o["events_sliding"] = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events
+),
+w AS (
+  SELECT event_type, (es // 1800) * 1800 - off.off AS ws
+  FROM e CROSS JOIN (SELECT unnest([0, 1800]) AS off) off
+)
+SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS w_start,
+       CAST(make_timestamp((ws + 3600) * 1000000) AS VARCHAR) AS w_end,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1, 2, 3"""
+
+    # gaps-and-islands: identical rn_all - rn_type island derivation under
+    # the same (ts, event_id) total order.
+    o["events_streaks"] = """
+WITH isl AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, grp, CAST(count(*) AS BIGINT) AS streak
+  FROM isl GROUP BY 1, 2, 3
+),
+per_type AS (
+  SELECT user_id, event_type, CAST(max(streak) AS BIGINT) AS streak
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, event_type, streak
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY streak DESC, event_type ASC) AS rn
+      FROM per_type)
+WHERE rn = 1"""
+
     # kg_name_map: band keys and fuzzy verdicts are DETERMINISTIC functions
     # of the name strings alone, so they are precomputed HERE from the same
     # corelib the Spark UDFs call (minhash_band_keys / fuzzy_match) over the
@@ -2968,6 +3078,25 @@ rk AS (
 )
 SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
 FROM rk WHERE rk <= 3"""
+
+    # vocab growth: "introduced by min doc_id" + a running sum in doc_id
+    # order (unique key, so RANGE == ROWS frame).
+    o["text_vocab_growth"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+),
+intro AS (SELECT term, min(doc_id) AS doc_id FROM pairs GROUP BY term),
+newc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+         FROM intro GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, coalesce(n.n_new, 0) AS n_new
+  FROM documents d LEFT JOIN newc n ON n.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vocab
+FROM base"""
     # PII scrub: patterns come verbatim from PII_PATTERNS (no drift); the
     # synthetic PII fixture mirrors the Spark side expression for
     # expression. DuckDB regexp_replace needs the explicit 'g' flag (Spark

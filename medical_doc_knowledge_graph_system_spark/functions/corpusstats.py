@@ -142,3 +142,59 @@ def inverted_index(
         ).alias("postings")
     )
     return dfreq.join(postings, "term").select("term", "df", "postings")
+
+
+def vocab_growth(
+    docs: DataFrame, bucket_width: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: for each doc (in doc_id order)
+    the number of NEVER-SEEN-BEFORE terms it introduces and the running
+    vocabulary size. Output: (doc_id, n_new, vocab).
+
+    A term is "introduced" by the minimum doc_id containing it — an
+    algebraic min, so the curve needs NO ordered scan of the corpus: one
+    min per term, one count per introducing doc, then a prefix sum of
+    per-doc counts in doc_id order. The prefix sum is the two-phase
+    bucketed shape of curate.with_cum_tokens, keyed by integer RANGE
+    buckets (doc_id div bucket_width) instead of hash prefixes because the
+    order here is semantic: per-bucket running sums in parallel, then an
+    exclusive prefix over the bucket totals (the only single-partition
+    window, |buckets| rows by construction). Sparse/skewed id ranges make
+    ragged buckets — acceptable: a bucket is at most `bucket_width` rows.
+    """
+    w = int(bucket_width)
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+    )
+    first = pairs.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    base = (
+        docs.select("doc_id")
+        .join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            (F.col("doc_id") - (F.col("doc_id") % w)).alias("bkt"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("local_cum", F.sum("n_new").over(w_local))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.max("local_cum").alias("tot"))
+        .select(
+            "bkt", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+        )
+    )
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "n_new",
+        (F.col("local_cum") + F.col("off")).cast("long").alias("vocab"),
+    )

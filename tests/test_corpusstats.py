@@ -83,3 +83,25 @@ def test_topk_plan_no_global_sort(spark):
     docs = _docs(spark, ["a b c"])
     plan = physical_plan_string(ngram_topk(docs, n=2, k=10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_growth_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        vocab_growth,
+    )
+
+    docs = _docs(spark, ["a b", "b c", "a b c", "d"])
+    got = {r.doc_id: (r.n_new, r.vocab) for r in vocab_growth(docs).collect()}
+    # doc0 brings {a,b}=2, doc1 {c}=1, doc2 nothing, doc3 {d}=1
+    assert got == {0: (2, 2), 1: (1, 3), 2: (0, 3), 3: (1, 4)}
+
+
+def test_vocab_growth_bucket_width_invariant(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        vocab_growth,
+    )
+
+    docs = _docs(spark, [f"w{i % 11} w{i % 7} x" for i in range(60)])
+    a = {tuple(r) for r in vocab_growth(docs, bucket_width=4).collect()}
+    b = {tuple(r) for r in vocab_growth(docs, bucket_width=1024).collect()}
+    assert a == b and len(a) == 60
