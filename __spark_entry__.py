@@ -672,6 +672,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_vocab_growth"] = text_vocab_growth
 
+    # GLOBAL ranking without a global sort (skew.global_rank_bucketed):
+    # docs ranked corpus-wide by (n_chars desc, doc_id asc) — per-bucket
+    # parallel windows + an exclusive prefix over the |buckets|-row totals
+    # (the only single-partition window). A bare row_number() OVER
+    # (ORDER BY ...) funnels the whole table through one reducer; this is
+    # the 100 TB-safe spelling, oracled against exactly that bare window.
+    def docs_global_rank(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            global_rank_bucketed,
+        )
+
+        docs = _t(s, d, "documents").select("doc_id", "n_chars")
+        return global_rank_bucketed(
+            docs,
+            bucket_col=F.floor(F.col("n_chars") / 64),
+            order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+        )
+
+    q["docs_global_rank"] = docs_global_rank
+
     # PII redaction (r5): the gate tables carry no PII, so deterministic
     # PII (email / IPv4 / E.164-ish phone) is synthesized per doc_id
     # IDENTICALLY on both engines (the url_canonical fixture pattern) —
@@ -1262,6 +1282,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_streaks"] = events_streaks
+
+    # NATIVE session windows (F.session_window, 30-min gap): the merging
+    # window operator Spark plans specially (events_sessions is the manual
+    # gaps-and-islands sibling — kept separate on purpose; note the
+    # boundary differs: session_window starts a new session at gap >= 30m,
+    # the manual rule at > 30m). Durations via the proven
+    # unix_timestamp-floor == date_diff('second') pairing; session_window
+    # arithmetic is exact integer microseconds on both engines.
+    def events_session_native(s, d):
+        ev = _t(s, d, "events")
+        sw = ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        return (
+            sw.select(
+                "user_id",
+                "n_events",
+                (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+                .cast("long")
+                .alias("dur_s"),
+                F.col("w.start").alias("__ws"),
+            )
+            .withColumn(
+                "sess_seq",
+                F.row_number()
+                .over(Window.partitionBy("user_id").orderBy("__ws"))
+                .cast("long"),
+            )
+            .drop("__ws")
+        )
+
+    q["events_session_native"] = events_session_native
+
+    # First-order Markov transition table of event types: lead() under the
+    # (ts, event_id) total order, integer pair counts, per-source window
+    # sum (distinct-successor frame — bounded by |types|^2), one exact
+    # division.
+    def events_transitions(s, d):
+        ev = _t(s, d, "events")
+        w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = ev.select(
+            "event_type", F.lead("event_type").over(w_u).alias("next_type")
+        ).where(F.col("next_type").isNotNull())
+        cnt = pairs.groupBy("event_type", "next_type").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w_tot = Window.partitionBy("event_type")
+        return cnt.select(
+            "event_type",
+            "next_type",
+            "c",
+            F.round(
+                F.col("c") / F.sum("c").over(w_tot).cast("long"), 4
+            ).alias("p"),
+        )
+
+    q["events_transitions"] = events_transitions
+
+    # Daily-count anomaly z-scores (the monitoring workload): per-type
+    # daily counts, then z = (n - mean)/stddev against the type's own
+    # day distribution — spelled from EXACT integer moments (cnt, sum,
+    # sumsq) with Bessel variance in one closed-form double expression,
+    # so float parity is structural (same convention as kg_assortativity).
+    def events_anomaly(s, d):
+        ev = _t(s, d, "events")
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy("event_type")
+        m = (
+            daily.withColumn("cnt", F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("s1", F.sum("n").over(w).cast("long"))
+            .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w).cast("long"))
+        )
+        var = (m.cnt * m.s2 - m.s1 * m.s1) / (m.cnt * (m.cnt - 1))
+        z = (m.n - m.s1 / m.cnt) / F.sqrt(var)
+        return m.where(m.cnt >= 2).select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.when(var > 0, F.round(z, 4)).otherwise(F.lit(0.0)).alias("z"),
+        )
+
+    q["events_anomaly"] = events_anomaly
 
     # multi-dimensional aggregation: ROLLUP
     def tpch_rollup(s, d):
@@ -2309,6 +2417,70 @@ FROM (SELECT *, row_number() OVER (
       FROM per_type)
 WHERE rn = 1"""
 
+    # native session windows: session_window starts a NEW session at
+    # gap >= 30 min (window end = last ts + gap, next ts >= end closes) —
+    # the >= island rule here, exact interval arithmetic, no floats.
+    # Equal-ts rows merge regardless of lag order (diff 0), so the
+    # ts-only window order is deterministic in effect.
+    o["events_session_native"] = """
+WITH flg AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s,
+       CAST(sid AS BIGINT) AS sess_seq
+FROM sess GROUP BY user_id, sid"""
+
+    # Markov transitions: lead() under the same total order; the p
+    # denominator is an integer window sum over the bounded
+    # (type, next_type) frame.
+    o["events_transitions"] = """
+WITH pr AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS c
+  FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, c,
+       round(c / CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT), 4)
+         AS p
+FROM cnt"""
+
+    # anomaly z-scores: exact integer moments (cnt, s1, s2), Bessel
+    # variance and z in the identical closed-form operand order.
+    o["events_anomaly"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, day, n,
+         CAST(count(*) OVER w AS BIGINT) AS cnt,
+         CAST(sum(n) OVER w AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER w AS BIGINT) AS s2
+  FROM daily WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+       CASE WHEN (cnt * s2 - s1 * s1) / (cnt * (cnt - 1)) > 0
+            THEN round((n - s1 / cnt)
+                       / sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1))), 4)
+            ELSE 0.0 END AS z
+FROM m WHERE cnt >= 2"""
+
     # kg_name_map: band keys and fuzzy verdicts are DETERMINISTIC functions
     # of the name strings alone, so they are precomputed HERE from the same
     # corelib the Spark UDFs call (minhash_band_keys / fuzzy_match) over the
@@ -3097,6 +3269,14 @@ base AS (
 SELECT doc_id, CAST(n_new AS BIGINT) AS n_new,
        CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vocab
 FROM base"""
+
+    # global rank: the oracle IS the bare global window the distributed
+    # two-phase spelling must be indistinguishable from.
+    o["docs_global_rank"] = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM documents"""
     # PII scrub: patterns come verbatim from PII_PATTERNS (no drift); the
     # synthetic PII fixture mirrors the Spark side expression for
     # expression. DuckDB regexp_replace needs the explicit 'g' flag (Spark

@@ -173,3 +173,46 @@ def salted_join_big_small(
         replicated = replicated.hint("shuffle_hash")
     out = salted_big.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def global_rank_bucketed(
+    df: DataFrame,
+    bucket_col: Column,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global row_number() without a global sort: the two-phase prefix-sum
+    pattern applied to RANKING. `bucket_col` must be a coarse integer key
+    where LARGER values rank FIRST and every row of a larger bucket ranks
+    before any row of a smaller one (e.g. floor(score/W) for a
+    score-descending rank; negate it for an ascending rank); `order_cols`
+    is the exact total order and must sort bucket-compatibly.
+
+    Phase 1 ranks each bucket independently (parallel, spill-safe window
+    per bucket); phase 2 computes each bucket's global offset with an
+    exclusive prefix sum over the |buckets|-row totals frame — the only
+    single-partition window, bounded by the bucket fan-out, never by the
+    data. A plain `row_number() OVER (ORDER BY ...)` funnels the ENTIRE
+    table through one reducer — the thing this exists to avoid at 100 TB.
+    """
+    b = df.withColumn("__bkt", bucket_col.cast("long"))
+    w_local = Window.partitionBy("__bkt").orderBy(*order_cols)
+    local = b.withColumn("__lr", F.row_number().over(w_local))
+    # bucket totals ordered by ranking priority: the first order_col's
+    # direction determines whether higher buckets rank first
+    w_off = Window.orderBy(F.col("__bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__tot"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__lr", "__off")
+    )

@@ -135,3 +135,31 @@ def test_remap_salted_path_equals_broadcast(spark):
         map(tuple, remap(df, nm, "subj", "obj", broadcast_threshold=1).collect())
     )
     assert got == want == [("A", "B", 1), ("B", "zz", 2), ("zz", "A", 3)]
+
+
+def test_global_rank_bucketed_equals_bare_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from medical_doc_knowledge_graph_system_spark.operators.skew import (
+        global_rank_bucketed,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score long").repartition(7)
+    order = [F.desc("score"), F.asc("doc_id")]
+    want = {
+        (r.doc_id, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    for width in (1, 16, 100_000):
+        got = {
+            (r.doc_id, r.rank)
+            for r in global_rank_bucketed(
+                df, F.floor(F.col("score") / width), order
+            ).collect()
+        }
+        assert got == want, f"width={width}"
