@@ -89,10 +89,16 @@ HEADLINE = [
     "events_range_join",
     "events_retention",
     "events_cube",
+    "events_session_native",
     "text_ngram_topk",
     "text_inverted_index",
+    "text_tfidf_topk",
+    "text_vocab_growth",
     "sample_temperature",
+    "docs_global_rank",
     "kg_degree_hist",
+    "kg_closeness",
+    "kg_assortativity",
     "tpch_pricing",
     "tpch_rollup",
     "tpch_top_customers",

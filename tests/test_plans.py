@@ -266,6 +266,11 @@ def test_gate_query_scan_budget(spark):
         ("kg_lpa", 0),
         ("dedup_cluster", 0),
         ("decontam_suite", 2),
+        # third-session r5: closeness roots in checkpointed frontier
+        # layers; degree_hist/assortativity root in the pinned docgraph
+        ("kg_closeness", 0),
+        ("kg_degree_hist", 0),
+        ("kg_assortativity", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
