@@ -127,6 +127,31 @@ def _run_op(op: str, cores: int, docs_rows) -> float:
             t = time.time()
             hits(de, iterations=8, num_partitions=width).count()
             return round(time.time() - t, 2)
+        if op == "closeness":
+            from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+                closeness,
+            )
+
+            und = (
+                _spark_edges(s, N_EDGES, width)
+                .select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            und.count()
+            # sampled sources (the production estimator): ~1/997 of nodes
+            src = (
+                und.select(F.col("a").alias("name"))
+                .union(und.select(F.col("b").alias("name")))
+                .distinct()
+                .where(F.col("name") % 997 == 0)
+            )
+            t = time.time()
+            closeness(und, rounds=4, sources=src, num_partitions=width).count()
+            return round(time.time() - t, 2)
         und = (
             _spark_edges(s, N_EDGES, width)
             .select(
