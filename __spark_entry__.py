@@ -1756,6 +1756,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_join_attrib"] = stream_join_attrib
 
+    # KenLM-style LM quality scoring (r5): per-doc mean bigram surprisal
+    # under the corpus-trained ML bigram model. Per-bigram surprisal is
+    # floor-quantized to BIGINT (ln over the same BIGINT/BIGINT division is
+    # bit-identical cross-engine — the text_tfidf_topk precedent), so the
+    # per-doc SUM is integer-exact and order-free; the only double is one
+    # closed form per doc.
+    def text_doc_surprisal(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            doc_lm_scores,
+        )
+
+        return doc_lm_scores(_t(s, d, "documents"))
+
+    q["text_doc_surprisal"] = text_doc_surprisal
+
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # features, add-one-smoothed target/raw bucket models (target =
+    # lang='en' docs), per-doc weight = sum of quantized log probability
+    # ratios — the data-selection op that reweights a raw crawl toward a
+    # target distribution. Same floor-quantized-ln parity convention.
+    def sample_dsir(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.curate import (
+            dsir_weights,
+        )
+
+        return dsir_weights(_t(s, d, "documents"))
+
+    q["sample_dsir"] = sample_dsir
+
+    # Community-quality evaluation (r5): per-community modularity
+    # contributions Q_c = e_c/m - (deg_c/2m)^2 of the LPA partition over
+    # the entity graph — exact BIGINT moments + ONE closed-form double per
+    # row (the assortativity convention). The oracle re-runs the identical
+    # 4 LPA rounds and the same closed form.
+    def kg_modularity(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            label_propagation,
+            modularity,
+        )
+
+        e = _kg_edge_graph(s, d).localCheckpoint()
+        return modularity(e, label_propagation(e, rounds=4))
+
+    q["kg_modularity"] = kg_modularity
+
+    # Deterministic Luby maximal independent set (r5): strict-min
+    # md5(name)||name priorities, 4 synchronous rounds, LEFT SEMI edge
+    # restriction per round (the ktruss stats-explosion-safe shape).
+    # Strings + integers only — bit-exact parity.
+    def kg_mis(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            maximal_independent_set,
+        )
+
+        return maximal_independent_set(_kg_edge_graph(s, d), rounds=4)
+
+    q["kg_mis"] = kg_mis
+
+    # Exponentially decayed daily counts (alpha = 1/2, 8 dyadic terms):
+    # every weight is a power of two, so each term — and at gate scale the
+    # whole sum — is EXACT in binary; both engines evaluate the identical
+    # left-associated closed form over the same lag rows.
+    def events_ewma(s, d):
+        ev = _t(s, d, "events")
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy("event_type").orderBy("day")
+        expr = F.col("n").cast("double")
+        for j in range(1, 8):
+            expr = expr + F.coalesce(F.lag("n", j).over(w), F.lit(0)) / float(2**j)
+        return daily.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.round(expr, 4).alias("ewma"),
+        )
+
+    q["events_ewma"] = events_ewma
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -2316,6 +2396,82 @@ le AS MATERIALIZED (
 lund AS MATERIALIZED (SELECT a AS x, b AS y FROM le UNION ALL SELECT b AS x, a AS y FROM le),
 l0 AS MATERIALIZED (SELECT DISTINCT x AS name, x AS label FROM lund){_lpa_rounds}
 SELECT name, label AS community FROM l4"""
+
+    # modularity of the LPA partition: the identical 4 LPA rounds, then
+    # exact BIGINT moments per community (e_in, deg_tot, m) and ONE
+    # closed-form double per row — coalesce(e_in,0)/m minus the squared
+    # half-degree fraction, written operand-for-operand as the Spark side.
+    o["kg_modularity"] = f"""
+WITH {_triples_cte()},
+le AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+lund AS MATERIALIZED (SELECT a AS x, b AS y FROM le UNION ALL SELECT b AS x, a AS y FROM le),
+l0 AS MATERIALIZED (SELECT DISTINCT x AS name, x AS label FROM lund){_lpa_rounds},
+lab AS MATERIALIZED (SELECT name, label AS community FROM l4),
+deg AS (SELECT x AS name, CAST(count(*) AS BIGINT) AS deg FROM lund GROUP BY x),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM le),
+ein AS (
+  SELECT la.community AS community, CAST(count(*) AS BIGINT) AS e_in
+  FROM le JOIN lab la ON la.name = le.a JOIN lab lb ON lb.name = le.b
+  WHERE la.community = lb.community GROUP BY 1
+),
+degc AS (
+  SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS deg_tot
+  FROM lab l JOIN deg d ON d.name = l.name GROUP BY 1
+)
+SELECT degc.community, degc.n_nodes,
+       CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, degc.deg_tot,
+       round(coalesce(ein.e_in, 0) / m.m
+             - (degc.deg_tot / (2 * m.m)) * (degc.deg_tot / (2 * m.m)), 4) + 0.0 AS q_c
+FROM degc LEFT JOIN ein ON ein.community = degc.community CROSS JOIN m"""
+
+    # Luby MIS: 4 unrolled synchronous rounds over md5(name)||name
+    # priorities — per round the strict-min rule (NULL neighbor-min means
+    # isolated-in-the-residual, which joins the MIS), neighbor knock-out,
+    # and residual-edge restriction. MATERIALIZED per invariant #3 (every
+    # CTE is referenced more than once).
+    _mis_rounds = "".join(
+        f""",
+nb{k} AS (SELECT x, min(py) AS mn FROM e{k} GROUP BY x),
+mis{k} AS MATERIALIZED (
+  SELECT u.name FROM u{k} u LEFT JOIN nb{k} n ON n.x = u.name
+  WHERE n.mn IS NULL OR u.p < n.mn
+),
+rem{k} AS MATERIALIZED (
+  SELECT DISTINCT e.y AS name FROM e{k} e JOIN mis{k} mm ON e.x = mm.name
+),
+u{k + 1} AS MATERIALIZED (
+  SELECT u.name, u.p FROM u{k} u
+  WHERE NOT EXISTS (SELECT 1 FROM mis{k} mm WHERE mm.name = u.name)
+    AND NOT EXISTS (SELECT 1 FROM rem{k} rr WHERE rr.name = u.name)
+),
+e{k + 1} AS MATERIALIZED (
+  SELECT e.x, e.y, e.py FROM e{k} e
+  JOIN u{k + 1} a ON a.name = e.x JOIN u{k + 1} b ON b.name = e.y
+)"""
+        for k in range(4)
+    )
+    _mis_final = "\nUNION ALL ".join(
+        f"SELECT name, 'mis' AS status, CAST({k + 1} AS BIGINT) AS mis_round FROM mis{k}\n"
+        f"UNION ALL SELECT name, 'removed', CAST({k + 1} AS BIGINT) FROM rem{k}"
+        for k in range(4)
+    )
+    o["kg_mis"] = f"""
+WITH {_triples_cte()},
+le AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM triples WHERE subj <> obj
+),
+lund AS MATERIALIZED (SELECT a AS x, b AS y FROM le UNION ALL SELECT b AS x, a AS y FROM le),
+u0 AS MATERIALIZED (SELECT DISTINCT x AS name, md5(x) || x AS p FROM lund),
+e0 AS MATERIALIZED (
+  SELECT l.x AS x, l.y AS y, p2.p AS py FROM lund l JOIN u0 p2 ON p2.name = l.y
+){_mis_rounds}
+SELECT name, 'undecided' AS status, CAST(-1 AS BIGINT) AS mis_round FROM u4
+UNION ALL {_mis_final}"""
 
     # as-of attribution: DuckDB's native ASOF LEFT JOIN is an independent
     # implementation of the same backward point-in-time semantics; the 24 h
@@ -3276,6 +3432,95 @@ tot AS (
 )
 SELECT w1, w2 AS w2_top, c1, c12, round(c12 / c1, 4) AS p
 FROM tot WHERE rn = 1 AND c1 >= 5"""
+
+    # per-doc LM surprisal: the same positional-zip bigrams retained per
+    # doc as a pre-aggregate (dpg, MATERIALIZED — it feeds both the global
+    # count and the scoring join); per-bigram floor(ln(c1/c12)*1e5) is a
+    # BIGINT, so the per-doc sums are order-free; one closed-form double.
+    o["text_doc_surprisal"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dp AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i+1])) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+dpg AS MATERIALIZED (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k FROM dp GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dpg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+st AS (
+  SELECT c12.w1, c12.w2,
+         CAST(floor(ln(c1.c1 / c12.c12) * 100000.0) AS BIGINT) AS sq
+  FROM c12 JOIN c1 ON c1.w1 = c12.w1
+)
+SELECT g.doc_id, CAST(sum(g.k) AS BIGINT) AS n_bigrams,
+       CAST(sum(g.k * s.sq) AS BIGINT) AS sum_sq,
+       round(CAST(sum(g.k * s.sq) AS DOUBLE) / CAST(sum(g.k) AS BIGINT)
+             / 100000.0, 4) AS mean_nats
+FROM dpg g JOIN st s ON s.w1 = g.w1 AND s.w2 = g.w2
+GROUP BY g.doc_id"""
+
+    # DSIR weights: hashed unigram+bigram buckets (md5-prefix hex cast,
+    # invariant #3), add-one-smoothed target/raw models, floor-quantized
+    # ln of exact BIGINT-product ratios; per-doc sums integer-exact.
+    o["sample_dsir"] = f"""
+WITH base AS (SELECT doc_id, (lang = 'en') AS tgt, {_TOKS} AS t FROM documents),
+uni AS (SELECT doc_id, tgt, unnest(t) AS g FROM base),
+bi AS (
+  SELECT doc_id, tgt,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base WHERE len(t) >= 2
+),
+feats AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS f
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+dk AS MATERIALIZED (
+  SELECT doc_id, tgt, f, CAST(count(*) AS BIGINT) AS k FROM feats GROUP BY 1, 2, 3
+),
+cr AS (SELECT f, CAST(sum(k) AS BIGINT) AS cr FROM dk GROUP BY f),
+ct AS (SELECT f, CAST(sum(k) AS BIGINT) AS ct FROM dk WHERE tgt GROUP BY f),
+tots AS (
+  SELECT CAST(sum(k) AS BIGINT) AS c_raw,
+         CAST(sum(CASE WHEN tgt THEN k ELSE 0 END) AS BIGINT) AS c_tgt FROM dk
+),
+lr AS (
+  SELECT cr.f,
+         CAST(floor(ln(((coalesce(ct.ct, 0) + 1) * (tots.c_raw + 1024))
+                       / ((cr.cr + 1) * (tots.c_tgt + 1024))) * 100000.0)
+              AS BIGINT) AS lrq
+  FROM cr LEFT JOIN ct ON ct.f = cr.f CROSS JOIN tots
+)
+SELECT dk.doc_id, CAST(sum(dk.k) AS BIGINT) AS n_feat,
+       CAST(sum(dk.k * lr.lrq) AS BIGINT) AS w_q,
+       round(CAST(sum(dk.k * lr.lrq) AS DOUBLE) / CAST(sum(dk.k) AS BIGINT)
+             / 100000.0, 4) + 0.0 AS lr_mean
+FROM dk JOIN lr ON lr.f = dk.f GROUP BY dk.doc_id"""
+
+    # dyadic EWMA: alpha = 1/2 decayed daily counts — all weights are
+    # powers of two, so every term is exact in binary and both engines
+    # evaluate the identical left-associated closed form over lag rows.
+    o["events_ewma"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+       round(CAST(n AS DOUBLE)
+             + coalesce(lag(n, 1) OVER w, 0) / 2.0
+             + coalesce(lag(n, 2) OVER w, 0) / 4.0
+             + coalesce(lag(n, 3) OVER w, 0) / 8.0
+             + coalesce(lag(n, 4) OVER w, 0) / 16.0
+             + coalesce(lag(n, 5) OVER w, 0) / 32.0
+             + coalesce(lag(n, 6) OVER w, 0) / 64.0
+             + coalesce(lag(n, 7) OVER w, 0) / 128.0, 4) AS ewma
+FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)"""
 
     # inverted index: ordered array_agg sliced to 20, stringified per
     # element then joined (matches Spark's sort_array + transform cast +

@@ -144,6 +144,85 @@ def inverted_index(
     return dfreq.join(postings, "term").select("term", "df", "postings")
 
 
+def doc_lm_scores(
+    docs: DataFrame, scale: int = 100000, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus-trained ML
+    bigram model — the KenLM-style LM quality filter every web-scale
+    training-data pipeline runs (high mean surprisal = unnatural token
+    sequences = boilerplate / garbled text; reference analogue: the
+    quality gates around `app/processing/document_processor.py`).
+
+    surprisal(w1 w2) = -ln P(w2|w1) = ln(c1/c12) in nats, where c12 is
+    the corpus bigram count and c1 the continuation count of w1 (sum of
+    c12 over successors — the same ML estimate as `bigram_lm`). Output:
+    (doc_id, n_bigrams, sum_sq, mean_nats) for every doc with >= 2
+    tokens; mean_nats = mean surprisal rounded to 4dp.
+
+    Float-parity design (CLAUDE.md invariant #3): ln over the SAME
+    BIGINT/BIGINT double division is bit-identical cross-engine (proven
+    by the text_tfidf_topk gate), but a per-doc float SUM is
+    order-dependent — so each bigram's surprisal is floor-quantized to
+    an integer (`sum_sq` = sum of floor(ln(c1/c12) * scale), exact
+    BIGINT arithmetic, order-free) and the only double is ONE closed
+    form per doc. floor (not round) because floor is half-unambiguous
+    in both engines.
+
+    Scale shape: the corpus-sized positional explode is absorbed
+    immediately by a (doc_id, w1, w2) pre-aggregate that is pinned ONCE
+    and feeds both the global bigram count and the per-doc scoring join;
+    the stats side is vocabulary-pair-bounded, never corpus-sized, and
+    the scoring join is a plain shuffle hash join on (w1, w2) — no
+    second corpus scan, no broadcast of an unbounded side.
+    """
+    toks = tokens_col(text_col)
+    dpairs = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", toks.alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", (i + F.lit(1)).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint()
+    )
+    c12 = dpairs.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    st = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.log(F.col("c1") / F.col("c12")) * float(scale))
+        .cast("long")
+        .alias("sq"),
+    )
+    return (
+        dpairs.join(st, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("sq")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_sq",
+            F.round(
+                F.col("sum_sq").cast("double") / F.col("n_bigrams") / float(scale), 4
+            ).alias("mean_nats"),
+        )
+    )
+
+
 def vocab_growth(
     docs: DataFrame, bucket_width: int = 256, text_col: str = "text"
 ) -> DataFrame:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import minhash_band_pairs
-from .textfns import lang_argmax, lang_score_cols, quality_cols
+from .textfns import lang_argmax, lang_score_cols, quality_cols, tokens_col
 
 
 def curate_docs(
@@ -318,4 +318,115 @@ def sample_stratified(
     return (
         base.select("doc_id", group_col, F.row_number().over(w).alias("smp_rank"))
         .where(F.col("smp_rank") <= per_group)
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target=None,
+    n_buckets: int = 1024,
+    scale: int = 100000,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed unigram+bigram bag-of-ngrams features, per-doc importance
+    weight = sum over feature occurrences of log(p_target(f)/p_raw(f))
+    under add-one-smoothed bucket unigram models. Docs that look like the
+    `target` predicate's slice (default: lang = 'en') score high; sampling
+    proportional to exp(weight) reweights a raw crawl toward the target
+    distribution.
+
+    Returns (doc_id, n_feat, w_q, lr_mean): n_feat = feature occurrences,
+    w_q = the quantized weight (sum of per-feature floor(ln(ratio)*scale),
+    exact BIGINT — order-free; the ln inputs are BIGINT-product/BIGINT-
+    product double divisions, bit-identical cross-engine per the
+    text_tfidf_topk precedent), lr_mean = w_q/n_feat/scale rounded 4dp
+    (the ONE closed-form double).
+
+    Scale shape: the corpus-sized feature explode is absorbed immediately
+    by a (doc_id, f) pre-aggregate pinned ONCE feeding both the global
+    bucket counts and the per-doc scoring join; the model side is
+    n_buckets rows (broadcast), totals are a 1-row broadcast. Smoothed
+    count products stay < 2^53 while corpus token count * n_buckets does
+    — at larger scales raise `scale` precision via DECIMAL or split the
+    ln into ln(num) - ln(den) only if both engines share it (they do
+    not bit-exactly for subtraction order, hence the product form).
+    """
+    if target is None:
+        target = F.col("lang") == "en"
+    b = int(n_buckets)
+    toks = tokens_col(text_col)
+    base = docs.select("doc_id", target.alias("tgt"), toks.alias("ts"))
+    uni = base.select("doc_id", "tgt", F.explode("ts").alias("g"))
+    bi = base.where(F.size("ts") >= 2).select(
+        "doc_id",
+        "tgt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ts", i),
+                    F.element_at("ts", (i + F.lit(1)).cast("int")),
+                ),
+            )
+        ).alias("g"),
+    )
+    feats = uni.unionAll(bi).select(
+        "doc_id",
+        "tgt",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % b).alias("f"),
+    )
+    dk = (
+        feats.groupBy("doc_id", "tgt", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint()
+    )
+    cr = dk.groupBy("f").agg(F.sum("k").cast("long").alias("cr"))
+    ct = dk.where(F.col("tgt")).groupBy("f").agg(
+        F.sum("k").cast("long").alias("ct")
+    )
+    tots = dk.agg(
+        F.sum("k").cast("long").alias("c_raw"),
+        F.sum(F.when(F.col("tgt"), F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_tgt"),
+    )
+    lr = (
+        cr.join(ct, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            F.floor(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + F.lit(1)) * (F.col("c_raw") + F.lit(b)))
+                    / ((F.col("cr") + F.lit(1)) * (F.col("c_tgt") + F.lit(b)))
+                )
+                * float(scale)
+            )
+            .cast("long")
+            .alias("lrq"),
+        )
+    )
+    return (
+        dk.join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_feat"),
+            F.sum(F.col("k") * F.col("lrq")).cast("long").alias("w_q"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            "w_q",
+            # + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign of a
+            # tiny negative mean, Spark does not) — identity elsewhere
+            (
+                F.round(
+                    F.col("w_q").cast("double") / F.col("n_feat") / float(scale), 4
+                )
+                + F.lit(0.0)
+            ).alias("lr_mean"),
+        )
     )

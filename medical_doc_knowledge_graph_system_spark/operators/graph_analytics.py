@@ -770,3 +770,147 @@ def assortativity(edges: DataFrame) -> DataFrame:
         F.col("m").alias("m_ends"),
         F.when(den > 0, F.round(num / den, 4)).alias("r_assort"),
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity contributions of a node partition over the
+    undirected (a, b) edge list: Q_c = e_c/m - (deg_c/(2m))^2 (Newman),
+    where e_c counts edges internal to community c, deg_c sums member
+    degrees and m is the total edge count; sum(q_c) over the output is the
+    partition's modularity Q. Composes with `label_propagation` as the
+    community-quality evaluation step. `labels` must be (name, community)
+    covering every node of the edge list.
+
+    Returns (community, n_nodes, e_in, deg_tot, q_c) — every aggregate an
+    exact BIGINT, q_c the ONE closed-form double per row (rounded 4dp), so
+    cross-engine parity is structural (the assortativity convention).
+
+    Scale shape: one degree aggregate, two hash joins to decorate edge
+    endpoints with labels (node-sized build sides — Spark statistics
+    broadcast them when small), one count per community, and a 1-row m
+    frame broadcast into the final projection. No window, no global sort.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    lab = labels.select("name", "community").localCheckpoint()
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    m = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lab.select(F.col("name").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("name").alias("b"), F.col("community").alias("cb"))
+    ein = (
+        e0.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    degc = (
+        lab.join(deg, "name")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("deg_tot"),
+        )
+    )
+    half = F.col("deg_tot") / (F.lit(2) * F.col("m"))
+    return (
+        degc.join(ein, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "deg_tot",
+            # + 0.0 normalizes IEEE -0.0 cross-engine (identity elsewhere)
+            (
+                F.round(
+                    F.coalesce("e_in", F.lit(0)) / F.col("m") - half * half, 4
+                )
+                + F.lit(0.0)
+            ).alias("q_c"),
+        )
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame, rounds: int = 4, num_partitions: int = 8
+) -> DataFrame:
+    """Deterministic Luby-style maximal independent set over the undirected
+    (a, b) edge list: each round, every still-undecided node whose priority
+    is a strict minimum among its undecided neighbors joins the MIS and
+    knocks its neighbors out; priorities are md5(name)||name (unique by
+    construction, so the strict-min rule is total and both engines agree
+    without any tuple comparison). Fixed round budget keeps the loop
+    count-free and exactly oracle-able (the pagerank/kcore convention);
+    Luby's analysis gives O(log n) expected rounds to full decision.
+
+    Returns (name, status, mis_round): status in ('mis', 'removed',
+    'undecided'), mis_round = the deciding round (1-based) or -1 while
+    undecided. Strings and integers only — bit-exact parity.
+
+    Scale shape: per round ONE algebraic min per node (neighbor-priority
+    gather, map-side partials absorb hubs), one LEFT SEMI neighbor
+    knock-out, LEFT SEMI edge restriction (estimate = left side only — the
+    ktruss stats-explosion fix), lineage flattened per round.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    pri = (
+        _mirrored(e0)
+        .select(F.col("x").alias("name"))
+        .distinct()
+        .withColumn("p", F.concat(F.md5("name"), F.col("name")))
+        .repartition(num_partitions, "name")
+        .localCheckpoint()
+    )
+    e = (
+        _mirrored(e0)
+        .join(pri.select(F.col("name").alias("y"), F.col("p").alias("py")), "y")
+        .select("x", "y", "py")
+        .localCheckpoint()
+    )
+    und = pri
+    decided: list[DataFrame] = []
+    for r in range(1, int(rounds) + 1):
+        nb = e.groupBy(F.col("x").alias("name")).agg(F.min("py").alias("mn"))
+        mis = (
+            und.join(nb, "name", "left")
+            .where(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
+            .select("name")
+            .localCheckpoint()
+        )
+        rem = (
+            e.join(mis.select(F.col("name").alias("x")), "x", "left_semi")
+            .select(F.col("y").alias("name"))
+            .distinct()
+            .localCheckpoint()
+        )
+        decided.append(
+            mis.select(
+                "name", F.lit("mis").alias("status"), F.lit(r).cast("long").alias("mis_round")
+            )
+        )
+        decided.append(
+            rem.select(
+                "name",
+                F.lit("removed").alias("status"),
+                F.lit(r).cast("long").alias("mis_round"),
+            )
+        )
+        gone = mis.union(rem)
+        und = und.join(gone, "name", "left_anti").localCheckpoint()
+        e = (
+            e.join(und.select(F.col("name").alias("x")), "x", "left_semi")
+            .join(und.select(F.col("name").alias("y")), "y", "left_semi")
+            .localCheckpoint()
+        )
+    out = und.select(
+        "name",
+        F.lit("undecided").alias("status"),
+        F.lit(-1).cast("long").alias("mis_round"),
+    )
+    for d in decided:
+        out = out.unionAll(d)
+    return out

@@ -105,3 +105,46 @@ def test_vocab_growth_bucket_width_invariant(spark):
     a = {tuple(r) for r in vocab_growth(docs, bucket_width=4).collect()}
     b = {tuple(r) for r in vocab_growth(docs, bucket_width=1024).collect()}
     assert a == b and len(a) == 60
+
+
+def test_doc_lm_scores_known_answer(spark):
+    import math
+
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        doc_lm_scores,
+    )
+
+    # corpus bigrams: (a b) x2, (a c) x1 -> c1(a) = 3
+    docs = _docs(spark, ["a b", "a b", "a c", "solo"])
+    rows = {r.doc_id: r for r in doc_lm_scores(docs).collect()}
+    assert set(rows) == {0, 1, 2}  # 'solo' has no bigrams
+    q_ab = math.floor(math.log(3 / 2) * 100000.0)
+    q_ac = math.floor(math.log(3 / 1) * 100000.0)
+    assert (rows[0].n_bigrams, rows[0].sum_sq) == (1, q_ab)
+    assert rows[0].mean_nats == round(q_ab / 100000.0, 4)
+    assert (rows[2].n_bigrams, rows[2].sum_sq) == (1, q_ac)
+    assert rows[2].mean_nats == round(q_ac / 100000.0, 4)
+
+
+def test_doc_lm_scores_repeated_bigram_multiplicity(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        doc_lm_scores,
+    )
+
+    # 'a a a' contributes bigram (a a) twice POSITIONALLY (k = 2)
+    docs = _docs(spark, ["a a a"])
+    r = doc_lm_scores(docs).collect()[0]
+    # only bigram in corpus -> surprisal ln(2/2) = 0
+    assert (r.n_bigrams, r.sum_sq, r.mean_nats) == (2, 0, 0.0)
+
+
+def test_doc_lm_scores_predictable_text_scores_lower(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        doc_lm_scores,
+    )
+
+    # doc 0..8 repeat the same sentence (fully predictable); doc 9 is the
+    # lone divergent continuation -> strictly higher mean surprisal
+    docs = _docs(spark, ["the cat sat on the mat"] * 9 + ["the cat ate my homework"])
+    rows = {r.doc_id: r for r in doc_lm_scores(docs).collect()}
+    assert rows[9].mean_nats > rows[0].mean_nats

@@ -735,3 +735,140 @@ def test_assortativity_random_graph_matches_numpy(spark):
     )
     row = assortativity(_edges_df(spark, edges)).collect()[0]
     assert row.m_ends == m and row.r_assort == pytest.approx(want, abs=1e-9)
+
+
+# ── modularity ───────────────────────────────────────────────────────────────
+
+
+def _labels_df(spark, pairs):
+    return spark.createDataFrame(sorted(pairs), "name string, community string")
+
+
+def test_modularity_two_cliques_perfect_partition(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        modularity,
+    )
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"), ("d", "f"), ("e", "f")]
+    labels = [(n, "c1") for n in "abc"] + [(n, "c2") for n in "def"]
+    rows = {r.community: r for r in modularity(_edges_df(spark, edges), _labels_df(spark, labels)).collect()}
+    # m=6; each community: e_in=3, deg_tot=6 -> q = 3/6 - (6/12)^2 = 0.25
+    for c in ("c1", "c2"):
+        assert (rows[c].n_nodes, rows[c].e_in, rows[c].deg_tot) == (3, 3, 6)
+        assert rows[c].q_c == 0.25
+
+
+def test_modularity_single_community_is_zero(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        modularity,
+    )
+
+    edges = K4_PENDANT
+    labels = [(n, "all") for n in "abcde"]
+    rows = modularity(_edges_df(spark, edges), _labels_df(spark, labels)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # e_in = m and deg_tot = 2m -> q = 1 - 1 = 0 for any graph
+    assert (r.n_nodes, r.e_in, r.deg_tot, r.q_c) == (5, 7, 14, 0.0)
+
+
+def test_modularity_community_without_internal_edges(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        modularity,
+    )
+
+    # 'b' alone in its own community: e_in 0, deg 2 of m=2 edges
+    edges = [("a", "b"), ("b", "c")]
+    labels = [("a", "x"), ("c", "x"), ("b", "y")]
+    rows = {r.community: r for r in modularity(_edges_df(spark, edges), _labels_df(spark, labels)).collect()}
+    assert (rows["y"].e_in, rows["y"].deg_tot) == (0, 2)
+    assert rows["y"].q_c == round(0.0 - (2 / 4) * (2 / 4), 4)
+
+
+# ── maximal independent set ──────────────────────────────────────────────────
+
+
+def _mis_python(edges, rounds):
+    """Independent driver-side simulator of the deterministic Luby rule."""
+    import hashlib
+
+    def pri(n):
+        return hashlib.md5(n.encode()).hexdigest() + n
+
+    und = {x for e in edges for x in e}
+    adj = {n: set() for n in und}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for r in range(1, rounds + 1):
+        mis = {
+            u
+            for u in und
+            if all(v not in und or pri(u) < pri(v) for v in adj[u])
+        }
+        rem = {v for u in mis for v in adj[u] if v in und}
+        for u in mis:
+            out[u] = ("mis", r)
+        for v in rem:
+            out[v] = ("removed", r)
+        und -= mis | rem
+    for u in und:
+        out[u] = ("undecided", -1)
+    return out
+
+
+def test_mis_matches_python_simulator_random(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        maximal_independent_set,
+    )
+
+    rnd = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = sorted(
+        {
+            tuple(sorted(rnd.sample(nodes, 2)))
+            for _ in range(120)
+        }
+    )
+    got = {
+        r.name: (r.status, r.mis_round)
+        for r in maximal_independent_set(_edges_df(spark, edges), rounds=4).collect()
+    }
+    assert got == _mis_python(edges, 4)
+
+
+def test_mis_is_independent_and_maximal_when_converged(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        maximal_independent_set,
+    )
+
+    rnd = random.Random(11)
+    nodes = [f"m{i:02d}" for i in range(30)]
+    edges = sorted({tuple(sorted(rnd.sample(nodes, 2))) for _ in range(60)})
+    rows = maximal_independent_set(_edges_df(spark, edges), rounds=8).collect()
+    status = {r.name: r.status for r in rows}
+    assert set(status) == {x for e in edges for x in e}
+    assert "undecided" not in status.values()  # 8 rounds converge at n=30
+    mis = {n for n, s in status.items() if s == "mis"}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence: no edge inside the MIS
+    assert not any(b in mis for a in mis for b in adj[a])
+    # maximality: every non-MIS node has a MIS neighbor
+    assert all(adj[n] & mis for n, s in status.items() if s == "removed")
+
+
+def test_mis_path_graph_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        maximal_independent_set,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {
+        r.name: (r.status, r.mis_round)
+        for r in maximal_independent_set(_edges_df(spark, edges), rounds=4).collect()
+    }
+    assert got == _mis_python(edges, 4)

@@ -271,6 +271,14 @@ def test_gate_query_scan_budget(spark):
         ("kg_closeness", 0),
         ("kg_degree_hist", 0),
         ("kg_assortativity", 0),
+        # fourth-session r5: MIS statuses root in per-round checkpointed
+        # frames; modularity in the pinned edge/label frames; surprisal
+        # scoring in the pinned (doc_id, w1, w2) pre-aggregate; DSIR in
+        # the pinned (doc_id, f) feature counts
+        ("kg_mis", 0),
+        ("kg_modularity", 0),
+        ("text_doc_surprisal", 0),
+        ("sample_dsir", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
