@@ -1836,6 +1836,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_ewma"] = events_ewma
 
+    # Deterministic sketches (r5): the bounded-state aggregations of a
+    # 100 TB pipeline. KMV distinct-count keeps the 32 smallest 48-bit md5
+    # hashes per group (estimate = (k-1)/U_k, exact below k); Count-Min
+    # keeps 4x256 integer cells (estimate = min over rows, provably >=
+    # truth). md5-derived hashes make every estimate bit-reproducible
+    # cross-engine: pure BIGINTs + one closed-form double (KMV only).
+    def events_kmv(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            kmv_distinct,
+        )
+
+        return kmv_distinct(_t(s, d, "events"), ["event_type"], "user_id", k=32)
+
+    q["events_kmv"] = events_kmv
+
+    def events_cms(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            cms_frequencies,
+        )
+
+        return cms_frequencies(_t(s, d, "events"), "user_id", depth=4, width=256)
+
+    q["events_cms"] = events_cms
+
+    # Efraimidis-Spirtes weighted sampling without replacement: n smallest
+    # -ln(U)/w keys (U from the doc's md5, w = token count) == an exact
+    # token-mass-proportional sample, reproducible on any engine/partitioning.
+    def sample_weighted(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.curate import (
+            weighted_sample,
+        )
+
+        return weighted_sample(_t(s, d, "documents"), n=100)
+
+    q["sample_weighted"] = sample_weighted
+
+    # CCNet perplexity bucketing: rank by the doc_lm_scores surprisal
+    # (ascending) and cut into 3 equal-population head/middle/tail tiers —
+    # the canonical LM-quality stratification for mixing decisions. Rank =
+    # global_rank_bucketed (no global sort); oracle = the bare window.
+    def text_ppl_buckets(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            ppl_buckets,
+        )
+
+        return ppl_buckets(_t(s, d, "documents"))
+
+    q["text_ppl_buckets"] = text_ppl_buckets
+
+    # Harmonic centrality (Boldi-Vigna): sum of 1/d over the same sampled
+    # multi-source BFS as kg_closeness — every 1/d term floor-quantized to
+    # BIGINT (exact, order-free), ONE closed-form double per row.
+    def kg_harmonic(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            harmonic,
+        )
+
+        g = _kg_docgraph(s, d)
+        src = (
+            g.select(F.col("a").alias("name"))
+            .unionAll(g.select(F.col("b").alias("name")))
+            .distinct()
+            .where(F.col("name") % 31 == 0)
+        )
+        return harmonic(g, rounds=8, sources=src)
+
+    q["kg_harmonic"] = kg_harmonic
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -3745,5 +3813,143 @@ SELECT event_type,
        round(max(value), 2) AS max_value
 FROM events
 GROUP BY event_type"""
+
+    # KMV distinct sketch: 32 smallest 48-bit md5 prefixes per group;
+    # estimate numerator (k-1)*2^48 = 8725724278030336 is an EXACT double
+    # (mantissa 31), so kmv_est is one closed-form division over BIGINTs.
+    o["events_kmv"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_min,
+       max(h) AS h_k,
+       CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(8725724278030336.0 / max(h), 4) END AS kmv_est
+FROM rk WHERE r <= 32 GROUP BY event_type"""
+
+    # Count-Min sketch: 4 md5-derived hash rows x 256 buckets, estimate =
+    # min bucket count — pure BIGINT arithmetic end to end.
+    o["events_cms"] = """
+WITH ex AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, unnest([0, 1, 2, 3]) AS j FROM events
+),
+cells AS MATERIALIZED (
+  SELECT j,
+         CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2
+),
+keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+),
+kx AS (SELECT user_id, n_true, unnest([0, 1, 2, 3]) AS j FROM keys)
+SELECT kx.user_id, kx.n_true, min(cells.c) AS cms_est
+FROM kx JOIN cells
+  ON cells.j = kx.j
+ AND cells.bucket = CAST(('0x' || substring(md5(CAST(kx.j AS VARCHAR) || ':'
+                                                || kx.user_id), 1, 8))
+                         AS BIGINT) % 256
+GROUP BY 1, 2"""
+
+    # Efraimidis-Spirtes keys: ln over an exact-double/BIGINT division,
+    # then /w and *scale in the identical operand order, floor-quantized.
+    o["sample_weighted"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h48
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(ln(281474976710656.0 / (h48 + 1)) / n_tokens * 1000000.0)
+            AS BIGINT) AS es_key
+FROM base
+WHERE n_tokens >= 1
+ORDER BY es_key, doc_id
+LIMIT 100"""
+
+    # CCNet perplexity buckets: the doc_lm_scores chain (dpg MATERIALIZED —
+    # referenced by both the global count and the scoring join; lm too,
+    # feeding the window AND the total), then the bare global window the
+    # two-phase bucketed rank must be indistinguishable from.
+    o["text_ppl_buckets"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dp AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i+1])) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+dpg AS MATERIALIZED (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k FROM dp GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dpg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+st AS (
+  SELECT c12.w1, c12.w2,
+         CAST(floor(ln(c1.c1 / c12.c12) * 100000.0) AS BIGINT) AS sq
+  FROM c12 JOIN c1 ON c1.w1 = c12.w1
+),
+lm AS MATERIALIZED (
+  SELECT g.doc_id, CAST(sum(g.k) AS BIGINT) AS n_bigrams,
+         CAST(sum(g.k * s.sq) AS BIGINT) AS sum_sq,
+         round(CAST(sum(g.k * s.sq) AS DOUBLE) / CAST(sum(g.k) AS BIGINT)
+               / 100000.0, 4) AS mean_nats
+  FROM dpg g JOIN st s ON s.w1 = g.w1 AND s.w2 = g.w2
+  GROUP BY g.doc_id
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM lm),
+rk AS (
+  SELECT doc_id, mean_nats,
+         CAST(row_number() OVER (ORDER BY sum_sq / n_bigrams ASC, doc_id ASC)
+              AS BIGINT) AS ppl_rank
+  FROM lm
+)
+SELECT rk.doc_id, rk.mean_nats, rk.ppl_rank,
+       CAST(floor((rk.ppl_rank - 1) * 3 / n.n_tot) + 1 AS BIGINT) AS bucket
+FROM rk CROSS JOIN n"""
+
+    # harmonic centrality: the kg_closeness BFS closure, 1/d terms
+    # floor-quantized to BIGINT inside the sum (order-free), one closed
+    # form per row. scale 10^4: h_q/10^4 is already exact at 4dp, so the
+    # 4dp round can never land on a .5 boundary (where Spark rounds
+    # HALF_UP but Python rounds half-even — measured on 1269995/10^5).
+    o["kg_harmonic"] = f"""
+WITH RECURSIVE {_docgraph_ctes()},
+und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
+nodes AS (SELECT DISTINCT x AS name FROM und WHERE x % 31 = 0),
+walk AS (
+  SELECT name AS src, name AS node, 0 AS d FROM nodes
+  UNION
+  SELECT walk.src, und.y, walk.d + 1
+  FROM walk JOIN und ON walk.node = und.x
+  WHERE walk.d < 8
+),
+sp AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2),
+agg AS (
+  SELECT src,
+         CAST(count(*) - 1 AS BIGINT) AS n_reach,
+         CAST(sum(CASE WHEN d >= 1
+                       THEN CAST(floor(10000.0 / d) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS h_q
+  FROM sp GROUP BY src
+)
+SELECT src AS name, n_reach, h_q, round(h_q / 10000.0, 4) AS harmonic
+FROM agg"""
 
     return o

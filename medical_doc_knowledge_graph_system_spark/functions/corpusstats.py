@@ -277,3 +277,49 @@ def vocab_growth(
         "n_new",
         (F.col("local_cum") + F.col("off")).cast("long").alias("vocab"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame, n_buckets: int = 3, scale: int = 100000, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its LM score (mean bigram surprisal from `doc_lm_scores`,
+    ascending — most-natural text first) and cut the corpus into
+    `n_buckets` equal-population tiers (CCNet's head/middle/tail). The
+    bucket label is the canonical quality stratum for mixing decisions
+    (train on head+middle, drop tail).
+
+    Returns (doc_id, mean_nats, ppl_rank, bucket) with bucket in
+    [1, n_buckets]. The rank order is the double sum_sq/n_bigrams
+    (identical BIGINT/BIGINT division cross-engine) with doc_id tiebreak;
+    bucket = floor((rank-1)*n_buckets/N) + 1 over exact BIGINTs.
+
+    Scale shape: the global rank is `global_rank_bucketed` — per-bucket
+    parallel windows plus a bucket-count prefix sum, never a single-reducer
+    global sort; N arrives as a 1-row broadcast. The LM frame is pinned so
+    the rank and the count read one materialization.
+    """
+    from ..operators.skew import global_rank_bucketed
+
+    lm = doc_lm_scores(docs, scale=scale, text_col=text_col).localCheckpoint()
+    mean = F.col("sum_sq") / F.col("n_bigrams")
+    ranked = global_rank_bucketed(
+        lm,
+        bucket_col=-F.floor(mean / F.lit(float(scale)) * F.lit(16.0)),
+        order_cols=[F.asc(mean), F.asc("doc_id")],
+        rank_col="ppl_rank",
+    )
+    tot = lm.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "mean_nats",
+        F.col("ppl_rank").cast("long").alias("ppl_rank"),
+        (
+            F.floor(
+                (F.col("ppl_rank") - 1) * F.lit(int(n_buckets)) / F.col("n_tot")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("bucket"),
+    )

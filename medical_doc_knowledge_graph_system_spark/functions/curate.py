@@ -430,3 +430,55 @@ def dsir_weights(
             ).alias("lr_mean"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame, n: int = 100, scale: int = 1000000, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirtes 2006): each doc draws a uniform U from its md5 hash and gets
+    key -ln(U)/w (equivalent to ranking by U^(1/w) descending); the n
+    smallest keys are an exact weighted sample without replacement. Weight
+    w = token count, so the sample is token-mass-proportional — the
+    standard "sample documents proportional to length" remix step, made
+    reproducible (same corpus -> same sample, any partitioning, any
+    engine).
+
+    U = (h+1)/2^48 in (0, 1] from the 48-bit md5 prefix; the key is
+    quantized to BIGINT via floor(ln(2^48/(h+1)) / w * scale) — ln over an
+    exact-double/BIGINT division, then one division and one multiply,
+    evaluated in the identical operand order cross-engine (the
+    text_tfidf_topk ln-parity precedent), with doc_id as the total-order
+    tiebreak.
+
+    Scale shape: one narrow projection (hash + token count per doc), then
+    a global ORDER BY + LIMIT n — Spark plans TakeOrderedAndProject
+    (per-partition top-n, n-row final merge), never a global sort.
+    """
+    space = float(1 << 48)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        h.alias("h48"),
+    ).where(F.col("n_tokens") >= 1)
+    kq = (
+        F.floor(
+            F.log(F.lit(space) / (F.col("h48") + F.lit(1)))
+            / F.col("n_tokens")
+            * F.lit(float(scale))
+        )
+        .cast("long")
+        .alias("es_key")
+    )
+    return (
+        base.select("doc_id", "n_tokens", kq)
+        .orderBy(F.asc("es_key"), F.asc("doc_id"))
+        .limit(n)
+    )

@@ -1,0 +1,140 @@
+"""Deterministic mergeable sketches: KMV distinct-count and Count-Min
+frequency estimation.
+
+At 100 TB, exact per-key states (count-distinct sets, full frequency
+tables) are the aggregations that stop fitting; sketches bound the state
+at a fixed size per group and stay mergeable across partitions — the
+sketch build here is a plain algebraic groupBy, so Spark's map-side
+partial aggregation IS the sketch merge. Reference analogue: the global
+count statistics around `app/services/graph_service.py` (get_statistics)
+— the sketch path is what those counts become when the table stops
+fitting a COUNT(DISTINCT).
+
+Both sketches are built on md5 (CLAUDE.md invariant #3: the one hash
+shared bit-exactly with the DuckDB oracles), so every estimate —
+including the float division in the KMV estimator — is exactly
+reproducible cross-engine: the only doubles are ONE closed-form
+expression per output row over exact BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.skew import topk_per_group
+
+# 48-bit hash space: wide enough that birthday collisions are negligible
+# below ~2^24 distinct values per group, narrow enough that every
+# (k-1) * 2^48 estimator numerator is an EXACT double (mantissa = k-1).
+_HASH_HEX = 12
+_HASH_SPACE = float(1 << (4 * _HASH_HEX))
+
+
+def _h48(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, _HASH_HEX), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 32
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    et al. 2002): keep the k smallest 48-bit hashes of the values; if the
+    group has fewer than k distinct hashes the count is exact, else the
+    k-th smallest hash h_k estimates the distinct count as
+    (k-1) / (h_k / 2^48) — k-1 uniform points below h_k/2^48 of the unit
+    interval.
+
+    Returns (group_cols..., n_min, h_k, kmv_est): n_min = retained hash
+    count (min(k, exact distinct)), h_k = largest retained hash, kmv_est
+    = the estimate (exact below k). (k-1)*2^48 is an exact double for any
+    practical k (trailing zero bits are free), so kmv_est is ONE
+    closed-form division over BIGINTs — bit-reproducible cross-engine.
+
+    Scale shape: one distinct on (group, hash) — map-side partials absorb
+    per-group duplicate storms — then the hot-group-safe two-phase top-k
+    (`topk_per_group`: a Zipf-headed group never funnels its full distinct
+    set through one reducer's sort), then a k-row-per-group algebraic agg.
+    State per group is k longs, the sketch property.
+    """
+    hashes = (
+        df.select(*group_cols, _h48(F.col(value_col)).alias("__h"))
+        .distinct()
+    )
+    top = topk_per_group(
+        hashes, list(group_cols), [F.asc("__h")], k, rank_col="__r"
+    )
+    numer = float((k - 1) << (4 * _HASH_HEX))
+    agg = top.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_min"),
+        F.max("__h").alias("h_k"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_min",
+        "h_k",
+        F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+        .otherwise(F.round(F.lit(numer) / F.col("h_k"), 4))
+        .alias("kmv_est"),
+    )
+
+
+def cms_frequencies(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates:
+    depth independent md5-derived hash rows of `width` buckets each; a
+    key's estimate is the MIN over rows of its bucket's count — always an
+    OVERESTIMATE (collisions only add), within eN/width with probability
+    1 - exp(-depth) by the standard bound.
+
+    Returns (key, n_true, cms_est) for every distinct key; n_true is the
+    exact count so the gate verifies cms_est >= n_true row-for-row and the
+    estimate error is measurable. Pure BIGINT arithmetic end to end —
+    bit-exact cross-engine by construction.
+
+    Scale shape: the sketch build is ONE algebraic groupBy on (row,
+    bucket) over a depth-way explode — map-side combine collapses each
+    partition to <= depth*width cells before the shuffle, which is the
+    sketch-merge property (cells: depth*width rows TOTAL, independent of
+    N). The probe joins the distinct keys against the broadcast cell
+    table. At true 100 TB the per-key probe output is optional — the
+    sketch itself is the bounded artifact; here it doubles as the
+    accuracy gate.
+    """
+    rows = F.array([F.lit(j) for j in range(depth)])
+
+    def bucket(j_col, k_col) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit(":"), k_col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    exploded = df.select(
+        F.col(key_col).cast("string").alias("__k"), F.explode(rows).alias("j")
+    ).select("j", bucket(F.col("j"), F.col("__k")).alias("bucket"))
+    cells = exploded.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    keys = df.groupBy(F.col(key_col).cast("string").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    probes = keys.select(key_col, "n_true", F.explode(rows).alias("j")).select(
+        key_col,
+        "n_true",
+        "j",
+        bucket(F.col("j"), F.col(key_col)).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(key_col, "n_true")
+        .agg(F.min("c").alias("cms_est"))
+    )

@@ -645,36 +645,20 @@ def label_propagation(
     return labels.select("name", F.col("label").alias("community"))
 
 
-def closeness(
+def _ms_bfs_dists(
     edges: DataFrame,
-    rounds: int = 8,
-    sources: DataFrame | None = None,
-    num_partitions: int = 8,
+    rounds: int,
+    sources: DataFrame | None,
+    num_partitions: int,
 ) -> DataFrame:
-    """Closeness centrality + eccentricity via multi-source BFS: one
-    simultaneous frontier expansion carrying (src, node, d) state, exactly
-    the multi_source_shortest_paths shape but from EVERY source at once.
-    Returns (name, n_reach, sum_d, ecc, closeness) with
-    closeness = n_reach / sum_d over the reachable set (the Wasserman-Faust
-    per-component convention, zeros for nothing reachable) and
-    ecc = max distance seen within the round budget — exact whenever
-    ``rounds`` >= the graph's diameter (reference analogue: Neo4j GDS
-    closeness on the single box).
-
-    ``sources`` restricts the BFS origins (closeness at web scale is
-    customarily estimated from a hash-sampled source set — pass the sample
-    here; default = all nodes, the exact mode the gate oracles).
-
-    Scale shape: per round ONE join of the (src, node)-keyed frontier
-    against the pinned mirrored adjacency, a distinct on the (src, node)
-    key (map-side partials), and a LEFT ANTI against the visited union —
-    anti-join keeps the Catalyst size estimate bounded by the left side
-    (the r5 stats-explosion rule). Frontiers are disjoint by construction,
-    so `visited` is a plain union of checkpointed frontiers, never
-    re-joined with itself. State is O(sources x reachable): full-graph
-    exact closeness is quadratic by definition — that cost lives in the
-    explicitly-passed source sample, not hidden in the plan.
-    """
+    """Multi-source BFS distance frame (src, node, d) over the undirected
+    (a, b) edge list — the shared engine under `closeness` and `harmonic`.
+    Per round ONE join of the (src, node)-keyed frontier against the
+    pinned mirrored adjacency, a distinct, and a LEFT ANTI against the
+    visited union (anti-join keeps the Catalyst size estimate bounded by
+    the left side — the r5 stats-explosion rule); frontiers are disjoint
+    by construction so `visited` is a plain union of checkpointed
+    frontiers, never re-joined with itself."""
     e0 = edges.select("a", "b").localCheckpoint()
     adj = _mirrored(e0).repartition(num_partitions, "x").localCheckpoint()
     nodes = adj.select(F.col("x").alias("name")).distinct()
@@ -714,6 +698,40 @@ def closeness(
     dist = layers[0]
     for extra in layers[1:]:
         dist = dist.unionAll(extra)
+    return dist
+
+
+def closeness(
+    edges: DataFrame,
+    rounds: int = 8,
+    sources: DataFrame | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Closeness centrality + eccentricity via multi-source BFS: one
+    simultaneous frontier expansion carrying (src, node, d) state, exactly
+    the multi_source_shortest_paths shape but from EVERY source at once.
+    Returns (name, n_reach, sum_d, ecc, closeness) with
+    closeness = n_reach / sum_d over the reachable set (the Wasserman-Faust
+    per-component convention, zeros for nothing reachable) and
+    ecc = max distance seen within the round budget — exact whenever
+    ``rounds`` >= the graph's diameter (reference analogue: Neo4j GDS
+    closeness on the single box).
+
+    ``sources`` restricts the BFS origins (closeness at web scale is
+    customarily estimated from a hash-sampled source set — pass the sample
+    here; default = all nodes, the exact mode the gate oracles).
+
+    Scale shape: per round ONE join of the (src, node)-keyed frontier
+    against the pinned mirrored adjacency, a distinct on the (src, node)
+    key (map-side partials), and a LEFT ANTI against the visited union —
+    anti-join keeps the Catalyst size estimate bounded by the left side
+    (the r5 stats-explosion rule). Frontiers are disjoint by construction,
+    so `visited` is a plain union of checkpointed frontiers, never
+    re-joined with itself. State is O(sources x reachable): full-graph
+    exact closeness is quadratic by definition — that cost lives in the
+    explicitly-passed source sample, not hidden in the plan.
+    """
+    dist = _ms_bfs_dists(edges, rounds, sources, num_partitions)
     agg = dist.groupBy(F.col("src").alias("name")).agg(
         (F.count(F.lit(1)) - 1).cast("long").alias("n_reach"),
         F.sum("d").cast("long").alias("sum_d"),
@@ -729,6 +747,191 @@ def closeness(
         )
         .otherwise(F.lit(0.0))
         .alias("closeness"),
+    )
+
+
+def harmonic(
+    edges: DataFrame,
+    rounds: int = 8,
+    sources: DataFrame | None = None,
+    scale: int = 10000,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Harmonic centrality over the undirected (a, b) edge list:
+    H(u) = sum over reachable v != u of 1/d(u, v) — the centrality that,
+    unlike closeness, is well-defined on DISCONNECTED graphs (unreachable
+    nodes contribute 0 instead of poisoning the mean; Boldi & Vigna 2014
+    argue it is the axiomatically sound variant for web graphs). Same
+    multi-source BFS engine as `closeness`; `sources` restricts origins
+    (the hash-sampled estimator mode at scale).
+
+    Returns (name, n_reach, h_q, harmonic): every 1/d term is quantized to
+    floor(scale/d) — d is a small BIGINT, so the quantized terms and their
+    SUM h_q are exact integers (order-free; no float ever enters the
+    aggregate) — and harmonic = h_q/scale rounded 4dp is the ONE
+    closed-form double per row. scale MUST be 10^4 so h_q/scale has at
+    most 4 decimal digits: round(x, 4) is then boundary-free — a 5th
+    decimal of exactly 5 (e.g. 1269995/10^5) is rounded HALF_UP by Spark
+    but half-even by Python, and that ambiguity cannot arise when the
+    quantity being rounded is already exact at 4dp.
+    """
+    dist = _ms_bfs_dists(edges, rounds, sources, num_partitions)
+    agg = dist.groupBy(F.col("src").alias("name")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reach"),
+        F.sum(
+            F.when(
+                F.col("d") >= 1, F.floor(F.lit(float(scale)) / F.col("d"))
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("h_q"),
+    )
+    return agg.select(
+        "name",
+        "n_reach",
+        "h_q",
+        F.round(F.col("h_q") / F.lit(float(scale)), 4).alias("harmonic"),
+    )
+
+
+def betweenness(
+    edges: DataFrame,
+    rounds: int = 8,
+    sources: DataFrame | None = None,
+    scale: int = 10000,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Sampled Brandes betweenness centrality (Brandes 2001) over the
+    undirected (a, b) edge list: for each source s, a level-synchronous
+    BFS counts sigma(s, v) = #shortest s->v paths, then the dependency
+    recursion delta(v) = sum over shortest-path successors w of
+    (sigma_v / sigma_w) * (1 + delta(w)) accumulates backward from the
+    deepest level; bc(v) = sum over sources of delta(s, v). ``sources``
+    restricts the origins — the Brandes-Pich sampled estimator that makes
+    betweenness tractable at scale (exact all-sources betweenness is
+    Theta(nm) by definition; the cost lives in the explicit sample).
+    Reference analogue: Neo4j GDS betweenness on the single box.
+
+    Parity convention (the kg_sssp integer pattern): sigma values are
+    exact BIGINTs (sums of path counts); delta is quantized at each level
+    as delta_q(v) = sum over succ w of (sigma_v * (scale + delta_q(w)))
+    div sigma_w — pure positive-BIGINT floor division, so every per-level
+    sum is order-free and `div` == DuckDB `//` bit-for-bit. No float
+    enters any aggregate; bc = bc_q/scale with scale = 10^4 is already
+    exact at 4dp, so the final round is boundary-free (the `harmonic`
+    argument). bc_q is the RAW accumulated dependency over the given
+    sources (with all sources on an undirected graph, classical bc is
+    bc_q/2; with a sample it is the estimator numerator).
+
+    Scale shape: the forward pass is the `_ms_bfs_dists` frontier loop
+    with a sigma-summing aggregate fused into each round (map-side
+    partials absorb in-degree skew); the DAG successor frame is built
+    ONCE from the unioned checkpointed layers and pinned; each backward
+    level is ONE slice-join against the previous level's checkpointed
+    delta — per-round lineage is flat, and every loop join is additive
+    in the Catalyst size estimate (no self-join growth, the r5
+    stats-explosion rule).
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    adj = _mirrored(e0).repartition(num_partitions, "x").localCheckpoint()
+    nodes = adj.select(F.col("x").alias("name")).distinct()
+    srcs = nodes
+    if sources is not None:
+        srcs = nodes.join(
+            sources.select(F.col(sources.columns[0]).alias("name")), "name"
+        )
+    frontier = (
+        srcs.select(
+            F.col("name").alias("src"),
+            F.col("name").alias("node"),
+            F.lit(0).cast("int").alias("d"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .repartition(num_partitions, "src", "node")
+        .localCheckpoint()
+    )
+    layers = [frontier]
+    for r in range(rounds):
+        visited = layers[0].select("src", "node")
+        for extra in layers[1:]:
+            visited = visited.unionAll(extra.select("src", "node"))
+        nxt = (
+            frontier.join(adj, frontier.node == adj.x)
+            .select("src", F.col("y").alias("node"), "sigma")
+            .join(visited, ["src", "node"], "left_anti")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select(
+                "src", "node", F.lit(r + 1).cast("int").alias("d"), "sigma"
+            )
+            .localCheckpoint()
+        )
+        frontier = nxt
+        layers.append(nxt)
+        if not nxt.take(1):
+            break
+    dist = layers[0]
+    for extra in layers[1:]:
+        dist = dist.unionAll(extra)
+    # shortest-path DAG successors: v (level d) -> w (level d+1), built
+    # once and pinned; carries both endpoint sigmas for the backward pass
+    dv = dist.select(
+        "src",
+        F.col("node").alias("v"),
+        F.col("d").alias("dv"),
+        F.col("sigma").alias("sv"),
+    )
+    dw = dist.select(
+        "src",
+        F.col("node").alias("w"),
+        F.col("d").alias("dw"),
+        F.col("sigma").alias("sw"),
+    )
+    dag = (
+        dv.join(adj, dv.v == adj.x)
+        .select("src", "v", "dv", "sv", F.col("y").alias("w"))
+        .join(dw, ["src", "w"])
+        .where(F.col("dw") == F.col("dv") + 1)
+        .select("src", "v", "dv", "sv", "w", "sw")
+        .repartition(num_partitions, "src", "w")
+        .localCheckpoint()
+    )
+    term = F.expr(f"(sv * ({int(scale)} + coalesce(dq, 0))) div sw")
+    prev: DataFrame | None = None
+    contribs = []
+    for lev in range(rounds - 1, 0, -1):
+        sl = dag.where(F.col("dv") == lev)
+        if prev is None:
+            sl = sl.withColumn("dq", F.lit(None).cast("long"))
+        else:
+            sl = sl.join(
+                prev.select("src", F.col("node").alias("w"), "dq"),
+                ["src", "w"],
+                "left",
+            )
+        delta_lev = (
+            sl.groupBy("src", F.col("v").alias("node"))
+            .agg(F.sum(term).cast("long").alias("dq"))
+            .localCheckpoint()
+        )
+        prev = delta_lev
+        contribs.append(delta_lev)
+    if not contribs:  # rounds < 2: no interior node can exist
+        return nodes.select(
+            "name",
+            F.lit(0).cast("long").alias("bc_q"),
+            F.lit(0.0).alias("bc"),
+        )
+    acc = contribs[0]
+    for extra in contribs[1:]:
+        acc = acc.unionAll(extra)
+    bc = acc.groupBy("node").agg(F.sum("dq").cast("long").alias("bc_q"))
+    return nodes.join(bc, nodes.name == bc.node, "left").select(
+        "name",
+        F.coalesce(F.col("bc_q"), F.lit(0)).cast("long").alias("bc_q"),
+        F.round(
+            F.coalesce(F.col("bc_q"), F.lit(0)) / F.lit(float(scale)), 4
+        ).alias("bc"),
     )
 
 

@@ -148,3 +148,42 @@ def test_doc_lm_scores_predictable_text_scores_lower(spark):
     docs = _docs(spark, ["the cat sat on the mat"] * 9 + ["the cat ate my homework"])
     rows = {r.doc_id: r for r in doc_lm_scores(docs).collect()}
     assert rows[9].mean_nats > rows[0].mean_nats
+
+
+def test_ppl_buckets_equal_population_and_order(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        doc_lm_scores,
+        ppl_buckets,
+    )
+
+    # 9 docs with >= 2 tokens -> 3 buckets of 3; ranks are a permutation
+    texts = [f"w{i} common tail" for i in range(6)] + [
+        "common tail common",
+        "common tail x",
+        "common common common",
+    ]
+    docs = _docs(spark, texts)
+    out = ppl_buckets(docs, n_buckets=3).collect()
+    assert sorted(r.ppl_rank for r in out) == list(range(1, 10))
+    from collections import Counter
+
+    assert Counter(r.bucket for r in out) == {1: 3, 2: 3, 3: 3}
+    # bucket is monotone in the rank
+    for r in out:
+        assert r.bucket == (r.ppl_rank - 1) * 3 // 9 + 1
+    # rank order == mean surprisal order (doc_id tiebreak)
+    lm = {r.doc_id: (r.sum_sq / r.n_bigrams, r.doc_id) for r in doc_lm_scores(docs).collect()}
+    ranked = sorted(out, key=lambda r: r.ppl_rank)
+    assert [r.doc_id for r in ranked] == sorted(lm, key=lambda d: lm[d])
+
+
+def test_ppl_buckets_partitioning_invariance(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        ppl_buckets,
+    )
+
+    texts = [f"a{i % 4} b{i % 3} c{i % 5} d" for i in range(40)]
+    docs = _docs(spark, texts)
+    a = {tuple(r) for r in ppl_buckets(docs.repartition(1)).collect()}
+    b = {tuple(r) for r in ppl_buckets(docs.repartition(7)).collect()}
+    assert a == b and len(a) == 40

@@ -104,3 +104,68 @@ def test_dsir_custom_target_predicate(spark):
     }
     # doc 2's vocabulary IS the target distribution
     assert got[2] > got[0] == got[1]
+
+
+def _ws_key(doc_id: int, n_tokens: int) -> int:
+    h = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:12], 16)
+    return math.floor(
+        math.log(float(1 << 48) / (h + 1)) / n_tokens * 1000000.0
+    )
+
+
+def test_weighted_sample_python_oracle_equality(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        weighted_sample,
+    )
+
+    rows = [
+        (i, "en", " ".join(f"w{j}" for j in range(1 + (i * 7) % 13)))
+        for i in range(60)
+    ]
+    got = {
+        (r.doc_id, r.n_tokens, r.es_key)
+        for r in weighted_sample(_docs(spark, rows), n=10).collect()
+    }
+    keys = sorted(
+        (_ws_key(i, 1 + (i * 7) % 13), i, 1 + (i * 7) % 13) for i, _, _ in rows
+    )
+    expect = {(i, w, k) for k, i, w in keys[:10]}
+    assert got == expect
+
+
+def test_weighted_sample_without_replacement_and_caps(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        weighted_sample,
+    )
+
+    rows = [(i, "en", "a b c") for i in range(7)]
+    out = weighted_sample(_docs(spark, rows), n=100).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == 7 and len(set(ids)) == 7  # every doc once, no more
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        weighted_sample,
+    )
+
+    # one 4000-token doc among 150 one-token docs: its key is ~4000x
+    # smaller in expectation -- the deterministic draw picks it
+    rows = [(i, "en", "x") for i in range(150)]
+    rows.append((999, "en", " ".join("t" for _ in range(4000))))
+    out = weighted_sample(_docs(spark, rows), n=5).collect()
+    assert 999 in {r.doc_id for r in out}
+
+
+def test_weighted_sample_partitioning_invariance(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        weighted_sample,
+    )
+
+    rows = [
+        (i, "en", " ".join(f"w{j}" for j in range(1 + i % 9))) for i in range(80)
+    ]
+    df = _docs(spark, rows)
+    a = {tuple(r) for r in weighted_sample(df.repartition(1), n=20).collect()}
+    b = {tuple(r) for r in weighted_sample(df.repartition(11), n=20).collect()}
+    assert a == b and len(a) == 20

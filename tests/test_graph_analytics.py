@@ -872,3 +872,197 @@ def test_mis_path_graph_known_answer(spark):
         for r in maximal_independent_set(_edges_df(spark, edges), rounds=4).collect()
     }
     assert got == _mis_python(edges, 4)
+
+
+def test_harmonic_path_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        harmonic,
+    )
+
+    # path a-b-c-d: H(a) = 1 + 1/2 + 1/3 (quantized 10000+5000+3333),
+    # H(b) = 1 + 1 + 1/2
+    got = {
+        r.name: (r.n_reach, r.h_q, r.harmonic)
+        for r in harmonic(
+            _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        ).collect()
+    }
+    assert got["a"] == (3, 18333, 1.8333)
+    assert got["b"] == (3, 25000, 2.5)
+    assert got["c"] == got["b"] and got["d"] == got["a"]
+
+
+def test_harmonic_random_graph_matches_bfs(spark):
+    from collections import deque
+
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        harmonic,
+    )
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(35)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)})
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        h_q = sum(10000 // d for d in dist.values() if d >= 1)
+        expect[s] = (len(dist) - 1, h_q, round(h_q / 10000.0, 4))
+    got = {
+        r.name: (r.n_reach, r.h_q, r.harmonic)
+        for r in harmonic(_edges_df(spark, edges)).collect()
+    }
+    assert got == expect
+
+
+def test_harmonic_disconnected_and_sources(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        harmonic,
+    )
+
+    # two components: harmonic is well-defined (unreached contribute 0) --
+    # the property closeness lacks; sources restricts the output rows
+    edges = [("a", "b"), ("c", "d"), ("d", "e")]
+    got = {r.name: r.harmonic for r in harmonic(_edges_df(spark, edges)).collect()}
+    assert got["a"] == 1.0 and got["c"] == 1.5
+    src = spark.createDataFrame([("a",), ("d",)], "name string")
+    sub = harmonic(_edges_df(spark, edges), sources=src).collect()
+    assert {r.name for r in sub} == {"a", "d"}
+
+
+def _bc_python(edges, rounds=8, sources=None, scale=10000):
+    """Quantized-Brandes simulator mirroring `betweenness` exactly:
+    BIGINT sigma, per-level delta_q = sum((sv*(scale+dq_w))//sw)."""
+    from collections import defaultdict
+
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    srcs = [n for n in nodes if sources is None or n in sources]
+    bc = {n: 0 for n in nodes}
+    for s in srcs:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for r in range(rounds):
+            nxt: dict[str, int] = defaultdict(int)
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        nxt[w] += sigma[v]
+            if not nxt:
+                break
+            for w, c in nxt.items():
+                dist[w] = r + 1
+                sigma[w] = c
+            frontier = list(nxt)
+        delta: dict[str, int] = {}
+        for lev in range(rounds - 1, 0, -1):
+            for v in [n for n in dist if dist[n] == lev]:
+                succ = [w for w in adj[v] if dist.get(w) == lev + 1]
+                if not succ:
+                    continue
+                total = sum(
+                    (sigma[v] * (scale + delta.get(w, 0))) // sigma[w]
+                    for w in succ
+                )
+                delta[v] = total
+                bc[v] += total
+    return {n: (bc[n], round(bc[n] / scale, 4)) for n in nodes}
+
+
+def test_betweenness_path_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        betweenness,
+    )
+
+    # path a-b-c-d: Brandes raw sum = 2x pair betweenness; b and c each
+    # sit on 2 of the 6 unordered pairs -> bc_q 40000, endpoints 0
+    got = {
+        r.name: (r.bc_q, r.bc)
+        for r in betweenness(
+            _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        ).collect()
+    }
+    assert got == {
+        "a": (0, 0.0),
+        "b": (40000, 4.0),
+        "c": (40000, 4.0),
+        "d": (0, 0.0),
+    }
+
+
+def test_betweenness_star_and_diamond(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        betweenness,
+    )
+
+    # star: hub on every leaf pair (3 pairs, x2) = 60000; leaves 0
+    star = [("h", "l1"), ("h", "l2"), ("h", "l3")]
+    got = {r.name: r.bc_q for r in betweenness(_edges_df(spark, star)).collect()}
+    assert got == {"h": 60000, "l1": 0, "l2": 0, "l3": 0}
+    # diamond (= C4) a-b, a-c, b-d, c-d: every node carries 1/2 of its
+    # opposite pair's two equal paths — sigma splits 2-ways, each side
+    # contributes (1*(10000+0))//2 = 5000 twice
+    diamond = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    got = {
+        r.name: r.bc_q for r in betweenness(_edges_df(spark, diamond)).collect()
+    }
+    assert got == {"a": 10000, "b": 10000, "c": 10000, "d": 10000}
+    assert got == {k: v[0] for k, v in _bc_python(diamond).items()}
+
+
+def test_betweenness_random_graph_matches_simulator(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        betweenness,
+    )
+
+    rng = random.Random(17)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(50)})
+    got = {
+        r.name: (r.bc_q, r.bc)
+        for r in betweenness(_edges_df(spark, edges)).collect()
+    }
+    assert got == _bc_python(edges)
+
+
+def test_betweenness_disconnected_sources_and_round_cap(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        betweenness,
+    )
+
+    edges = [("a", "b"), ("c", "d"), ("d", "e")]
+    got = {r.name: r.bc_q for r in betweenness(_edges_df(spark, edges)).collect()}
+    # d bridges the only c-e pair (x2); components never mix
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 20000, "e": 0}
+    # sources restricts accumulation to the sampled origins (output still
+    # covers every node)
+    src = spark.createDataFrame([("c",)], "name string")
+    sub = {
+        r.name: r.bc_q
+        for r in betweenness(_edges_df(spark, edges), sources=src).collect()
+    }
+    assert sub == {"a": 0, "b": 0, "c": 0, "d": 10000, "e": 0}
+    assert sub == {
+        k: v[0] for k, v in _bc_python(edges, sources={"c"}).items()
+    }
+    # rounds cap truncates the BFS horizon, matching the simulator
+    path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+    capped = {
+        r.name: r.bc_q
+        for r in betweenness(_edges_df(spark, path), rounds=3).collect()
+    }
+    assert capped == {k: v[0] for k, v in _bc_python(path, rounds=3).items()}
