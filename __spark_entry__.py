@@ -1904,6 +1904,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_harmonic"] = kg_harmonic
 
+    # Sampled Brandes betweenness: integer sigma path counts from the
+    # level-synchronous BFS, backward dependency pass with every term
+    # (sv*(10^4+delta_q)) div sw — positive-BIGINT floor division, so
+    # sums are order-free and `div` == DuckDB `//` bit-for-bit; bc_q/10^4
+    # is exact at 4dp (boundary-free round). Same doc_id % 31 source
+    # sample as kg_closeness/kg_harmonic (the Brandes-Pich estimator —
+    # exact all-sources betweenness is Theta(nm) by definition).
+    def kg_betweenness(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            betweenness,
+        )
+
+        g = _kg_docgraph(s, d)
+        src = (
+            g.select(F.col("a").alias("name"))
+            .unionAll(g.select(F.col("b").alias("name")))
+            .distinct()
+            .where(F.col("name") % 31 == 0)
+        )
+        return betweenness(g, rounds=8, sources=src)
+
+    q["kg_betweenness"] = kg_betweenness
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -3951,5 +3974,74 @@ agg AS (
 )
 SELECT src AS name, n_reach, h_q, round(h_q / 10000.0, 4) AS harmonic
 FROM agg"""
+
+    # Sampled Brandes betweenness, unrolled level-by-level (the kg_pagerank
+    # fixed-budget convention — recursive UNION ALL would enumerate raw
+    # walks combinatorially). Forward: f{i} = level-i (src, node, sigma)
+    # with sigma summed over level-(i-1) predecessors, visited-set
+    # anti-join via NOT EXISTS on the MATERIALIZED v{i} (invariant #3:
+    # DuckDB inlines CTEs referenced more than once). Backward: b{L} =
+    # per-node dependency at level L from the level-(L+1) deltas; every
+    # term (sv*(10^4+dq)) // sw is positive-BIGINT floor division ==
+    # Spark's `div`, so per-level sums are order-free and bit-exact.
+    _bc_fwd = "".join(
+        f""",
+f{i + 1} AS MATERIALIZED (
+  SELECT f.src, und.y AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM f{i} f JOIN und ON f.node = und.x
+  WHERE NOT EXISTS (SELECT 1 FROM v{i} v
+                    WHERE v.src = f.src AND v.node = und.y)
+  GROUP BY 1, 2
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT src, node FROM v{i} UNION ALL SELECT src, node FROM f{i + 1}
+)"""
+        for i in range(8)
+    )
+    _bc_dist = " UNION ALL ".join(
+        f"SELECT src, node, {i} AS d, sigma FROM f{i}" for i in range(9)
+    )
+    _bc_bwd = """,
+b7 AS MATERIALIZED (
+  SELECT src, v AS node,
+         CAST(sum((sv * 10000) // sw) AS BIGINT) AS dq
+  FROM dag WHERE dv = 7 GROUP BY 1, 2
+)""" + "".join(
+        f""",
+b{lev} AS MATERIALIZED (
+  SELECT dag.src, dag.v AS node,
+         CAST(sum((dag.sv * (10000 + coalesce(nb.dq, 0))) // dag.sw)
+              AS BIGINT) AS dq
+  FROM dag LEFT JOIN b{lev + 1} nb
+    ON nb.src = dag.src AND nb.node = dag.w
+  WHERE dag.dv = {lev} GROUP BY 1, 2
+)"""
+        for lev in range(6, 0, -1)
+    )
+    _bc_acc = " UNION ALL ".join(
+        f"SELECT node, dq FROM b{lev}" for lev in range(1, 8)
+    )
+    o["kg_betweenness"] = f"""
+WITH {_docgraph_ctes()},
+und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
+srcs AS (SELECT DISTINCT x AS name FROM und WHERE x % 31 = 0),
+f0 AS MATERIALIZED (
+  SELECT name AS src, name AS node, CAST(1 AS BIGINT) AS sigma FROM srcs
+),
+v0 AS MATERIALIZED (SELECT src, node FROM f0){_bc_fwd},
+dist AS MATERIALIZED ({_bc_dist}),
+dag AS MATERIALIZED (
+  SELECT dv.src, dv.node AS v, dv.d AS dv, dv.sigma AS sv,
+         dw.node AS w, dw.sigma AS sw
+  FROM dist dv JOIN und ON dv.node = und.x
+  JOIN dist dw ON dw.src = dv.src AND dw.node = und.y AND dw.d = dv.d + 1
+){_bc_bwd},
+acc AS ({_bc_acc}),
+nodes AS (SELECT DISTINCT x AS name FROM und)
+SELECT n.name,
+       CAST(coalesce(sum(acc.dq), 0) AS BIGINT) AS bc_q,
+       round(coalesce(sum(acc.dq), 0) / 10000.0, 4) AS bc
+FROM nodes n LEFT JOIN acc ON acc.node = n.name
+GROUP BY 1"""
 
     return o

@@ -271,6 +271,9 @@ def test_gate_query_scan_budget(spark):
         ("kg_closeness", 0),
         ("kg_degree_hist", 0),
         ("kg_assortativity", 0),
+        # fifth-session r5: betweenness roots in the checkpointed BFS
+        # layers, the pinned DAG frame, and per-level delta checkpoints
+        ("kg_betweenness", 0),
         # fourth-session r5: MIS statuses root in per-round checkpointed
         # frames; modularity in the pinned edge/label frames; surprisal
         # scoring in the pinned (doc_id, w1, w2) pre-aggregate; DSIR in
