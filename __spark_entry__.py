@@ -794,6 +794,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_suite"] = decontam_suite
 
+    # Bloom-filter decontamination probe (sketches.bloom_decontam): the
+    # decontam_suite split probed through a 2^18-bit / 4-hash Bloom filter
+    # instead of the exact gram join — the broadcast side becomes the
+    # fixed-size bit set (never grows past m rows however large the suite),
+    # with deterministic md5-derived false positives. n_flagged >= the
+    # exact n_shared_ngrams row-for-row by construction.
+    def decontam_bloom(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            bloom_decontam,
+        )
+
+        docs = _t(s, d, "documents")
+        return bloom_decontam(
+            docs.where(F.col("doc_id") % 97 != 0),
+            eval_suite_grams(docs.where(F.col("doc_id") % 97 == 0)),
+        )
+
+    q["decontam_bloom"] = decontam_bloom
+
     # deduplication
     q["dedup_exact"] = lambda s, d: exact_dup_flags_expr(_t(s, d, "documents"))
     q["dedup_minhash_sig"] = lambda s, d: minhash_signatures(_t(s, d, "documents"))
@@ -3757,6 +3776,46 @@ SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
 FROM g JOIN ev USING (gram)
 WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id"""
+
+    # Bloom probe: identical gram stream; bit = md5("j:gram")[:12] % 2^18
+    # (the events_cms '0x' cast pattern); a gram is flagged iff all 4
+    # DISTINCT j positions are set (within-gram collisions count once).
+    _bloom_bit_sql = (
+        "CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 12))"
+        " AS BIGINT) % 262144"
+    )
+    o["decontam_bloom"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+gl AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) AS grams
+  FROM toks
+),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM gl)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+bits AS MATERIALIZED (
+  SELECT DISTINCT {_bloom_bit_sql} AS bit
+  FROM (SELECT gram, unnest([0, 1, 2, 3]) AS j FROM ev)
+),
+tr AS MATERIALIZED (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+probe AS (
+  SELECT doc_id, gram, j, {_bloom_bit_sql} AS bit
+  FROM (SELECT doc_id, gram, unnest([0, 1, 2, 3]) AS j FROM tr)
+),
+fl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+  FROM (SELECT doc_id, gram FROM probe JOIN bits USING (bit)
+        GROUP BY doc_id, gram HAVING count(DISTINCT j) = 4)
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1)
+SELECT tot.doc_id, tot.n_grams,
+       CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged
+FROM tot LEFT JOIN fl USING (doc_id)"""
     o["mm_resize"] = """
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,

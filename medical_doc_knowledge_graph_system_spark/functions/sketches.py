@@ -138,3 +138,90 @@ def cms_frequencies(
         .groupBy(key_col, "n_true")
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+def bloom_bits(grams: DataFrame, m: int = 1 << 18, k: int = 4) -> DataFrame:
+    """Set-bit positions of a Bloom filter over `grams.gram` (Bloom 1970):
+    k md5-derived positions per gram, distinct — at most m rows however
+    large the input, the fixed-size-artifact property that lets a
+    membership set over 10^5+ eval grams ship as a bounded broadcast
+    instead of the gram strings themselves."""
+    js = F.array([F.lit(j) for j in range(k)])
+    return (
+        grams.select(F.explode(js).alias("j"), "gram")
+        .select(_bloom_bit(F.col("j"), F.col("gram"), m).alias("bit"))
+        .distinct()
+    )
+
+
+def _bloom_bit(j_col, gram_col, m: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j_col.cast("string"), F.lit(":"), gram_col)),
+                1,
+                _HASH_HEX,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def bloom_decontam(
+    df: DataFrame,
+    eval_grams: DataFrame,
+    m: int = 1 << 18,
+    k: int = 4,
+    n: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination probe: flag every training n-gram whose
+    k filter positions are ALL set in the eval-suite Bloom filter — a
+    superset of the exact `ngram_decontam_against` matches (no false
+    negatives, deterministic md5-derived false positives at the standard
+    (1 - e^(-kn/m))^k rate). The scale story vs the exact join: the
+    broadcast side is the <= m-row bit set — fixed size no matter how the
+    eval suite grows — and the training grams never leave their partitions
+    except for the final per-doc count.
+
+    Returns (doc_id, n_grams, n_flagged) for every doc with >= 1 gram:
+    distinct-gram count and how many of them the filter flags. Pure
+    integer arithmetic end to end.
+
+    Scale shape: filter build is |eval| x k rows collapsed by distinct
+    (map-side partials) to <= m; the probe explodes each distinct doc gram
+    k ways, joins the broadcast bit set, and keeps grams with all k
+    distinct j matched — collisions *within* one gram's probes are counted
+    once (count DISTINCT j), so a double-mapped bit cannot fake a hit.
+    """
+    from .textfns import _ngrams_col, tokens_col
+
+    bits = bloom_bits(eval_grams, m, k)
+    js = F.array([F.lit(j) for j in range(k)])
+    grams = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram"),
+    ).localCheckpoint()
+    probe = grams.select("doc_id", "gram", F.explode(js).alias("j")).select(
+        "doc_id",
+        "gram",
+        "j",
+        _bloom_bit(F.col("j"), F.col("gram"), m).alias("bit"),
+    )
+    flagged = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "gram")
+        .agg(F.countDistinct("j").alias("__kj"))
+        .where(F.col("__kj") == k)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+    )
+    tot = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return tot.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+    )

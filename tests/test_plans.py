@@ -266,6 +266,9 @@ def test_gate_query_scan_budget(spark):
         ("kg_lpa", 0),
         ("dedup_cluster", 0),
         ("decontam_suite", 2),
+        # bloom probe: training grams pinned once; the single remaining
+        # scan is the eval-suite side feeding the broadcast bit set
+        ("decontam_bloom", 1),
         # third-session r5: closeness roots in checkpointed frontier
         # layers; degree_hist/assortativity root in the pinned docgraph
         ("kg_closeness", 0),

@@ -104,3 +104,103 @@ def test_cms_python_simulator_equality(spark):
         ).collect()
     }
     assert got == expect
+
+
+def _docsdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bloom_python(doc_rows, eval_texts, m, k, n=4):
+    """Simulator mirroring bloom_decontam: distinct word n-grams, k
+    md5-derived bits, flagged iff all k distinct j positions are set."""
+    def grams(text):
+        t = text.lower().strip().split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    def bit(j, g):
+        return int(hashlib.md5(f"{j}:{g}".encode()).hexdigest()[:12], 16) % m
+
+    bits = {bit(j, g) for txt in eval_texts for g in grams(txt) for j in range(k)}
+    out = {}
+    for doc_id, text in doc_rows:
+        gs = grams(text)
+        if not gs:
+            continue
+        flagged = sum(
+            1 for g in gs if all(bit(j, g) in bits for j in range(k))
+        )
+        out[doc_id] = (len(gs), flagged)
+    return out
+
+
+def test_bloom_no_false_negatives_and_superset_of_exact(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        bloom_decontam,
+    )
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        eval_suite_grams,
+        ngram_decontam_against,
+    )
+
+    eval_docs = _docsdf(spark, [(100, "alpha beta gamma delta epsilon")])
+    train = _docsdf(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # 2 contaminated grams
+            (2, "nothing shared here at all friends"),
+            (3, "x y"),  # < n tokens: no grams, absent from output
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_flagged)
+        for r in bloom_decontam(train, eval_suite_grams(eval_docs)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (3, 2) and got[2] == (3, 0)
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in ngram_decontam_against(train, eval_suite_grams(eval_docs)).collect()
+    }
+    for d, n in exact.items():
+        assert got[d][1] >= n  # Bloom can only over-flag
+
+
+def test_bloom_tiny_filter_matches_simulator_with_real_fps(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        bloom_decontam,
+    )
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        eval_suite_grams,
+    )
+
+    # m=64 over ~50 eval grams -> the filter saturates and innocent grams
+    # collide: the simulator must agree bit-for-bit, FPs included
+    eval_rows = [(1000 + i, " ".join(f"e{i}w{j}" for j in range(8))) for i in range(10)]
+    train_rows = [(i, " ".join(f"t{i}x{j}" for j in range(9))) for i in range(20)]
+    got = {
+        r.doc_id: (r.n_grams, r.n_flagged)
+        for r in bloom_decontam(
+            _docsdf(spark, train_rows),
+            eval_suite_grams(_docsdf(spark, eval_rows)),
+            m=64,
+            k=2,
+        ).collect()
+    }
+    expect = _bloom_python(train_rows, [t for _, t in eval_rows], m=64, k=2)
+    assert got == expect
+    assert sum(f for _, f in got.values()) > 0  # saturation produced FPs
+
+
+def test_bloom_bits_bounded_by_m(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        bloom_bits,
+    )
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        eval_suite_grams,
+    )
+
+    rows = [(i, " ".join(f"w{i}g{j}" for j in range(30))) for i in range(40)]
+    bits = bloom_bits(eval_suite_grams(_docsdf(spark, rows)), m=128, k=4)
+    vals = [r.bit for r in bits.collect()]
+    assert len(vals) == len(set(vals)) <= 128
+    assert all(0 <= v < 128 for v in vals)
