@@ -142,15 +142,48 @@ def _run_op(op: str, cores: int, docs_rows) -> float:
                 .localCheckpoint()
             )
             und.count()
-            # sampled sources (the production estimator): ~1/997 of nodes
+            # sampled sources (the production estimator). Node names are
+            # 'e<digits>' strings: strip the prefix before the mod —
+            # ANSI-mode Spark THROWS on a string % int cast, it does not
+            # NULL out. Sample is deliberately tiny (~1/20000): BFS state
+            # is sources x reachable, and the 3-hop closure of a Zipf
+            # graph's giant component is most of its nodes.
             src = (
                 und.select(F.col("a").alias("name"))
                 .union(und.select(F.col("b").alias("name")))
                 .distinct()
-                .where(F.col("name") % 997 == 0)
+                .where(
+                    F.substring(F.col("name"), 2, 18).cast("long") % 20011 == 0
+                )
             )
             t = time.time()
-            closeness(und, rounds=4, sources=src, num_partitions=width).count()
+            closeness(und, rounds=3, sources=src, num_partitions=width).count()
+            return round(time.time() - t, 2)
+        if op == "betweenness":
+            from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+                betweenness,
+            )
+
+            und = (
+                _spark_edges(s, N_EDGES, width)
+                .select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            und.count()
+            src = (
+                und.select(F.col("a").alias("name"))
+                .union(und.select(F.col("b").alias("name")))
+                .distinct()
+                .where(
+                    F.substring(F.col("name"), 2, 18).cast("long") % 20011 == 0
+                )
+            )
+            t = time.time()
+            betweenness(und, rounds=3, sources=src, num_partitions=width).count()
             return round(time.time() - t, 2)
         und = (
             _spark_edges(s, N_EDGES, width)
