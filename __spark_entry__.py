@@ -1648,6 +1648,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_stateful_dedup"] = stream_stateful_dedup
 
+    # Streaming KMV sketch (streaming/stateful.py::kmv_stream): the
+    # events_kmv sketch folded across microbatches with fixed-size
+    # per-key state. Source staged as TWO files (user_id parity split) at
+    # maxFilesPerTrigger=1, so every group's hash set genuinely crosses a
+    # batch boundary; the KMV merge rule (union, keep k smallest) is
+    # associative+commutative, so the drained fold == the batch sketch ==
+    # the events_kmv oracle. Update-mode memory sink appends one row per
+    # (key, touched batch); n_rows is strictly increasing per key, so
+    # max_by(_, n_rows) is the deterministic latest-state selector.
+    def stream_kmv(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+            kmv_stream,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_kmv_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select("event_type", "user_id")
+            ev.where(F.col("user_id") % 2 == 0).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ev.where(F.col("user_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                kmv_stream(stream, k=32)
+                .writeStream.format("memory")
+                .queryName(f"skmv_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        last = s.table(f"skmv_{tag}").groupBy("event_type").agg(
+            F.max_by("n_min", "n_rows").alias("n_min"),
+            F.max_by("h_k", "n_rows").alias("h_k"),
+        )
+        numer = float(31 << 48)
+        return last.select(
+            "event_type",
+            "n_min",
+            "h_k",
+            F.when(F.col("n_min") < 32, F.col("n_min").cast("double"))
+            .otherwise(F.round(F.lit(numer) / F.col("h_k"), 4))
+            .alias("kmv_est"),
+        )
+
+    q["stream_kmv"] = stream_kmv
+
     # H (native stateful): Spark's watermark + dropDuplicatesWithinWatermark
     # over the same planted-redelivery stream — the engine-owned bounded
     # state (keys expire past the watermark) next to the hand-rolled
@@ -3917,6 +3980,9 @@ SELECT event_type,
        CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
             ELSE round(8725724278030336.0 / max(h), 4) END AS kmv_est
 FROM rk WHERE r <= 32 GROUP BY event_type"""
+    # the drained streaming fold == the batch sketch (KMV merge is
+    # associative+commutative), so stream_kmv shares the oracle verbatim
+    o["stream_kmv"] = o["events_kmv"]
 
     # Count-Min sketch: 4 md5-derived hash rows x 256 buckets, estimate =
     # min bucket count — pure BIGINT arithmetic end to end.

@@ -118,3 +118,90 @@ def dedup_chunk_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct-count sketch: the batch sketch from
+# functions/sketches.py::kmv_distinct as a stateful streaming operator.
+# Per-group state is the k smallest 48-bit hashes plus a processed-row
+# counter — FIXED SIZE forever, the property that makes a distinct-count
+# over an unbounded stream possible at all. The KMV merge rule (union,
+# keep k smallest) is associative and commutative, so the cross-batch
+# fold here equals the batch sketch on the drained prefix exactly —
+# which is what the gate oracle checks. The emitted n_rows is strictly
+# increasing per touched key, giving the drain a deterministic
+# latest-row selector under update-mode sinks.
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n_min", T.LongType(), False),
+        T.StructField("h_k", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.LongType()), True),
+        T.StructField("n_rows", T.LongType(), True),
+    ]
+)
+
+
+def _make_kmv_fn(k: int):
+    def _kmv_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, n_rows = state.get
+            hset = set(hs)
+        else:
+            hset, n_rows = set(), 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            hset.update(int(h) for h in pdf["h"])
+            if len(hset) > 4 * k:  # opportunistic trim, same merge rule
+                hset = set(sorted(hset)[:k])
+        merged = sorted(hset)[:k]
+        state.update((merged, n_rows))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_min": [len(merged)],
+                "h_k": [merged[-1]],
+                "n_rows": [n_rows],
+            }
+        )
+
+    return _kmv_fn
+
+
+def kmv_stream(
+    events_stream: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 32,
+) -> DataFrame:
+    """Streaming KMV sketch per `group_col` over `value_col`: emits
+    (event_type, n_min, h_k, n_rows) every batch the group is touched.
+    The 48-bit md5 hash is computed JVM-side before the stateful op (the
+    same `sketches._h48` convention, bit-identical to the batch gate);
+    state per key is <= k longs + one counter. At true scale the keyed
+    shuffle is per group — for few heavy groups, shard the key
+    (group, hash % n) and merge shard sketches downstream; the KMV merge
+    rule makes that a plain re-fold."""
+    from ..functions.sketches import _h48
+
+    hashed = events_stream.select(
+        F.col(group_col).alias("event_type"), _h48(F.col(value_col)).alias("h")
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _make_kmv_fn(k),
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

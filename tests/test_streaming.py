@@ -402,3 +402,69 @@ def test_consume_changes_poll_loop_and_replay(spark, tmp_path):
     assert 0 < r2["rows"] < 16  # only the touched buckets, not the table
     assert seen["u3"] == 1 and seen["u5"] == 2
     assert consume_changes(spark, root, "t", state, sink)["rows"] == 0
+
+
+def test_kmv_stream_fold_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV across 3 microbatches == the batch kmv_distinct on
+    the full input (merge associativity), and the per-key state/emission
+    carries a strictly increasing n_rows for latest-row selection."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        kmv_distinct,
+    )
+    from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+        kmv_stream,
+    )
+
+    src = str(tmp_path / "kmv_stream")
+    os.makedirs(src)
+    rows = [("a", v % 57) for v in range(300)] + [("b", v % 9) for v in range(90)]
+    for i in range(3):
+        part = rows[i::3]
+        t = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in part], pa.string()),
+                "user_id": pa.array([r[1] for r in part], pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(src, f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        kmv_stream(stream, k=16)
+        .writeStream.format("memory")
+        .queryName("kmv_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl = spark.table("kmv_test")
+    # 3 batches x 2 keys touched each -> 6 emissions, n_rows increasing
+    per_key = {
+        r.event_type: sorted(x.n_rows for x in tbl.where(F.col("event_type") == r.event_type).collect())
+        for r in tbl.select("event_type").distinct().collect()
+    }
+    assert per_key["a"] == [100, 200, 300] and per_key["b"] == [30, 60, 90]
+    last = tbl.groupBy("event_type").agg(
+        F.max_by("n_min", "n_rows").alias("n_min"),
+        F.max_by("h_k", "n_rows").alias("h_k"),
+    )
+    got = {(r.event_type, r.n_min, r.h_k) for r in last.collect()}
+    batch = kmv_distinct(
+        spark.createDataFrame(rows, "event_type string, user_id long"),
+        ["event_type"],
+        "user_id",
+        k=16,
+    )
+    expect = {(r.event_type, r.n_min, r.h_k) for r in batch.collect()}
+    assert got == expect
