@@ -2009,6 +2009,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_betweenness"] = kg_betweenness
 
+    # Deterministic walk sampling (graph_analytics.deterministic_walks):
+    # the node2vec/DeepWalk corpus primitive with the uniform draw
+    # replaced by argmin md5("src:step:u:v") over neighbors — one walk per
+    # sampled source, bit-reproducible on any engine/partitioning.
+    def kg_walks(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            deterministic_walks,
+        )
+
+        g = _kg_docgraph(s, d)
+        src = (
+            g.select(F.col("a").alias("name"))
+            .unionAll(g.select(F.col("b").alias("name")))
+            .distinct()
+            .where(F.col("name") % 31 == 0)
+        )
+        return deterministic_walks(g, steps=8, sources=src)
+
+    q["kg_walks"] = kg_walks
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -4168,5 +4188,34 @@ SELECT n.name,
        round(coalesce(sum(acc.dq), 0) / 10000.0, 4) AS bc
 FROM nodes n LEFT JOIN acc ON acc.node = n.name
 GROUP BY 1"""
+
+    # Deterministic walks: 8 unrolled steps; each picks the neighbor with
+    # the smallest md5("src:step:u:v") hash (row_number over the (hash, y)
+    # total order == Spark's min-struct aggregate).
+    def _walk_step(i: int) -> str:
+        h = (
+            "CAST(('0x' || substring(md5(CAST(w.src AS VARCHAR) || "
+            f"':{i}:' || CAST(w.node AS VARCHAR) || ':' || "
+            "CAST(und.y AS VARCHAR)), 1, 12)) AS BIGINT)"
+        )
+        return f""",
+w{i + 1} AS MATERIALIZED (
+  SELECT src, node FROM (
+    SELECT w.src, und.y AS node,
+           row_number() OVER (PARTITION BY w.src ORDER BY {h}, und.y) AS rn
+    FROM w{i} w JOIN und ON w.node = und.x)
+  WHERE rn = 1
+)"""
+
+    _walk_steps = "".join(_walk_step(i) for i in range(8))
+    _walk_union = " UNION ALL ".join(
+        f"SELECT src, {i} AS step, node FROM w{i}" for i in range(9)
+    )
+    o["kg_walks"] = f"""
+WITH {_docgraph_ctes()},
+und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
+srcs AS (SELECT DISTINCT x AS name FROM und WHERE x % 31 = 0),
+w0 AS MATERIALIZED (SELECT name AS src, name AS node FROM srcs){_walk_steps}
+SELECT src AS name, step, node FROM ({_walk_union})"""
 
     return o

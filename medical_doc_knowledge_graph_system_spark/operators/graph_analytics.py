@@ -935,6 +935,84 @@ def betweenness(
     )
 
 
+def deterministic_walks(
+    edges: DataFrame,
+    steps: int = 8,
+    sources: DataFrame | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Deterministic graph-walk sampling: one walk per source over the
+    undirected (a, b) edge list, where the walker at node u on step t
+    moves to argmin over neighbors v of md5("src:t:u:v") — the
+    node2vec/DeepWalk sampling primitive (walk corpora feeding skip-gram
+    embeddings) with the uniform draw replaced by a content-addressed
+    pseudorandom choice any engine reproduces bit-for-bit (the md5
+    convention, invariant #3). Walks may backtrack, exactly like the
+    unbiased p=q=1 node2vec walk; the mirrored adjacency means a
+    non-isolated walker never dead-ends.
+
+    Returns (name, step, node): the walk position per source per step,
+    step 0 = the source itself. ``sources`` restricts walk origins (at
+    corpus scale walks are sampled per shard, not per node).
+
+    Scale shape: the walk state is ONE row per active source; each step is
+    one frontier-adjacency join plus ONE algebraic min (min over the
+    (hash, neighbor) struct — a map-side-combinable aggregate, so a hub's
+    candidate fan-out collapses before the shuffle). Lineage is flattened
+    per step with localCheckpoint; all joins are additive in the Catalyst
+    size estimate.
+    """
+    e0 = edges.select("a", "b").localCheckpoint()
+    adj = _mirrored(e0).repartition(num_partitions, "x").localCheckpoint()
+    nodes = adj.select(F.col("x").alias("name")).distinct()
+    srcs = nodes
+    if sources is not None:
+        srcs = nodes.join(
+            sources.select(F.col(sources.columns[0]).alias("name")), "name"
+        )
+    cur = (
+        srcs.select(F.col("name").alias("src"), F.col("name").alias("node"))
+        .repartition(num_partitions, "src")
+        .localCheckpoint()
+    )
+    layers = [cur.select("src", F.lit(0).cast("int").alias("step"), "node")]
+    for t in range(steps):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("src").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                        F.col("y").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            cur.join(adj, cur.node == adj.x)
+            .select("src", "node", "y")
+            .select("src", h.alias("h"), "y")
+            .groupBy("src")
+            .agg(F.min(F.struct("h", "y")).alias("m"))
+            .select("src", F.col("m.y").alias("node"))
+            .localCheckpoint()
+        )
+        cur = nxt
+        layers.append(
+            cur.select("src", F.lit(t + 1).cast("int").alias("step"), "node")
+        )
+    out = layers[0]
+    for extra in layers[1:]:
+        out = out.unionAll(extra)
+    return out.select(F.col("src").alias("name"), "step", "node")
+
+
 def assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity (Newman's r): Pearson correlation of the
     endpoint degrees over the MIRRORED edge ends. Every moment (M, Sx, Sy,

@@ -1066,3 +1066,74 @@ def test_betweenness_disconnected_sources_and_round_cap(spark):
         for r in betweenness(_edges_df(spark, path), rounds=3).collect()
     }
     assert capped == {k: v[0] for k, v in _bc_python(path, rounds=3).items()}
+
+
+def _walks_python(edges, steps=8, sources=None):
+    import hashlib
+
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in sorted(adj):
+        if sources is not None and s not in sources:
+            continue
+        cur = s
+        out[(s, 0)] = s
+        for t in range(steps):
+            nxt = min(
+                adj[cur],
+                key=lambda v: (
+                    int(
+                        hashlib.md5(f"{s}:{t}:{cur}:{v}".encode()).hexdigest()[:12],
+                        16,
+                    ),
+                    v,
+                ),
+            )
+            out[(s, t + 1)] = nxt
+            cur = nxt
+    return out
+
+
+def test_walks_match_simulator_and_stay_on_edges(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        deterministic_walks,
+    )
+
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)})
+    got = {
+        (r.name, r.step): r.node
+        for r in deterministic_walks(_edges_df(spark, edges), steps=5).collect()
+    }
+    assert got == _walks_python(edges, steps=5)
+    es = {frozenset(e) for e in edges}
+    for (s, t), v in got.items():
+        if t >= 1:
+            assert frozenset({got[(s, t - 1)], v}) in es  # every hop is an edge
+
+
+def test_walks_sources_and_determinism_across_partitioning(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        deterministic_walks,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    src = spark.createDataFrame([("a",), ("d",)], "name string")
+    df = _edges_df(spark, edges)
+    one = {
+        tuple(r)
+        for r in deterministic_walks(df.repartition(1), steps=6, sources=src).collect()
+    }
+    many = {
+        tuple(r)
+        for r in deterministic_walks(df.repartition(7), steps=6, sources=src).collect()
+    }
+    assert one == many
+    assert {r[0] for r in one} == {"a", "d"}
+    assert one == {
+        (s, t, v) for (s, t), v in _walks_python(edges, steps=6, sources={"a", "d"}).items()
+    }

@@ -275,8 +275,10 @@ def test_gate_query_scan_budget(spark):
         ("kg_degree_hist", 0),
         ("kg_assortativity", 0),
         # fifth-session r5: betweenness roots in the checkpointed BFS
-        # layers, the pinned DAG frame, and per-level delta checkpoints
+        # layers, the pinned DAG frame, and per-level delta checkpoints;
+        # walks in the per-step checkpointed walker frames
         ("kg_betweenness", 0),
+        ("kg_walks", 0),
         # fourth-session r5: MIS statuses root in per-round checkpointed
         # frames; modularity in the pinned edge/label frames; surprisal
         # scoring in the pinned (doc_id, w1, w2) pre-aggregate; DSIR in
