@@ -769,6 +769,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_pii_scrub"] = text_pii_scrub
 
+    # Gopher-style hard quality filter (r5, Rae et al. 2021 §A1.1 shape):
+    # per-rule boolean flags + AND keep decision — the reject-with-reasons
+    # curation pass, distinct from the soft quality_score. Pure Catalyst
+    # columns; ratio operands shaped identically to the SQL so boundary
+    # comparisons (mean_word_len >= 3.0) see bit-identical doubles.
+    def text_gopher_rules(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            with_gopher_rules,
+        )
+
+        return with_gopher_rules(_t(s, d, "documents"))
+
+    q["text_gopher_rules"] = text_gopher_rules
+
     # corpus-level duplicated-substring spans (r5): the Lee et al. exact-
     # substring dedup shape — windowed token hashes, one explode + one
     # algebraic aggregate, no pairs (functions/dedup.py).
@@ -3809,6 +3823,41 @@ WITH aug AS (
 )
 SELECT doc_id, {_pii_counts}, {_pii_scrub_expr} AS scrubbed
 FROM aug"""
+
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        GOPHER_STOPWORDS as _GSW,
+    )
+
+    _gsw = ", ".join(f"'{w}'" for w in _GSW)
+    o["text_gopher_rules"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS word_count,
+         length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) * 1.0
+           / len({_TOKS}) AS mwl,
+         len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) * 1.0
+           / len({_TOKS}) AS af,
+         len(list_filter({_TOKS},
+             t -> contains(t, '#') OR ends_with(t, '...'))) * 1.0
+           / len({_TOKS}) AS sf,
+         CAST(len(list_intersect(list_distinct({_TOKS}), [{_gsw}])) AS INT)
+           AS stop_hits
+  FROM documents
+)
+SELECT doc_id, word_count,
+       round(mwl, 4) AS mean_word_len,
+       round(af, 4) AS alpha_word_frac,
+       round(sf, 4) AS symbol_word_frac,
+       stop_hits,
+       word_count >= 50 AND word_count <= 100000 AS flag_words,
+       mwl >= 3.0 AND mwl <= 10.0 AS flag_mean_len,
+       af >= 0.8 AS flag_alpha,
+       sf <= 0.1 AS flag_symbol,
+       stop_hits >= 2 AS flag_stop,
+       (word_count >= 50 AND word_count <= 100000)
+         AND (mwl >= 3.0 AND mwl <= 10.0)
+         AND af >= 0.8 AND sf <= 0.1 AND stop_hits >= 2 AS keep
+FROM base"""
 
     from medical_doc_knowledge_graph_system_spark.functions.dedup import (
         SUBSTR_WINDOW as _SW,

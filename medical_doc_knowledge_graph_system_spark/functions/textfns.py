@@ -324,3 +324,80 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         scrub = F.regexp_replace(scrub, pat, f"<{kind.upper()}>")
     return out.select("doc_id", *counts, scrub.alias("scrubbed"))
+
+
+# Gopher-rule stopwords (Rae et al. 2021 use a fixed 8-word list; same idea
+# here, kept tiny and shared verbatim with the DuckDB oracle).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rule_cols(text_col: str = "text") -> dict:
+    """Component columns for the Gopher-style hard quality filter (Rae et
+    al. 2021 §A1.1; reference analog: the corpus-curation keep/drop pass).
+    All pure Catalyst expressions; each ratio is count/word_count computed
+    with the SAME operand shapes as the SQL oracle so boundary comparisons
+    (e.g. mean_word_len >= 3.0) evaluate on bit-identical doubles."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    nonspace = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", "")
+    )
+    mean_word_len = nonspace * F.lit(1.0) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) * F.lit(1.0) / n
+    symbol_frac = (
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.endswith("...")))
+        * F.lit(1.0)
+        / n
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    return {
+        "word_count": n,
+        "mean_word_len": mean_word_len,
+        "alpha_word_frac": alpha_frac,
+        "symbol_word_frac": symbol_frac,
+        "stop_hits": stop_hits,
+    }
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_frac: float = 0.1,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style hard document filter: per-rule boolean flags plus the
+    final keep decision (AND of all flags). Unlike with_quality_score (a
+    soft score), this is the reject-with-reasons pass — the flags are the
+    audit trail a curation pipeline keeps per dropped doc. Embarrassingly
+    parallel scan; no shuffle, no UDFs."""
+    g = gopher_rule_cols(text_col)
+    flag_words = (g["word_count"] >= min_words) & (g["word_count"] <= max_words)
+    flag_len = (g["mean_word_len"] >= min_mean_word_len) & (
+        g["mean_word_len"] <= max_mean_word_len
+    )
+    flag_alpha = g["alpha_word_frac"] >= min_alpha_frac
+    flag_symbol = g["symbol_word_frac"] <= max_symbol_frac
+    flag_stop = g["stop_hits"] >= min_stop_hits
+    return df.select(
+        "doc_id",
+        g["word_count"].alias("word_count"),
+        F.round(g["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(g["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        F.round(g["symbol_word_frac"], 4).alias("symbol_word_frac"),
+        g["stop_hits"].alias("stop_hits"),
+        flag_words.alias("flag_words"),
+        flag_len.alias("flag_mean_len"),
+        flag_alpha.alias("flag_alpha"),
+        flag_symbol.alias("flag_symbol"),
+        flag_stop.alias("flag_stop"),
+        (flag_words & flag_len & flag_alpha & flag_symbol & flag_stop).alias("keep"),
+    )

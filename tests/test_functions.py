@@ -938,3 +938,32 @@ def test_containment_catches_embedded_doc(spark):
     # jaccard = 10/58 stays far below any dedup threshold
     assert (0, 1) in got and got[(0, 1)][1] == 1.0 and got[(0, 1)][0] < 0.2
     assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    """Each rule trips on a doc constructed to violate exactly that rule;
+    a compliant doc passes everything (Rae et al. hard-filter semantics)."""
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        GOPHER_STOPWORDS,
+        with_gopher_rules,
+    )
+
+    good_words = (GOPHER_STOPWORDS[:2] + ["document", "tokens", "words"]) * 12
+    rows = [
+        (0, " ".join(good_words)),                       # passes all rules
+        (1, "the of short"),                             # too few words
+        (2, " ".join(["the", "of"] + ["ab"] * 60)),      # mean word len < 3
+        (3, " ".join(["the", "of"] + ["12345"] * 60)),   # alpha frac low
+        (4, " ".join(["the", "of"] + ["xx#yy"] * 30 + ["word"] * 30)),  # symbols
+        (5, " ".join(["alpha", "beta", "gamma"] * 20)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_gopher_rules(df, min_words=20).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["flag_words"] and not out[1]["keep"]
+    assert not out[2]["flag_mean_len"] and not out[2]["keep"]
+    assert not out[3]["flag_alpha"] and not out[3]["keep"]
+    assert not out[4]["flag_symbol"] and not out[4]["keep"]
+    assert not out[5]["flag_stop"] and not out[5]["keep"]
+    # flags are an audit trail: every failing doc still reports its metrics
+    assert out[1]["word_count"] == 3 and out[5]["stop_hits"] == 0
