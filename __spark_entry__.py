@@ -1956,6 +1956,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cms"] = events_cms
 
+    # HyperLogLog distinct user-days per event type (r5): the 64-register
+    # max-rank sketch — ~48 bytes of state per group, merged by MAX (the
+    # industry-default streaming distinct count, vs KMV's k retained
+    # values). Raw estimate + linear-counting fallback are each ONE
+    # closed-form double over exact BIGINT register sums, so both the
+    # estimate AND the branch choice are bit-identical cross-engine.
+    def events_hll(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            hll_distinct,
+        )
+
+        ev = _t(s, d, "events")
+        return hll_distinct(
+            ev,
+            ["event_type"],
+            F.concat_ws(":", F.col("user_id"), F.to_date("ts").cast("string")),
+        )
+
+    q["events_hll"] = events_hll
+
+    # Flesch reading-ease readability buckets (r5): BIGINT word/sentence/
+    # syllable counts (regex vowel-group + punctuation-run approximations)
+    # + one closed-form double, banded on the ROUNDED score.
+    def text_flesch(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            with_flesch,
+        )
+
+        return with_flesch(_t(s, d, "documents"))
+
+    q["text_flesch"] = text_flesch
+
+    # Token-distribution Shannon entropy per doc (r5): the diversity /
+    # repetition quality signal. Per-token ln floor-quantized to BIGINT
+    # (doc_lm_scores pattern) so the per-doc sums are order-free.
+    def text_entropy(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            token_entropy,
+        )
+
+        return token_entropy(_t(s, d, "documents"))
+
+    q["text_entropy"] = text_entropy
+
     # Efraimidis-Spirtes weighted sampling without replacement: n smallest
     # -ln(U)/w keys (U from the doc's md5, w = token count) == an exact
     # token-mass-proportional sample, reproducible on any engine/partitioning.
@@ -4079,6 +4123,111 @@ FROM kx JOIN cells
                                                 || kx.user_id), 1, 8))
                          AS BIGINT) % 256
 GROUP BY 1, 2"""
+
+    # HyperLogLog: register = md5 hex chars 1-2 mod 64, rank = leading-zero
+    # bits of the 60-bit suffix + 1 computed on the hex string (nibble-run
+    # strip + 4-way CASE on the first non-zero nibble — shared verbatim
+    # with Spark). 2^-rank terms are the exact BIGINTs 2^(56-rank); the
+    # estimate and its linear-counting branch condition are one closed-form
+    # double over those BIGINTs, so both engines take identical branches.
+    o["events_hll"] = """
+WITH vals AS (
+  SELECT event_type,
+         md5(CAST(user_id AS VARCHAR) || ':'
+             || CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+  FROM events
+),
+rr AS (
+  SELECT event_type,
+         CAST(('0x' || substring(h, 1, 2)) AS BIGINT) % 64 AS reg,
+         substring(h, 3, 15) AS suffix,
+         regexp_replace(substring(h, 3, 15), '^0+', '') AS stripped
+  FROM vals
+),
+rk AS (
+  SELECT event_type, reg,
+         CAST((length(suffix) - length(stripped)) * 4
+           + CASE
+               WHEN length(stripped) = 0 THEN 0
+               WHEN CAST(('0x' || substring(stripped, 1, 1)) AS BIGINT) >= 8 THEN 0
+               WHEN CAST(('0x' || substring(stripped, 1, 1)) AS BIGINT) >= 4 THEN 1
+               WHEN CAST(('0x' || substring(stripped, 1, 1)) AS BIGINT) >= 2 THEN 2
+               ELSE 3
+             END + 1 AS INT) AS rank
+  FROM rr
+),
+regs AS (
+  SELECT event_type, reg, max(rank) AS m_j FROM rk GROUP BY 1, 2
+),
+ag AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_regs,
+         CAST(sum(CASE WHEN m_j <= 56
+                       THEN CAST(power(2.0, 56 - m_j) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_q
+  FROM regs GROUP BY 1
+),
+dn AS (
+  SELECT event_type, n_regs,
+         CAST(64 - n_regs AS BIGINT) AS zero_regs,
+         CAST(sum_q + (64 - n_regs) * 72057594037927936 AS BIGINT) AS denom_q
+  FROM ag
+)
+SELECT event_type, n_regs, zero_regs, denom_q,
+       CASE WHEN zero_regs > 0
+             AND 0.709 * 4096.0 * 7.2057594037927936e16 / denom_q <= 160.0
+            THEN round(64.0 * ln(64.0 / zero_regs), 4)
+            ELSE round(0.709 * 4096.0 * 7.2057594037927936e16 / denom_q, 4)
+       END AS hll_est
+FROM dn"""
+
+    # Flesch: three exact BIGINT counts (regex vowel-group syllables,
+    # punctuation-run sentences), one closed-form double, banded on the
+    # ROUNDED score so both engines bucket identically.
+    o["text_flesch"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS word_count,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences,
+         CAST(list_sum(list_transform({_TOKS},
+              t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))
+           AS BIGINT) AS n_syllables
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, word_count, n_sentences, n_syllables,
+         round(206.835 - 1.015 * (word_count * 1.0 / n_sentences)
+                       - 84.6 * (n_syllables * 1.0 / word_count), 4) AS flesch
+  FROM base
+)
+SELECT doc_id, word_count, n_sentences, n_syllables, flesch,
+       CASE WHEN flesch >= 90.0 THEN 'very_easy'
+            WHEN flesch >= 60.0 THEN 'standard'
+            WHEN flesch >= 30.0 THEN 'difficult'
+            ELSE 'very_confusing' END AS band
+FROM sc"""
+
+    # Token entropy: per-token ln floor-quantized to BIGINT (doc_lm_scores
+    # pattern) -> order-free integer sums -> one closed-form double.
+    o["text_entropy"] = f"""
+WITH tc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+ag AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * CAST(floor(ln(c) * 100000.0) AS BIGINT)) AS BIGINT)
+           AS sum_clnc
+  FROM tc GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct, sum_clnc,
+       round(ln(n_tokens) - sum_clnc / (n_tokens * 100000.0), 4) AS entropy_nats
+FROM ag"""
 
     # Efraimidis-Spirtes keys: ln over an exact-double/BIGINT division,
     # then /w and *scale in the identical operand order, floor-quantized.

@@ -81,6 +81,102 @@ def kmv_distinct(
     )
 
 
+# HyperLogLog geometry: p=6 -> m=64 registers; md5 hex chars 1-2 pick the
+# register, chars 3-17 (60 bits) feed the leading-zero rank, so max rank is
+# 61. alpha_64 = 0.709, the standard bias constant for m=64.
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P
+# 2^-rank terms are quantized in 2^56 units: 2^(56-rank) is an EXACT BIGINT
+# for rank <= 56 (ranks 57..61 floor to 0 — error < 64/2^56), and the worst
+# case sum 64 * 2^56 = 2^62 still fits signed 64-bit.
+_HLL_UNIT = 1 << 56
+
+
+def _hll_reg_rank(col) -> tuple[F.Column, F.Column]:
+    """(register, rank) columns from md5 — rank = leading-zero bits of the
+    60-bit suffix + 1, computed on the HEX STRING (leading-'0' nibble run +
+    a 4-way CASE on the first non-zero nibble) so Spark and DuckDB share
+    every operation verbatim; no 64-bit shifts, no signedness traps."""
+    h = F.md5(col.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _HLL_M
+    suffix = F.substring(h, 3, 15)
+    stripped = F.regexp_replace(suffix, "^0+", "")
+    z_nib = F.length(suffix) - F.length(stripped)
+    nib = F.when(
+        F.length(stripped) > 0,
+        F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int"),
+    ).otherwise(F.lit(0))
+    extra = (
+        F.when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).when(nib >= 1, 3)
+        .otherwise(F.lit(0))
+    )
+    return reg, (z_nib * 4 + extra + 1).cast("int")
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group (Flajolet et al. 2007):
+    64 registers, each holding the max leading-zero rank of the md5 hashes
+    routed to it; estimate = alpha * m^2 / sum(2^-M_j), with the standard
+    linear-counting fallback m*ln(m/V) when the raw estimate is below 2.5m
+    and V registers are still empty.
+
+    Complements `kmv_distinct`: KMV keeps k hash VALUES (exact below k,
+    state k longs); HLL keeps 64 six-bit ranks — the fixed ~48-byte state
+    that merges with a plain MAX, which is why it is the industry default
+    for streaming distinct counts. The register build here is an algebraic
+    groupBy-max, so Spark's map-side partial aggregation IS the sketch
+    merge.
+
+    Float parity (CLAUDE.md invariant #3): every 2^-M_j term is the exact
+    BIGINT 2^(56-M_j) (power-of-two doubles cast losslessly), the register
+    sum is integer, and each output row's estimate is ONE closed-form
+    double over exact BIGINTs — the branch condition (raw <= 2.5m) compares
+    that same double, so both engines take identical branches.
+
+    Returns (group_cols..., n_regs, zero_regs, denom_q, hll_est).
+    """
+    value = value_col if isinstance(value_col, F.Column) else F.col(value_col)
+    reg, rank = _hll_reg_rank(value)
+    regs = (
+        df.select(*group_cols, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    q = F.when(
+        F.col("m_j") <= 56,
+        F.pow(F.lit(2.0), (F.lit(56) - F.col("m_j")).cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(q).cast("long").alias("sum_q"),
+    )
+    denom = (
+        F.col("sum_q")
+        + (F.lit(_HLL_M).cast("long") - F.col("n_regs")) * F.lit(_HLL_UNIT)
+    ).cast("long")
+    raw = F.lit(0.709) * F.lit(4096.0) * F.lit(float(_HLL_UNIT)) / F.col("denom_q")
+    v = F.lit(_HLL_M).cast("long") - F.col("n_regs")
+    return agg.select(
+        *group_cols,
+        "n_regs",
+        v.alias("zero_regs"),
+        denom.alias("denom_q"),
+    ).select(
+        *group_cols,
+        "n_regs",
+        "zero_regs",
+        "denom_q",
+        F.when(
+            (F.col("zero_regs") > 0) & (raw <= F.lit(2.5 * _HLL_M)),
+            F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zero_regs")), 4),
+        )
+        .otherwise(F.round(raw, 4))
+        .alias("hll_est"),
+    )
+
+
 def cms_frequencies(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

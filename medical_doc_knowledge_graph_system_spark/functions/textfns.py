@@ -326,6 +326,109 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select("doc_id", *counts, scrub.alias("scrubbed"))
 
 
+def with_flesch(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease score per document — the classic readability
+    signal corpus-quality pipelines bucket on (very low = garbled/legal
+    boilerplate, very high = telegraphic spam). Syllables are approximated
+    as vowel-group runs ([aeiouy]+, min 1 per token) and sentences as
+    [.!?]+ punctuation runs (min 1 per doc) — both deterministic regex
+    counts shared verbatim with the DuckDB oracle.
+
+    Float parity: word/sentence/syllable counts are exact BIGINTs; the
+    score 206.835 - 1.015*(W/S) - 84.6*(SY/W) is ONE closed-form double
+    with identical operand shapes on both engines, and the readability
+    band thresholds compare the 4dp-ROUNDED score so both engines bucket
+    identically. Embarrassingly parallel scan: no shuffle, no UDFs."""
+    toks = tokens_col(text_col)
+    w = F.size(toks).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))).cast("long"),
+        ),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("word_count") * F.lit(1.0) / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") * F.lit(1.0) / F.col("word_count"))
+    )
+    base = df.select(
+        "doc_id",
+        w.alias("word_count"),
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).withColumn("flesch", F.round(score, 4))
+    return base.select(
+        "doc_id",
+        "word_count",
+        "n_sentences",
+        "n_syllables",
+        "flesch",
+        F.when(F.col("flesch") >= 90.0, F.lit("very_easy"))
+        .when(F.col("flesch") >= 60.0, F.lit("standard"))
+        .when(F.col("flesch") >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_confusing"))
+        .alias("band"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", scale: int = 100000
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) — the
+    repetition/diversity quality signal (near-zero entropy = keyword
+    stuffing / boilerplate loops; CCNet-style pipelines filter on it).
+
+    H = ln(N) - (1/N) * sum_t c_t ln(c_t) over token counts c_t. Float
+    parity (CLAUDE.md invariant #3): each ln(c_t) is floor-quantized to a
+    BIGINT (`sum_clnc` = sum of c * floor(ln(c)*scale) is order-free exact
+    integer arithmetic), so the per-doc entropy is ONE closed-form double
+    ln(N) - sum_clnc/(N*scale) over exact BIGINTs — the doc_lm_scores
+    pattern.
+
+    Scale shape: explode -> ONE algebraic groupBy on (doc_id, token) with
+    map-side partials, then a per-doc algebraic agg. No UDFs, no windows.
+    """
+    toks = tokens_col(text_col)
+    counts = (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * F.lit(float(scale))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sum_clnc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "sum_clnc",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("sum_clnc") / (F.col("n_tokens") * F.lit(float(scale))),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
 # Gopher-rule stopwords (Rae et al. 2021 use a fixed 8-word list; same idea
 # here, kept tiny and shared verbatim with the DuckDB oracle).
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -967,3 +967,62 @@ def test_gopher_rules_flags_and_keep(spark):
     assert not out[5]["flag_stop"] and not out[5]["keep"]
     # flags are an audit trail: every failing doc still reports its metrics
     assert out[1]["word_count"] == 3 and out[5]["stop_hits"] == 0
+
+
+def test_flesch_known_answers(spark):
+    """Hand-computed Flesch scores: monosyllabic short sentences score
+    high; a polysyllabic run-on scores low; sentence/syllable floors."""
+    import math
+
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_flesch,
+    )
+
+    rows = [
+        (0, "the cat sat. the dog ran."),        # 6 words, 2 sents, 6 syl
+        (1, "extraordinary organizational bureaucracies institutionalize"),
+        (2, "no punctuation here"),               # sentence floor = 1
+    ]
+    out = {r.doc_id: r for r in with_flesch(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    r0 = out[0]
+    assert (r0.word_count, r0.n_sentences, r0.n_syllables) == (6, 2, 6)
+    expect0 = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
+    assert r0.flesch == expect0 and r0.band == "very_easy"
+    # vowel-group syllables: ex-trao-rdi-na-ry=5? count [aeiouy]+ runs:
+    # extraordinary: e,ao,i,a,y -> 5; organizational: o,a,i,a,io,a -> 6;
+    # bureaucracies: u,eau,a,ie -> 4; institutionalize: i,i,u,io,a,i,e -> 7
+    r1 = out[1]
+    assert (r1.word_count, r1.n_sentences, r1.n_syllables) == (4, 1, 22)
+    assert r1.band == "very_confusing" and r1.flesch < 0
+    assert out[2].n_sentences == 1
+
+
+def test_token_entropy_known_answers(spark):
+    """Uniform distinct tokens -> ln(N); a single repeated token -> 0;
+    a skewed 2-token doc matches the closed-form quantized value."""
+    import math
+
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        token_entropy,
+    )
+
+    rows = [
+        (0, "a b c d e f g h"),   # 8 distinct -> H = ln(8)
+        (1, "x x x x x x"),       # 1 distinct -> H = 0
+        (2, "y y y z"),           # c = {3, 1}, N = 4
+    ]
+    out = {r.doc_id: r for r in token_entropy(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert out[0].sum_clnc == 0  # every c=1 -> ln(1)=0
+    assert out[0].entropy_nats == round(math.log(8), 4)
+    assert out[1].entropy_nats == round(
+        math.log(6) - 6 * math.floor(math.log(6) * 1e5) / 6e5, 4
+    )
+    assert abs(out[1].entropy_nats) < 1e-4  # quantization only
+    q3 = math.floor(math.log(3) * 1e5)
+    assert out[2].sum_clnc == 3 * q3
+    assert out[2].entropy_nats == round(math.log(4) - 3 * q3 / 4e5, 4)
+    assert (out[2].n_tokens, out[2].n_distinct) == (4, 2)

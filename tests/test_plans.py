@@ -287,6 +287,13 @@ def test_gate_query_scan_budget(spark):
         ("kg_modularity", 0),
         ("text_doc_surprisal", 0),
         ("sample_dsir", 0),
+        # sixth-session r5: single-scan column pipelines — the HLL register
+        # build, the Gopher/Flesch/entropy quality signals — must never
+        # re-read the corpus
+        ("events_hll", 1),
+        ("text_gopher_rules", 1),
+        ("text_flesch", 1),
+        ("text_entropy", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")

@@ -204,3 +204,71 @@ def test_bloom_bits_bounded_by_m(spark):
     vals = [r.bit for r in bits.collect()]
     assert len(vals) == len(set(vals)) <= 128
     assert all(0 <= v < 128 for v in vals)
+
+
+def _hll_python(values):
+    """Exact python simulation of hll_distinct's register/rank/estimate."""
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        reg = int(h[:2], 16) % 64
+        suffix = h[2:17]
+        stripped = suffix.lstrip("0")
+        z = len(suffix) - len(stripped)
+        if not stripped:
+            extra = 0
+        else:
+            nib = int(stripped[0], 16)
+            extra = 0 if nib >= 8 else 1 if nib >= 4 else 2 if nib >= 2 else 3
+        rank = z * 4 + extra + 1
+        regs[reg] = max(regs.get(reg, 0), rank)
+    sum_q = sum(int(2.0 ** (56 - m)) for m in regs.values() if m <= 56)
+    denom = sum_q + (64 - len(regs)) * (1 << 56)
+    raw = 0.709 * 4096.0 * 7.2057594037927936e16 / denom
+    zero = 64 - len(regs)
+    import math
+
+    if zero > 0 and raw <= 160.0:
+        return round(64.0 * math.log(64.0 / zero), 4), len(regs)
+    return round(raw, 4), len(regs)
+
+
+def test_hll_matches_simulator_and_is_close(spark):
+    """Register-exact vs the python simulation on both branches: a small
+    group (linear counting) and a large one (raw HLL); estimate within the
+    ~13% (1.04/sqrt(64)) standard error x3 of the truth."""
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        hll_distinct,
+    )
+
+    small = [("s", v) for v in range(40)]
+    big = [("b", v) for v in range(5000)]
+    out = {
+        r.grp: r
+        for r in hll_distinct(
+            _events(spark, small + big), ["grp"], "val"
+        ).collect()
+    }
+    for grp, vals in (("s", range(40)), ("b", range(5000))):
+        est, n_regs = _hll_python(list(vals))
+        assert out[grp].hll_est == est
+        assert out[grp].n_regs == n_regs
+        truth = len(list(vals))
+        assert abs(out[grp].hll_est - truth) / truth < 0.4
+    # the big group must fill every register (raw branch), the small one
+    # must not (linear-counting branch)
+    assert out["b"].zero_regs == 0 and out["s"].zero_regs > 0
+
+
+def test_hll_partitioning_invariance(spark):
+    """The register build is an algebraic MAX groupBy — the sketch merge —
+    so the estimate cannot depend on how rows are partitioned."""
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        hll_distinct,
+    )
+
+    rows = [("g", v % 700) for v in range(3000)]
+    df = _events(spark, rows)
+    a = hll_distinct(df.repartition(1), ["grp"], "val").collect()[0]
+    b = hll_distinct(df.repartition(16, "val"), ["grp"], "val").collect()[0]
+    assert (a.hll_est, a.n_regs, a.denom_q) == (b.hll_est, b.n_regs, b.denom_q)
