@@ -2000,6 +2000,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_entropy"] = text_entropy
 
+    # Zipf-law slope per language (r5): least-squares ln(count)~ln(rank)
+    # fit over the top-1000 vocabulary head (state bounded at k rows per
+    # group via topk_per_group). Five exact BIGINT moments from floor-
+    # quantized logs; slope = one closed-form expression with double
+    # products (BIGINT products would overflow) in identical operand order.
+    def text_zipf(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            zipf_slope,
+        )
+
+        return zipf_slope(_t(s, d, "documents"), k=1000)
+
+    q["text_zipf"] = text_zipf
+
     # Efraimidis-Spirtes weighted sampling without replacement: n smallest
     # -ln(U)/w keys (U from the doc's md5, w = token count) == an exact
     # token-mass-proportional sample, reproducible on any engine/partitioning.
@@ -4227,6 +4241,42 @@ ag AS (
 )
 SELECT doc_id, n_tokens, n_distinct, sum_clnc,
        round(ln(n_tokens) - sum_clnc / (n_tokens * 100000.0), 4) AS entropy_nats
+FROM ag"""
+
+    # Zipf slope: the two-phase topk_per_group head == the bare window
+    # top-k (sample_stratified_2phase precedent); floor-quantized logs,
+    # exact BIGINT moments, closed-form slope with double products.
+    o["text_zipf"] = f"""
+WITH tc AS (
+  SELECT grp, term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang AS grp, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT grp, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, term ASC) AS r
+  FROM tc
+),
+pts AS (
+  SELECT grp,
+         CAST(floor(ln(r) * 100000.0) AS BIGINT) AS xq,
+         CAST(floor(ln(c) * 100000.0) AS BIGINT) AS yq
+  FROM rk WHERE r <= 1000
+),
+ag AS (
+  SELECT grp AS lang, CAST(count(*) AS BIGINT) AS n_head,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT lang, n_head, sx, sy, sxy, sxx,
+       CASE WHEN n_head >= 2
+             AND CAST(n_head AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx != 0.0
+            THEN round((CAST(n_head AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n_head AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx), 4) + 0.0
+       END AS slope
 FROM ag"""
 
     # Efraimidis-Spirtes keys: ln over an exact-double/BIGINT division,

@@ -279,6 +279,72 @@ def vocab_growth(
     )
 
 
+def zipf_slope(
+    docs: DataFrame, k: int = 1000, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Zipf-law slope of the word-frequency distribution per corpus slice:
+    the least-squares slope of ln(count) on ln(rank) over the TOP-k
+    vocabulary head (a healthy natural-language corpus sits near -1;
+    boilerplate-heavy or deduplicated-to-death slices drift off — the
+    corpus-level health check next to `vocab_growth`'s Heaps curve).
+
+    The fit is deliberately head-limited: the Zipf regime IS the head (the
+    tail bends by Heaps' law), and top-k per group via the two-phase
+    `skew.topk_per_group` bounds per-group state at k rows no matter the
+    vocabulary size — the rank window then orders k rows, never the vocab.
+
+    Float parity (CLAUDE.md invariant #3): x = floor(ln(rank)*1e5) and
+    y = floor(ln(count)*1e5) are BIGINTs (ln over small exact integers —
+    the doc_lm_scores precedent), the five regression moments are exact
+    order-free integer sums, and the slope is ONE closed-form expression
+    whose three products are computed in double (BIGINT x BIGINT would
+    overflow at n*sxy ~ 1e21) in the identical operand order on both
+    engines; the 1e5 quantization scale cancels in the ratio. `+ 0.0`
+    normalizes a potential -0.0 from rounding (the sample_dsir trap).
+
+    Returns (group, n_head, sx, sy, sxy, sxx, slope); slope is NULL for
+    degenerate heads (n < 2).
+    """
+    counts = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = topk_per_group(
+        counts, ["grp"], [F.desc("c"), F.asc("term")], k, rank_col="__r"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("term"))
+    ranked = top.select("grp", "c", F.row_number().over(w).alias("r"))
+    xq = F.floor(F.log(F.col("r").cast("double")) * F.lit(100000.0)).cast("long")
+    yq = F.floor(F.log(F.col("c").cast("double")) * F.lit(100000.0)).cast("long")
+    pts = ranked.select("grp", xq.alias("xq"), yq.alias("yq"))
+    ag = pts.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_head"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_head").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.col("n_head").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return ag.select(
+        group_col,
+        "n_head",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.when(
+            (F.col("n_head") >= 2) & (den != 0.0),
+            F.round(num / den, 4) + F.lit(0.0),
+        ).alias("slope"),
+    )
+
+
 def ppl_buckets(
     docs: DataFrame, n_buckets: int = 3, scale: int = 100000, text_col: str = "text"
 ) -> DataFrame:

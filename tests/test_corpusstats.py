@@ -187,3 +187,70 @@ def test_ppl_buckets_partitioning_invariance(spark):
     a = {tuple(r) for r in ppl_buckets(docs.repartition(1)).collect()}
     b = {tuple(r) for r in ppl_buckets(docs.repartition(7)).collect()}
     assert a == b and len(a) == 40
+
+
+def _zipf_python(counts, k=1000):
+    """Exact simulation of zipf_slope's quantized regression on a
+    {term: count} dict for one group."""
+    import math
+
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    pts = [
+        (
+            math.floor(math.log(r) * 1e5),
+            math.floor(math.log(c) * 1e5),
+        )
+        for r, (_, c) in enumerate(head, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = round((float(n) * sxy - float(sx) * sy) / (float(n) * sxx - float(sx) * sx), 4)
+    return n, sx, sy, sxy, sxx, slope + 0.0
+
+
+def test_zipf_slope_near_minus_one_and_simulator_equal(spark):
+    """A synthetic corpus with counts floor(600/r) is Zipf(1) by
+    construction -> fitted slope within a few percent of -1; every moment
+    matches the python simulation bit-for-bit."""
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        zipf_slope,
+    )
+
+    counts = {f"w{r:03d}": 600 // r for r in range(1, 51)}
+    words = []
+    for t, c in counts.items():
+        words += [t] * c
+    # spread across several docs; token order is irrelevant to counts
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(words[i::7])) for i in range(7)],
+        "doc_id long, lang string, text string",
+    )
+    out = zipf_slope(docs, k=1000).collect()
+    assert len(out) == 1
+    r = out[0]
+    n, sx, sy, sxy, sxx, slope = _zipf_python(counts)
+    assert (r.n_head, r.sx, r.sy, r.sxy, r.sxx) == (n, sx, sy, sxy, sxx)
+    assert r.slope == slope
+    assert -1.15 < r.slope < -0.85
+
+
+def test_zipf_slope_head_cap_and_degenerate(spark):
+    """k caps the fitted head (n_head == k when vocab exceeds it); a
+    single-term group has no regression -> NULL slope."""
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        zipf_slope,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", " ".join(f"t{i}" for i in range(30))),
+            (1, "de", "solo solo solo"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in zipf_slope(docs, k=10).collect()}
+    assert out["en"].n_head == 10
+    assert out["de"].n_head == 1 and out["de"].slope is None

@@ -294,6 +294,7 @@ def test_gate_query_scan_budget(spark):
         ("text_gopher_rules", 1),
         ("text_flesch", 1),
         ("text_entropy", 1),
+        ("text_zipf", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
