@@ -1725,6 +1725,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_kmv"] = stream_kmv
 
+    # Streaming HLL sketch (streaming/stateful.py::hll_stream): the
+    # events_hll registers folded across microbatches (element-wise MAX —
+    # associative, commutative, idempotent), so the drained fold == the
+    # batch sketch == the events_hll oracle verbatim. Same two-file
+    # user-parity staging so every group's registers genuinely merge
+    # across a batch boundary; estimate computed by the SAME
+    # sketches.hll_estimate closed form the batch gate uses.
+    def stream_hll(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            hll_estimate,
+            hll_regs_to_moments,
+        )
+        from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+            hll_stream,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_hll_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "event_type",
+                F.concat_ws(
+                    ":", F.col("user_id"), F.to_date("ts").cast("string")
+                ).alias("ud"),
+                F.col("user_id"),
+            )
+            ev.where(F.col("user_id") % 2 == 0).drop("user_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("user_id") % 2 != 0).drop("user_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            schema = "event_type string, ud string"
+            stream = (
+                s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                hll_stream(stream, "ud")
+                .writeStream.format("memory")
+                .queryName(f"shll_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        last = s.table(f"shll_{tag}").groupBy("event_type").agg(
+            F.max_by("regs", "n_rows").alias("regs")
+        )
+        n_regs, sum_q = hll_regs_to_moments(F.col("regs"))
+        moments = last.select(
+            "event_type", n_regs.alias("n_regs"), sum_q.alias("sum_q")
+        )
+        return hll_estimate(moments, ["event_type"])
+
+    q["stream_hll"] = stream_hll
+
     # H (native stateful): Spark's watermark + dropDuplicatesWithinWatermark
     # over the same planted-redelivery stream — the engine-owned bounded
     # state (keys expire past the watermark) next to the hand-rolled
@@ -4194,6 +4261,10 @@ SELECT event_type, n_regs, zero_regs, denom_q,
             ELSE round(0.709 * 4096.0 * 7.2057594037927936e16 / denom_q, 4)
        END AS hll_est
 FROM dn"""
+    # the drained streaming fold == the batch sketch (register MAX is
+    # associative+commutative+idempotent), so stream_hll shares the
+    # events_hll oracle verbatim
+    o["stream_hll"] = o["events_hll"]
 
     # Flesch: three exact BIGINT counts (regex vowel-group syllables,
     # punctuation-run sentences), one closed-form double, banded on the

@@ -152,6 +152,14 @@ def hll_distinct(
         F.count(F.lit(1)).cast("long").alias("n_regs"),
         F.sum(q).cast("long").alias("sum_q"),
     )
+    return hll_estimate(agg, group_cols)
+
+
+def hll_estimate(agg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Estimate selection from an (group_cols..., n_regs, sum_q) frame —
+    the single source of the HLL estimate formula, shared by the batch
+    sketch and the streaming fold's drain (never fork the closed form:
+    its byte-identical operand shapes ARE the oracle parity)."""
     denom = (
         F.col("sum_q")
         + (F.lit(_HLL_M).cast("long") - F.col("n_regs")) * F.lit(_HLL_UNIT)
@@ -175,6 +183,24 @@ def hll_distinct(
         .otherwise(F.round(raw, 4))
         .alias("hll_est"),
     )
+
+
+def hll_regs_to_moments(regs_col) -> tuple[F.Column, F.Column]:
+    """(n_regs, sum_q) columns from a 64-long register ARRAY (the
+    streaming fold's state shape) — the same integer-exact quantization
+    the batch groupBy computes per register row."""
+    present = F.filter(regs_col, lambda r: r > 0)
+    n_regs = F.size(present).cast("long")
+    sum_q = F.aggregate(
+        present,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.when(
+            r <= 56,
+            F.pow(F.lit(2.0), (F.lit(56) - r).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return n_regs, sum_q
 
 
 def cms_frequencies(

@@ -205,3 +205,71 @@ def kmv_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog: the batch sketch from functions/sketches.py::
+# hll_distinct as a stateful streaming operator. Per-group state is the
+# 64-long register array + a processed-row counter — fixed ~0.5 KB forever.
+# Register merge is element-wise MAX (associative, commutative, idempotent
+# — HLL's defining property), so the cross-batch fold equals the batch
+# sketch on the drained prefix exactly; the gate computes the estimate
+# from the emitted registers with the IDENTICAL closed-form expression the
+# batch operator uses, and shares the events_hll DuckDB oracle verbatim.
+
+HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("regs", T.ArrayType(T.LongType()), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)
+
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.ArrayType(T.LongType()), True),
+        T.StructField("n_rows", T.LongType(), True),
+    ]
+)
+
+
+def _hll_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        regs, n_rows = state.get
+        regs = list(regs)
+    else:
+        regs, n_rows = [0] * 64, 0
+    for pdf in pdfs:
+        n_rows += len(pdf)
+        for reg, mx in pdf.groupby("reg")["rank"].max().items():
+            r = int(reg)
+            regs[r] = max(regs[r], int(mx))
+    state.update((regs, n_rows))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "regs": [regs], "n_rows": [n_rows]}
+    )
+
+
+def hll_stream(events_stream: DataFrame, value_col) -> DataFrame:
+    """Streaming HLL sketch per event_type over `value_col` (a column or
+    name): register/rank are computed JVM-side before the stateful op via
+    the same `sketches._hll_reg_rank` used by the batch gate, so the
+    folded registers are bit-identical to the batch sketch."""
+    from ..functions.sketches import _hll_reg_rank
+
+    value = value_col if isinstance(value_col, F.Column) else F.col(value_col)
+    reg, rank = _hll_reg_rank(value)
+    keyed = events_stream.select(
+        F.col("event_type"), reg.alias("reg"), rank.alias("rank")
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _hll_fn,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -468,3 +468,83 @@ def test_kmv_stream_fold_equals_batch_sketch(spark, tmp_path):
     )
     expect = {(r.event_type, r.n_min, r.h_k) for r in batch.collect()}
     assert got == expect
+
+
+def test_hll_stream_fold_equals_batch_sketch(spark, tmp_path):
+    """Streaming HLL across 3 microbatches == the batch hll_distinct on
+    the full input (register MAX is associative+commutative+idempotent);
+    n_rows strictly increases per touched key for latest-row selection."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_regs_to_moments,
+    )
+    from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+        hll_stream,
+    )
+
+    src = str(tmp_path / "hll_stream")
+    os.makedirs(src)
+    rows = [("a", str(v % 211)) for v in range(600)] + [
+        ("b", str(v % 13)) for v in range(90)
+    ]
+    for i in range(3):
+        part = rows[i::3]
+        t = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in part], pa.string()),
+                "ud": pa.array([r[1] for r in part], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(src, f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_type string, ud string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        hll_stream(stream, "ud")
+        .writeStream.format("memory")
+        .queryName("hll_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl = spark.table("hll_test")
+    per_key = {
+        r.event_type: sorted(
+            x.n_rows
+            for x in tbl.where(F.col("event_type") == r.event_type).collect()
+        )
+        for r in tbl.select("event_type").distinct().collect()
+    }
+    assert per_key["a"] == [200, 400, 600] and per_key["b"] == [30, 60, 90]
+    last = tbl.groupBy("event_type").agg(
+        F.max_by("regs", "n_rows").alias("regs")
+    )
+    n_regs, sum_q = hll_regs_to_moments(F.col("regs"))
+    got = {
+        (r.event_type, r.n_regs, r.zero_regs, r.denom_q, r.hll_est)
+        for r in hll_estimate(
+            last.select("event_type", n_regs.alias("n_regs"), sum_q.alias("sum_q")),
+            ["event_type"],
+        ).collect()
+    }
+    batch = hll_distinct(
+        spark.createDataFrame(rows, "event_type string, ud string"),
+        ["event_type"],
+        "ud",
+    )
+    expect = {
+        (r.event_type, r.n_regs, r.zero_regs, r.denom_q, r.hll_est)
+        for r in batch.collect()
+    }
+    assert got == expect
