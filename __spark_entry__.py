@@ -2014,6 +2014,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_kmv"] = events_kmv
 
+    # Theta-sketch set algebra (Beyer et al. 2007): pairwise |A u B|,
+    # Jaccard and |A n B| over distinct-user KMV sketches per event type,
+    # computed from the G*k-row sketch table alone (the raw sets are
+    # never revisited — the estimator the DataSketches theta family
+    # ships). Exact when the union sketch is exhaustive (n_u < k).
+    def events_kmv_ops(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            kmv_set_ops,
+        )
+
+        return kmv_set_ops(_t(s, d, "events"), "event_type", "user_id", k=32)
+
+    q["events_kmv_ops"] = events_kmv_ops
+
     def events_cms(s, d):
         from medical_doc_knowledge_graph_system_spark.functions.sketches import (
             cms_frequencies,
@@ -4177,6 +4191,62 @@ FROM rk WHERE r <= 32 GROUP BY event_type"""
     # the drained streaming fold == the batch sketch (KMV merge is
     # associative+commutative), so stream_kmv shares the oracle verbatim
     o["stream_kmv"] = o["events_kmv"]
+
+    # Theta-sketch set algebra: union sketch = 32 smallest of the two
+    # sketches' hash union; rho = common hashes inside it. Doubles appear
+    # only as the exact numerator divided/multiplied through BIGINTs in
+    # the SAME left-to-right operand order as the Spark expressions.
+    o["events_kmv_ops"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM h
+  ) WHERE r <= 32
+),
+prs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b
+    ON a.event_type < b.event_type
+),
+cand AS (
+  SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM prs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM prs p JOIN sk s ON s.event_type = p.type_b
+  ) GROUP BY type_a, type_b, h
+),
+u AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r
+    FROM cand
+  ) WHERE r <= 32
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS n_u,
+         max(h) AS h_u,
+         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+  FROM u GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_u, h_u, rho,
+       CASE WHEN n_u < 32 THEN CAST(n_u AS DOUBLE)
+            ELSE round(8725724278030336.0 / h_u, 4) END AS union_est,
+       round(CAST(rho AS DOUBLE) / n_u, 4) AS jacc,
+       CASE WHEN n_u < 32 THEN CAST(rho AS DOUBLE)
+            ELSE round(8725724278030336.0 / h_u * rho / n_u, 4)
+       END AS inter_est
+FROM agg"""
 
     # Count-Min sketch: 4 md5-derived hash rows x 256 buckets, estimate =
     # min bucket count — pure BIGINT arithmetic end to end.

