@@ -10,6 +10,7 @@ so the two sides cannot drift.
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 from collections.abc import Callable
@@ -1791,6 +1792,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hll_estimate(moments, ["event_type"])
 
     q["stream_hll"] = stream_hll
+
+    # Native streaming SESSION windows (streaming/incremental.py::
+    # session_windows_stream): F.session_window under a watermark — the
+    # merging-window state, drained append-mode. Events are staged as two
+    # TIME-SPLIT files (every user's mid-month sessions genuinely span the
+    # batch boundary and must merge in the state store) plus a far-future
+    # sentinel row whose batch advances the watermark past every real
+    # session's close so append mode emits them all (drain-by-watermark).
+    # The drained sessions == the batch F.session_window result, so the
+    # query shares the events_session_native oracle verbatim.
+    def stream_session_native(s, d):
+        import glob as _glob
+        import hashlib as _h
+        import shutil
+        import tempfile
+        import time as _time
+
+        from medical_doc_knowledge_graph_system_spark.streaming.incremental import (
+            session_windows_stream,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_sess_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select("user_id", "ts")
+            mid = F.lit("2024-01-16").cast("timestamp_ntz")
+            ev.where(F.col("ts") < mid).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ev.where(F.col("ts") >= mid).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            s.createDataFrame(
+                [(-1, datetime.datetime(2150, 1, 1))],
+                "user_id long, ts timestamp_ntz",
+            ).coalesce(1).write.mode("append").parquet(src)
+            # pin the file-source processing order: sentinel strictly last
+            now = _time.time()
+            parts = sorted(
+                _glob.glob(os.path.join(src, "part-*.parquet")),
+                key=os.path.getmtime,
+            )
+            for i, p in enumerate(parts):
+                os.utime(p, (now - 100 + 10 * i, now - 100 + 10 * i))
+            stream = (
+                s.readStream.schema("user_id long, ts timestamp_ntz")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                session_windows_stream(stream)
+                .writeStream.format("memory")
+                .queryName(f"ssess_{tag}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        tbl = s.table(f"ssess_{tag}").where(F.col("user_id") >= 0)
+        return (
+            tbl.select(
+                "user_id",
+                "n_events",
+                (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+                .cast("long")
+                .alias("dur_s"),
+                F.col("w.start").alias("__ws"),
+            )
+            .withColumn(
+                "sess_seq",
+                F.row_number()
+                .over(Window.partitionBy("user_id").orderBy("__ws"))
+                .cast("long"),
+            )
+            .drop("__ws")
+        )
+
+    q["stream_session_native"] = stream_session_native
 
     # H (native stateful): Spark's watermark + dropDuplicatesWithinWatermark
     # over the same planted-redelivery stream — the engine-owned bounded
@@ -4335,6 +4419,10 @@ FROM dn"""
     # associative+commutative+idempotent), so stream_hll shares the
     # events_hll oracle verbatim
     o["stream_hll"] = o["events_hll"]
+    # drained native session windows == batch F.session_window (the
+    # sentinel flush closes every real session), so the streaming gate
+    # shares the events_session_native oracle verbatim
+    o["stream_session_native"] = o["events_session_native"]
 
     # Flesch: three exact BIGINT counts (regex vowel-group syllables,
     # punctuation-run sentences), one closed-form double, banded on the

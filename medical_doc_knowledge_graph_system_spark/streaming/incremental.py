@@ -195,6 +195,45 @@ def windowed_event_counts(
     )
 
 
+def session_windows_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Native streaming session windows: `F.session_window` under a
+    watermark — the MERGING window state (sessions extend and merge as
+    events arrive, the one window kind whose streaming state cannot be
+    keyed by a fixed window start). Emission is append-mode: a session row
+    is emitted exactly once, when the watermark passes its close.
+
+    Two deliberate choices for deterministic finite replays of the
+    unbounded source:
+      * the huge default watermark delay means NO real row is ever dropped
+        as late whatever order the files/batches arrive in — arrival order
+        can reorder state updates but never the final merged sessions;
+      * the caller flushes the tail by appending a far-future SENTINEL row
+        as the last batch: the global watermark jumps past every real
+        session's close, so every session is finalized and emitted (the
+        standard drain-by-watermark pattern; filter the sentinel key out
+        of the drained sink).
+
+    Event-time column `ts` is cast to ltz timestamp (watermarks require
+    it; sessions run in UTC so the cast is wall-clock identity); min/max
+    event times are aggregated from a copy so the watermark column itself
+    never appears in an aggregate."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts2", F.col("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts2").alias("t0"),
+            F.max("ts2").alias("t1"),
+        )
+    )
+
+
 def run_windowed_counts_available_now(
     spark: SparkSession,
     events_path: str,

@@ -470,6 +470,74 @@ def test_kmv_stream_fold_equals_batch_sketch(spark, tmp_path):
     assert got == expect
 
 
+def test_session_windows_stream_merges_across_batches_and_flushes(spark, tmp_path):
+    """Native streaming session windows: a session whose events span two
+    microbatches MERGES in the state store; the far-future sentinel batch
+    advances the watermark past every real session so append mode emits
+    them all (the drain-by-watermark flush)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_doc_knowledge_graph_system_spark.streaming.incremental import (
+        session_windows_stream,
+    )
+
+    def write(path, rows, mtime):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    base = dt.datetime(2024, 1, 5, 10, 0, 0)
+
+    def m(mins):
+        return base + dt.timedelta(minutes=mins)
+
+    src = str(tmp_path / "sess_stream")
+    os.makedirs(src)
+    now = time.time()
+    # user 1's single session spans the file boundary (10:10 -> 10:20 is
+    # within the 30-min gap); user 2 has two separate singleton sessions
+    write(os.path.join(src, "a.parquet"), [(1, m(0)), (1, m(10)), (2, m(0))], now - 100)
+    write(os.path.join(src, "b.parquet"), [(1, m(20)), (1, m(25)), (2, m(90))], now - 50)
+    write(
+        os.path.join(src, "z_sentinel.parquet"),
+        [(-1, dt.datetime(2150, 1, 1))],
+        now,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_windows_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessnat_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events, r.t0, r.t1)
+        for r in spark.table("sessnat_test").where("user_id >= 0").collect()
+    }
+    assert got == {
+        (1, 4, m(0), m(25)),
+        (2, 1, m(0), m(0)),
+        (2, 1, m(90), m(90)),
+    }
+
+
 def test_hll_stream_fold_equals_batch_sketch(spark, tmp_path):
     """Streaming HLL across 3 microbatches == the batch hll_distinct on
     the full input (register MAX is associative+commutative+idempotent);
