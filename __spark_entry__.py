@@ -1243,6 +1243,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_quantiles"] = events_quantiles
 
+    # Histogram quantile sketch (sketches.hist_quantiles): the
+    # bounded-state cousin of the exact percentile above — <= 4096 SUM
+    # counters per group instead of every value; estimates carry the
+    # one-bin-width error bound. [0, 1024) is a power-of-two range so
+    # every binning op is an exact double.
+    def events_hist(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            hist_quantiles,
+        )
+
+        return hist_quantiles(
+            _t(s, d, "events"), ["event_type"], "value",
+            lo=0.0, hi=1024.0, bits=12, qs=(50, 95),
+        )
+
+    q["events_hist"] = events_hist
+
     # Multi-dimensional aggregation: CUBE over (event_type, day) — every
     # grouping-set combination in ONE pass (Spark plans Expand + a single
     # partial+final aggregate; no per-set rescans). '(all)' marks the
@@ -4214,6 +4231,37 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 4) AS p95
 FROM events
 GROUP BY event_type"""
+
+    # histogram quantile sketch: binning and edges are exact doubles
+    # (power-of-two range), thresholds pure BIGINT ceiling division;
+    # DuckDB window sums return HUGEINT — cast n back to BIGINT.
+    o["events_hist"] = """
+WITH cells AS (
+  SELECT event_type,
+         least(4095, greatest(0,
+           CAST(floor((value - 0.0) / (1024.0 - 0.0) * 4096) AS BIGINT)
+         )) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM cells
+),
+agg AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) AS bin_p50,
+         min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END) AS bin_p95
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n, bin_p50, bin_p95,
+       0.0 + (bin_p50 + 1) * (1024.0 - 0.0) / 4096.0 AS est_p50,
+       0.0 + (bin_p95 + 1) * (1024.0 - 0.0) / 4096.0 AS est_p95
+FROM agg"""
     o["tpch_rollup"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -167,6 +167,80 @@ def kmv_set_ops(
     )
 
 
+def hist_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bits: int = 12,
+    qs: tuple[int, ...] = (50, 95),
+) -> DataFrame:
+    """Fixed-bucket histogram quantile sketch: bin values into 2^bits
+    equal-width buckets over [lo, hi) (out-of-range clamps to the edge
+    bins), estimate quantile q as the UPPER edge of the first bin whose
+    cumulative count reaches ceil(q·n/100). Guarantees: the true quantile
+    lies within the chosen bin, so the estimate overshoots by less than
+    one bin width (hi-lo)/2^bits — the deterministic cousin of t-digest /
+    KLL for when the value domain is known (metrics, scores, bounded
+    gauges). Complements the exact `percentile` gate (`events_quantiles`),
+    whose per-group state is ALL values: this sketch's state is <= 2^bits
+    counters per group, merged by plain SUM — map-side partials ARE the
+    merge, the property that keeps it one pass at 100 TB.
+
+    Determinism/parity: binning is floor((v-lo)/(hi-lo)·2^bits) with both
+    engines evaluating the identical operand order (pick power-of-two
+    ranges and every op is exact); rank thresholds are pure BIGINT
+    arithmetic ((q·n+99) div 100 — ceiling without floats); the only
+    output doubles are the bin-edge closed forms.
+
+    Returns (group_cols..., n, and per q: bin_pXX, est_pXX).
+    """
+    m = 1 << bits
+    v = F.col(value_col)
+    raw = F.floor((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(m)).cast(
+        "long"
+    )
+    binc = F.least(
+        F.lit(m - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw)
+    )
+    cells = df.groupBy(*group_cols, binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = cells.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    aggs = [F.max("n").alias("n")]
+    for qq in qs:
+        thresh = F.expr(f"({qq} * n + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thresh, F.col("bin"))).alias(
+                f"bin_p{qq}"
+            )
+        )
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    edges = [
+        (
+            F.lit(lo)
+            + (F.col(f"bin_p{qq}") + F.lit(1))
+            * (F.lit(hi) - F.lit(lo))
+            / F.lit(float(m))
+        ).alias(f"est_p{qq}")
+        for qq in qs
+    ]
+    return out.select(
+        *group_cols, "n", *[F.col(f"bin_p{qq}") for qq in qs], *edges
+    )
+
+
 # HyperLogLog geometry: p=6 -> m=64 registers; md5 hex chars 1-2 pick the
 # register, chars 3-17 (60 bits) feed the leading-zero rank, so max rank is
 # 61. alpha_64 = 0.709, the standard bias constant for m=64.

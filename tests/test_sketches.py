@@ -133,6 +133,45 @@ def test_kmv_set_ops_all_pairs_and_partitioning_invariance(spark):
         assert out1[pair][4] == 0  # rho: no common hashes across disjoint sets
 
 
+def test_hist_quantiles_known_answers_and_bound(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        hist_quantiles,
+    )
+
+    # values 1..100 over [0, 128), 7 bits -> bin width 1: bins are the
+    # values themselves, so estimates equal ceil-rank quantiles + 1 edge
+    rows = [("g", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r = hist_quantiles(
+        df, ["grp"], "value", lo=0.0, hi=128.0, bits=7, qs=(50, 95)
+    ).collect()[0]
+    # ceil(0.5*100)=50th value = 50 -> bin 50, upper edge 51
+    # ceil(0.95*100)=95th value = 95 -> bin 95, upper edge 96
+    assert (r.n, r.bin_p50, r.bin_p95) == (100, 50, 95)
+    assert (r.est_p50, r.est_p95) == (51.0, 96.0)
+    # guarantee: true quantile inside the bin -> est overshoots < 1 width
+    assert 50 <= r.est_p50 - 0.0 <= 51 and 95 <= r.est_p95 <= 96
+
+
+def test_hist_quantiles_clamps_and_partitioning_invariance(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        hist_quantiles,
+    )
+
+    rows = [("g", -5.0)] * 10 + [("g", 7.0)] * 10 + [("g", 999.0)] * 10
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out1 = hist_quantiles(
+        df.repartition(1), ["grp"], "value", lo=0.0, hi=16.0, bits=4
+    ).collect()[0]
+    out2 = hist_quantiles(
+        df.repartition(7), ["grp"], "value", lo=0.0, hi=16.0, bits=4
+    ).collect()[0]
+    assert tuple(out1) == tuple(out2)
+    # -5 clamps to bin 0, 999 clamps to bin 15; p50 falls in the 7.0 bin
+    assert (out1.bin_p50, out1.bin_p95) == (7, 15)
+    assert (out1.est_p50, out1.est_p95) == (8.0, 16.0)
+
+
 def test_cms_overestimates_and_single_key_exact(spark):
     rows = [("x", v % 7) for v in range(700)] + [("x", 1000)] * 5
     df = _events(spark, rows)
