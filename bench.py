@@ -103,6 +103,30 @@ HEADLINE = [
     "tpch_rollup",
     "tpch_top_customers",
     "docs_setops",
+    # late-r5 additions: whole-graph analytics, LM corpus statistics,
+    # data-selection weights, deterministic sketches (streaming gates are
+    # deliberately excluded — their wall is temp-dir staging, not the op)
+    "kg_harmonic",
+    "kg_betweenness",
+    "kg_mis",
+    "kg_modularity",
+    "kg_walks",
+    "kg_ppr",
+    "text_doc_surprisal",
+    "text_ppl_buckets",
+    "text_zipf",
+    "text_entropy",
+    "text_flesch",
+    "text_gopher_rules",
+    "text_bigram_lm",
+    "sample_dsir",
+    "sample_weighted",
+    "events_kmv",
+    "events_kmv_ops",
+    "events_cms",
+    "events_hll",
+    "events_hist",
+    "decontam_bloom",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -295,6 +295,11 @@ def test_gate_query_scan_budget(spark):
         ("text_flesch", 1),
         ("text_entropy", 1),
         ("text_zipf", 1),
+        # seventh-session r5: the theta set-ops pair algebra roots in the
+        # PINNED G*k sketch table (both expansion sides) — zero scans; the
+        # histogram sketch is one pass over the corpus
+        ("events_kmv_ops", 0),
+        ("events_hist", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
