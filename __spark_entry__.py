@@ -2240,6 +2240,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_harmonic"] = kg_harmonic
 
+    # Effective diameter (Leskovec et al. hop-plot percentile) over the
+    # same doc_id % 31 source sample: ONE summary row; the percentile
+    # selection is the pure-integer comparison 100*cum >= 90*n.
+    def kg_eff_diameter(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            effective_diameter,
+        )
+
+        g = _kg_docgraph(s, d)
+        src = (
+            g.select(F.col("a").alias("name"))
+            .unionAll(g.select(F.col("b").alias("name")))
+            .distinct()
+            .where(F.col("name") % 31 == 0)
+        )
+        return effective_diameter(g, rounds=8, sources=src, q_pct=90)
+
+    q["kg_eff_diameter"] = kg_eff_diameter
+
     # Sampled Brandes betweenness: integer sigma path counts from the
     # level-synchronous BFS, backward dependency pass with every term
     # (sv*(10^4+delta_q)) div sw — positive-BIGINT floor division, so
@@ -4643,6 +4662,45 @@ agg AS (
   FROM sp GROUP BY src
 )
 SELECT src AS name, n_reach, h_q, round(h_q / 10000.0, 4) AS harmonic
+FROM agg"""
+
+    # effective diameter: same capped distance closure + source sample as
+    # kg_harmonic; percentile selection is 100*cum >= 90*n in pure
+    # integers (DuckDB window sums are HUGEINT — compare there, CAST the
+    # outputs back to BIGINT).
+    o["kg_eff_diameter"] = f"""
+WITH RECURSIVE {_docgraph_ctes()},
+und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
+nodes AS (SELECT DISTINCT x AS name FROM und WHERE x % 31 = 0),
+walk AS (
+  SELECT name AS src, name AS node, 0 AS d FROM nodes
+  UNION
+  SELECT walk.src, und.y, walk.d + 1
+  FROM walk JOIN und ON walk.node = und.x
+  WHERE walk.d < 8
+),
+sp AS (SELECT src, node, MIN(d) AS d FROM walk GROUP BY 1, 2),
+dd AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS c
+  FROM sp WHERE d >= 1 GROUP BY d
+),
+cum AS (
+  SELECT d, c,
+         sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM dd
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+         CAST(sum(d * c) AS BIGINT) AS sum_d,
+         CAST(max(d) AS BIGINT) AS diameter,
+         CAST(min(CASE WHEN 100 * cum >= 90 * n THEN d END) AS BIGINT)
+           AS eff_d
+  FROM cum
+)
+SELECT n_pairs, sum_d,
+       round(CAST(sum_d AS DOUBLE) / n_pairs, 4) AS mean_d,
+       diameter, eff_d
 FROM agg"""
 
     # Sampled Brandes betweenness, unrolled level-by-level (the kg_pagerank

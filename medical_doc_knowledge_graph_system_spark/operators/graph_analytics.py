@@ -794,6 +794,63 @@ def harmonic(
     )
 
 
+def effective_diameter(
+    edges: DataFrame,
+    rounds: int = 8,
+    sources: DataFrame | None = None,
+    q_pct: int = 90,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Effective diameter (the Leskovec et al. graphs-over-time metric):
+    the smallest distance d such that >= q_pct% of reachable (src, node)
+    pairs lie within d — the hop-plot summary that, unlike the exact
+    diameter, is robust to one long stray path. Same multi-source BFS
+    engine and hash-sampled `sources` estimator mode as closeness /
+    harmonic (reference analogue: the graph-shape statistics around
+    `app/services/graph_service.py::get_statistics`).
+
+    Returns ONE row (n_pairs, sum_d, mean_d, diameter, eff_d): pair count,
+    exact distance sum, mean distance (the closed-form double), max
+    distance within the round budget, and the q_pct-percentile distance.
+    The percentile threshold is the pure-integer comparison
+    100·cum >= q_pct·n — no float ever enters the selection.
+
+    Scale shape: everything after the BFS runs on the per-distance count
+    frame — at most `rounds` rows, so the global window is a bounded
+    single-task job, not a data-sized sort.
+    """
+    dist = _ms_bfs_dists(edges, rounds, sources, num_partitions).where(
+        F.col("d") >= 1
+    )
+    byd = dist.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byd.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    agg = cum.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("sum_d"),
+        F.max("d").cast("long").alias("diameter"),
+        F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(q_pct) * F.col("n"),
+                F.col("d"),
+            )
+        )
+        .cast("long")
+        .alias("eff_d"),
+    )
+    return agg.select(
+        "n_pairs",
+        "sum_d",
+        F.round(F.col("sum_d") / F.col("n_pairs"), 4).alias("mean_d"),
+        "diameter",
+        "eff_d",
+    )
+
+
 def betweenness(
     edges: DataFrame,
     rounds: int = 8,

@@ -1137,3 +1137,78 @@ def test_walks_sources_and_determinism_across_partitioning(spark):
     assert one == {
         (s, t, v) for (s, t), v in _walks_python(edges, steps=6, sources={"a", "d"}).items()
     }
+
+
+def test_effective_diameter_path_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        effective_diameter,
+    )
+
+    # path a-b-c-d-e, all sources: d-counts 1:8, 2:6, 3:4, 4:2 (20 pairs,
+    # sum 40); 90% of 20 = 18 -> first cum >= 18 is d=3; diameter 4
+    r = effective_diameter(
+        _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    ).collect()[0]
+    assert (r.n_pairs, r.sum_d, r.mean_d, r.diameter, r.eff_d) == (
+        20, 40, 2.0, 4, 3,
+    )
+
+
+def test_effective_diameter_random_graph_matches_bfs(spark):
+    import random
+    from collections import deque
+
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        effective_diameter,
+    )
+
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dists = []
+    for s in adj:
+        seen = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if seen[u] >= 8:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    dq.append(v)
+        dists.extend(d for d in seen.values() if d >= 1)
+    n = len(dists)
+    counts = sorted(dists)
+    cum, eff = 0, None
+    by = {}
+    for d in counts:
+        by[d] = by.get(d, 0) + 1
+    for d in sorted(by):
+        cum += by[d]
+        if eff is None and 100 * cum >= 90 * n:
+            eff = d
+    r = effective_diameter(_edges_df(spark, edges), q_pct=90).collect()[0]
+    assert (r.n_pairs, r.sum_d, r.diameter, r.eff_d) == (
+        n, sum(dists), max(dists), eff,
+    )
+    assert r.mean_d == round(sum(dists) / n, 4)
+
+
+def test_effective_diameter_sources_subset(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        effective_diameter,
+    )
+
+    # restrict sources to {a}: pairs are a's distances only (1, 2, 2)
+    src = spark.createDataFrame([("a",)], "name string")
+    r = effective_diameter(
+        _edges_df(spark, [("a", "b"), ("b", "c"), ("b", "d")]), sources=src
+    ).collect()[0]
+    assert (r.n_pairs, r.sum_d, r.diameter, r.eff_d) == (3, 5, 2, 2)

@@ -300,6 +300,8 @@ def test_gate_query_scan_budget(spark):
         # histogram sketch is one pass over the corpus
         ("events_kmv_ops", 0),
         ("events_hist", 1),
+        # eff-diameter roots in the checkpointed BFS distance layers
+        ("kg_eff_diameter", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
