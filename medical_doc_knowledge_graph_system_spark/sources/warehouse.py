@@ -438,6 +438,66 @@ class Warehouse:
             )
         return meta.get("version", 0)
 
+    def changed_buckets_since(
+        self, name: str, since_version: int
+    ) -> set[int] | None:
+        """Bucket ids rewritten by ANY commit in (since_version, current]
+        from the committed changed_log alone — the metadata half of
+        read_changes_since, exposed for consumers that maintain their own
+        per-bucket state (bucket-partial incremental view maintenance).
+        Returns the (possibly empty) id set, or None when the window
+        cannot be proven bucket-exact (full-rewrite commit inside it, a
+        window past the bounded log, pre-CDC meta, or a since_version not
+        on the committed chain) — callers must treat None as ALL buckets."""
+        meta = self._bucket_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no bucketed table {name!r} in warehouse {self.root!r}"
+            )
+        cur = meta.get("version", 0)
+        if since_version >= cur:
+            return set()
+        log = meta.get("changed_log", {})
+        buckets: set[int] = set()
+        v = cur
+        while v > since_version:
+            ent = log.get(str(v))
+            if ent is None or ent["buckets"] == "full":
+                return None
+            buckets.update(ent["buckets"])
+            v = ent["base"]
+        if v != since_version:
+            return None
+        return buckets
+
+    def read_buckets(
+        self, spark: SparkSession, name: str, bucket_ids: set[int]
+    ) -> DataFrame:
+        """Current rows of exactly the given buckets (empty frame for an
+        empty id set / buckets holding no rows) — the data half of the
+        CDC read, for bucket-granular consumers."""
+        import glob
+
+        meta = self._bucket_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no bucketed table {name!r} in warehouse {self.root!r}"
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        cur = meta.get("version", 0)
+        files = [
+            f
+            for f in glob.glob(
+                os.path.join(self._version_dir(name, cur), "*.parquet")
+            )
+            if self._bucket_id_of_file(f) in bucket_ids
+        ]
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*sorted(files))
+
     def read_changes_since(
         self, spark: SparkSession, name: str, since_version: int
     ) -> DataFrame:
@@ -455,44 +515,14 @@ class Warehouse:
         proven bucket-exact: a full-rewrite commit ("full" entry) in the
         window (every bucket really did change), a window reaching past
         the bounded log, a pre-CDC-log meta, or a since_version not on
-        the committed chain. The fallback is always a correct superset."""
-        import glob
+        the committed chain. The fallback is always a correct superset.
 
-        meta = self._bucket_meta(name)
-        if meta is None:
-            raise FileNotFoundError(
-                f"no bucketed table {name!r} in warehouse {self.root!r}"
-            )
-        cur = meta.get("version", 0)
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        if since_version >= cur:
-            return spark.createDataFrame([], schema)
-        # walk the committed chain cur -> base -> ... back to since_version;
-        # any missing/"full" link degrades to the full-table read
-        log = meta.get("changed_log", {})
-        buckets: set[int] = set()
-        v = cur
-        while v > since_version:
-            ent = log.get(str(v))
-            if ent is None or ent["buckets"] == "full":
-                return self.read_bucketed(spark, name)
-            buckets.update(ent["buckets"])
-            v = ent["base"]
-        if v != since_version:
-            # since_version was never a committed snapshot of this chain
+        The chain walk lives in changed_buckets_since (shared with the
+        bucket-partial IVM consumer); this method adds the data read."""
+        buckets = self.changed_buckets_since(name, since_version)
+        if buckets is None:
             return self.read_bucketed(spark, name)
-        cur_files = [
-            f
-            for f in glob.glob(
-                os.path.join(self._version_dir(name, cur), "*.parquet")
-            )
-            if self._bucket_id_of_file(f) in buckets
-        ]
-        if not cur_files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*sorted(cur_files))
+        return self.read_buckets(spark, name, buckets)
 
     def write(
         self,
