@@ -1893,6 +1893,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_session_native"] = stream_session_native
 
+    # Streaming histogram-quantile fold: the hist sketch's cell state
+    # ((event_type, bin) -> count) is a NATIVE streaming aggregation —
+    # counts are monotone under update-mode emission, so the drained
+    # latest value per cell is max(c), and the shared hist_estimate
+    # selection makes the fold == the batch sketch == the events_hist
+    # oracle verbatim. Same two-file parity staging as stream_kmv/hll.
+    def stream_hist(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            hist_bin,
+            hist_estimate,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_hist_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select("event_type", "value", "user_id")
+            ev.where(F.col("user_id") % 2 == 0).drop("user_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("user_id") % 2 != 0).drop("user_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema("event_type string, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            binned = stream.groupBy(
+                "event_type",
+                hist_bin(F.col("value"), 0.0, 1024.0, 4096).alias("bin"),
+            ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                binned.writeStream.format("memory")
+                .queryName(f"shist_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        cells = s.table(f"shist_{tag}").groupBy("event_type", "bin").agg(
+            F.max("c").alias("c")
+        )
+        return hist_estimate(cells, ["event_type"], 0.0, 1024.0, 12, (50, 95))
+
+    q["stream_hist"] = stream_hist
+
     # H (native stateful): Spark's watermark + dropDuplicatesWithinWatermark
     # over the same planted-redelivery stream — the engine-owned bounded
     # state (keys expire past the watermark) next to the hand-rolled
@@ -4490,6 +4545,9 @@ FROM dn"""
     # sentinel flush closes every real session), so the streaming gate
     # shares the events_session_native oracle verbatim
     o["stream_session_native"] = o["events_session_native"]
+    # drained histogram cells (monotone counts -> max(c) = latest) fold
+    # to the batch sketch, so stream_hist shares the events_hist oracle
+    o["stream_hist"] = o["events_hist"]
 
     # Flesch: three exact BIGINT counts (regex vowel-group syllables,
     # punctuation-run sentences), one closed-form double, banded on the

@@ -197,16 +197,37 @@ def hist_quantiles(
     Returns (group_cols..., n, and per q: bin_pXX, est_pXX).
     """
     m = 1 << bits
-    v = F.col(value_col)
+    cells = df.groupBy(
+        *group_cols, hist_bin(F.col(value_col), lo, hi, m).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return hist_estimate(cells, group_cols, lo, hi, bits, qs)
+
+
+def hist_bin(v, lo: float, hi: float, m: int) -> F.Column:
+    """The histogram sketch's binning column — single-sourced so the batch
+    groupBy and the streaming fold quantize identically (the operand
+    shapes ARE the oracle parity)."""
     raw = F.floor((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(m)).cast(
         "long"
     )
-    binc = F.least(
+    return F.least(
         F.lit(m - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw)
     )
-    cells = df.groupBy(*group_cols, binc.alias("bin")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+
+
+def hist_estimate(
+    cells: DataFrame,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bits: int = 12,
+    qs: tuple[int, ...] = (50, 95),
+) -> DataFrame:
+    """Quantile estimates from a (group_cols..., bin, c) cell frame — the
+    single source of the estimate stage, shared by the batch sketch and
+    the streaming fold's drain (cell merge is plain SUM/monotone MAX of
+    counts, so a drained fold feeds the identical selection)."""
+    m = 1 << bits
     from pyspark.sql import Window
 
     wcum = (

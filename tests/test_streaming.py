@@ -616,3 +616,69 @@ def test_hll_stream_fold_equals_batch_sketch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expect
+
+
+def test_hist_stream_fold_equals_batch_sketch(spark, tmp_path):
+    """Streaming histogram cells across 3 microbatches: update-mode
+    emission of a NATIVE streaming count is monotone per (key, bin), so
+    max(c) over the drained sink is the final cell value and the shared
+    hist_estimate yields exactly the batch sketch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+        hist_bin,
+        hist_estimate,
+        hist_quantiles,
+    )
+
+    src = str(tmp_path / "hist_stream")
+    os.makedirs(src)
+    rows = [("a", float(v % 97)) for v in range(300)] + [
+        ("b", float(3 + v % 7)) for v in range(60)
+    ]
+    for i in range(3):
+        part = rows[i::3]
+        t = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in part], pa.string()),
+                "value": pa.array([r[1] for r in part], pa.float64()),
+            }
+        )
+        pq.write_table(t, os.path.join(src, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.groupBy(
+            "event_type", hist_bin(F.col("value"), 0.0, 128.0, 128).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .writeStream.format("memory")
+        .queryName("hist_fold_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = spark.table("hist_fold_test").groupBy("event_type", "bin").agg(
+        F.max("c").alias("c")
+    )
+    got = {
+        tuple(r)
+        for r in hist_estimate(cells, ["event_type"], 0.0, 128.0, 7).collect()
+    }
+    batch = hist_quantiles(
+        spark.createDataFrame(rows, "event_type string, value double"),
+        ["event_type"],
+        "value",
+        lo=0.0,
+        hi=128.0,
+        bits=7,
+    )
+    assert got == {tuple(r) for r in batch.collect()}
