@@ -862,6 +862,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment"] = dedup_containment
 
+    # LOSSLESS set-similarity self-join via prefix filtering (Chaudhuri
+    # 2006 / Bayardo AllPairs 2007 / PPJoin): candidates only through each
+    # doc's |d| - ceil(t|d|) + 1 globally-RAREST tokens (df-ascending
+    # order), provably a superset of every pair with word-set Jaccard >= t;
+    # membership decided by integer cross-multiplication (no float
+    # boundary). The oracle is the BRUTE-FORCE all-pairs join — no blocking
+    # logic to mirror, the losslessness theorem IS the parity claim.
+    # Deterministic doc subset (% 7) keeps the oracle's quadratic
+    # verification tractable at sf0.1; the Spark side is the scale path.
+    def dedup_prefix_filter(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            prefix_filter_pairs,
+        )
+
+        docs = _t(s, d, "documents").where(F.col("doc_id") % 7 == 0)
+        return prefix_filter_pairs(docs, t_num=3, t_den=5)
+
+    q["dedup_prefix_filter"] = dedup_prefix_filter
+
     # similarity search
     q["sim_topk"] = lambda s, d: topk_cosine(
         _dbl_emb(_t(s, d, "embeddings")), _queries_dim(s, d), k=5
@@ -899,6 +918,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semdedup(_dbl_emb(_t(s, d, "embeddings")), n_cells=16, threshold=0.25)
 
     q["sim_semdedup"] = sim_semdedup
+
+    # Fixed-round Lloyd k-means over INTEGER-QUANTIZED embeddings: the
+    # oracle-able clustering op (floor(x*2^20)+2^20 per dim makes every
+    # assignment distance, centroid `div` update and the final inertia
+    # exact BIGINT arithmetic — no float in any aggregate or comparison,
+    # so the 2-round recurrence unrolls bit-for-bit in DuckDB). The
+    # trained float path stays ivf_centroids_kmeans (pytest-covered).
+    def sim_kmeans(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+            kmeans_lloyd_quantized,
+        )
+
+        return kmeans_lloyd_quantized(_dbl_emb(_t(s, d, "embeddings")), k=4, rounds=2)
+
+    q["sim_kmeans"] = sim_kmeans
 
     # E3 rerank shape: score vs query embedding, threshold-prune, sort desc,
     # cap per element class (reference context_builder.py:164-278)
@@ -1183,6 +1217,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cohort, a user-key join, one count aggregate — each user
     # contributes at most one row per offset by construction, so the count
     # is plain (never count-distinct).
+    # Time-series regularization (resample('D') + ffill as pure Catalyst):
+    # sparse daily counts (user_id % 397 keeps real gaps at every SF) ->
+    # dense per-type calendar, zero-filled gap days flagged, LOCF carry.
+    def events_gapfill(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+            gapfill_daily,
+        )
+
+        ev = _t(s, d, "events").where(F.col("user_id") % 397 == 0)
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return gapfill_daily(daily, ["event_type"]).select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            "cnt",
+            "is_gap",
+            "locf_cnt",
+        )
+
+    q["events_gapfill"] = events_gapfill
+
     def events_retention(s, d):
         ev = _t(s, d, "events")
         days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
@@ -3050,6 +3106,33 @@ GROUP BY p.event_id, p.user_id"""
     # counts. CAST(DATE AS VARCHAR) prints ISO dates exactly like Spark's
     # date->string cast; date_diff('day', ...) on DATE values == Spark
     # datediff (whole-day integers, no timezone in play).
+    # dense calendar: generate_series is inclusive like F.sequence; LOCF via
+    # IGNORE NULLS over the same bounded per-key frame
+    o["events_gapfill"] = """
+WITH f AS (
+  SELECT event_type, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id % 397 = 0
+),
+daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+cal AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+filled AS (
+  SELECT cal.event_type, cal.day, daily.c
+  FROM cal LEFT JOIN daily USING (event_type, day)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day_str,
+       COALESCE(c, 0) AS cnt, c IS NULL AS is_gap,
+       last_value(c IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cnt
+FROM filled"""
+
     o["events_retention"] = """
 WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 coh AS (SELECT user_id, min(day) AS cohort_d FROM days GROUP BY user_id)
@@ -3452,6 +3535,28 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter * 1.0 / sa.n_sh, 4) >= 0.5
    OR round(n_inter * 1.0 / sb.n_sh, 4) >= 0.5"""
 
+    # brute-force all-pairs word-set Jaccard >= 3/5 on the % 7 doc subset:
+    # the prefix-filter join is lossless, so its output must equal this
+    # exactly (integer cross-multiplication decides membership on both
+    # sides — no float boundary can disagree)
+    o["dedup_prefix_filter"] = f"""
+WITH toksd AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS token
+  FROM documents WHERE doc_id % 7 = 0
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toksd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM toksd a JOIN toksd b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_inter >= 3 * (sa.n + sb.n - n_inter)"""
+
     bit_sums = ", ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(60)
     )
@@ -3598,6 +3703,57 @@ ranked AS (
   FROM pairs
 )
 SELECT vec_id, dup_of, score FROM ranked WHERE rn = 1"""
+
+    # sim_kmeans: the 2-round quantized-Lloyd recurrence unrolled. dist via
+    # the dot-product identity |a|^2 - 2ab + |b|^2 — every term an integer
+    # <= 2^48, exact in a double, so the BIGINT cast equals Spark's direct
+    # zip_with sum; centroid update = per-dim BIGINT sum // count (both
+    # operands positive, so DuckDB // == Spark div).
+    def _km_round(i: int) -> str:
+        return f"""
+d{i} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_dot_product(e.qe, e.qe) - 2 * list_dot_product(e.qe, c.ce)
+              + list_dot_product(c.ce, c.ce) AS BIGINT) AS dist
+  FROM e, c{i - 1} c
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+s{i} AS (
+  SELECT a.cid, t.i, CAST(SUM(e.qe[t.i]) AS BIGINT) AS s_,
+         CAST(COUNT(*) AS BIGINT) AS n_
+  FROM a{i} a JOIN e USING (vec_id), range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+c{i} AS (SELECT cid, list(s_ // n_ ORDER BY i) AS ce FROM s{i} GROUP BY cid)"""
+
+    o["sim_kmeans"] = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform({emb},
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT) + 1048576) AS qe
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < 4),{_km_round(1)},{_km_round(2)},
+df_ AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_dot_product(e.qe, e.qe) - 2 * list_dot_product(e.qe, c.ce)
+              + list_dot_product(c.ce, c.ce) AS BIGINT) AS dist
+  FROM e, c2 c
+),
+af AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM df_) WHERE rn = 1
+)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia, MIN(vec_id) AS rep
+FROM af GROUP BY cid"""
 
     o["rerank_class_cap"] = f"""
 WITH e AS (SELECT vec_id, {emb} AS embedding, label FROM embeddings),

@@ -425,3 +425,89 @@ def containment_pairs(
         )
         .where((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """ALL qualifying near-duplicate pairs by word-set Jaccard >= t
+    (t = t_num/t_den), found via PREFIX FILTERING (Chaudhuri et al. 2006 /
+    Bayardo et al. AllPairs 2007, the PPJoin candidate rule) — the LOSSLESS
+    blocked set-similarity join, in contrast to the heuristic blocking of
+    ngram_jaccard_pairs (rare-shingle) and minhash_band_pairs (LSH):
+
+    Order each doc's distinct tokens by global document frequency
+    ascending (rarest first, token as tie-break — one global total order).
+    If J(a, b) >= t then |a ∩ b| >= t·|a|, so a and b MUST share a token
+    inside each other's first |x| - ceil(t·|x|) + 1 ordered tokens — pairs
+    sharing no prefix token are provably below threshold and are never
+    generated. Candidates therefore come only from a self-join on PREFIX
+    tokens, which are by construction the globally RAREST — the fan-out
+    the stopword head would cause is exactly what the ordering removes.
+
+    The threshold is a rational t_num/t_den and the qualifying test is the
+    integer cross-multiplication t_den·o >= t_num·(n_a + n_b - o): no
+    float ever decides membership, so the output is the exact set the
+    brute-force all-pairs join would produce (the oracle IS that brute
+    force — no blocking logic to mirror).
+
+    Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard 4dp), doc_a < doc_b.
+
+    Scale shape: one tokenization pinned (feeds df-counts, sizes, prefix
+    and the verify join); the df-rank join shuffles on token once; the
+    candidate self-join touches prefix tokens only; verification joins
+    tokens for candidate pairs only — never all-pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("token"),
+    ).localCheckpoint()
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df_"))
+    wp = Window.partitionBy("doc_id")
+    w = wp.orderBy(F.asc("df_"), F.asc("token"))
+    ranked = toks.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.row_number().over(w).alias("idx"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    # prefix length p = n - ceil(t*n) + 1, ceil as pure-integer arithmetic
+    p = F.col("n") - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}") + F.lit(1)
+    pref = ranked.where(F.col("idx") <= p).select("doc_id", "token")
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "token")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "token"), "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .where(
+            F.lit(t_den) * F.col("n_inter")
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )

@@ -362,3 +362,90 @@ def rerank_score_filter_cap(
         .where(F.col("rank") <= cap)
         .select("class", "vec_id", "score", "rank")
     )
+
+
+def kmeans_lloyd_quantized(
+    embeddings: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Fixed-round Lloyd k-means over INTEGER-QUANTIZED embeddings — the
+    oracle-able clustering operator (the trained `ivf_centroids_kmeans`
+    quantizer is the float production path; this one trades its k-means||
+    init for bit-exact cross-engine parity, the events_hll convention
+    applied to clustering).
+
+    Parity by construction: every coordinate is floor(x · 2^scale_bits) +
+    2^scale_bits — a power-of-two scaling of a double is EXACT, so the
+    floor is exact, and the +offset keeps the domain non-negative so
+    BIGINT `div` (truncation) == floor division in both engines. From
+    there everything is integer: squared-L2 assignment distances (exact
+    BIGINT sums, deterministic (dist, cid) tie-break), centroid updates
+    as per-dimension BIGINT sum `div` count, and the final inertia an
+    exact BIGINT sum. No float ever enters an aggregate or a comparison.
+
+    Scale shape (the MLlib distributed-Lloyd plan): the quantized corpus
+    is pinned once; per round the k-row centroid table BROADCASTS into
+    the assignment (N·k narrow rows, algebraic min-struct — map-side
+    combine absorbs any cluster skew) and the update is a posexplode
+    groupBy (cid, dim) that collapses to k·dim cells map-side; the only
+    driver-sized object is the k×dim centroid table. rounds is fixed
+    (count-free loop, lineage flattened per round).
+
+    Returns one row per surviving cluster: (cid, n_members, inertia,
+    rep) with rep = min member vec_id.
+    """
+    s = 1 << scale_bits
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(float(s))).cast("long") + F.lit(s)
+        ).alias("qe"),
+    ).localCheckpoint()
+
+    def _dist_to(cents: DataFrame) -> DataFrame:
+        return q.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with("qe", "ce", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        return (
+            _dist_to(cents)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        )
+
+    cents = q.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    )
+    for _ in range(rounds):
+        asg = _assign(cents).join(q, "vec_id")
+        dims = (
+            asg.select("cid", F.posexplode("qe").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s_"), F.count(F.lit(1)).cast("long").alias("n_"))
+            .select("cid", "pos", F.expr("s_ div n_").alias("cv"))
+        )
+        cents = (
+            dims.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("a"))
+            .select("cid", F.transform("a", lambda st: st["cv"]).alias("ce"))
+            .localCheckpoint()
+        )
+    return (
+        _assign(cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+            F.min("vec_id").alias("rep"),
+        )
+    )
