@@ -1598,6 +1598,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rebalancing rule. sqrt is IEEE-correctly-rounded and the weights are
     # quantized to BIGINT, so the whole target computation is integer-exact
     # on both engines (see the operator docstring).
+    # Deterministic train/val/test split: membership is a pure md5-bucket
+    # function of doc_id — stable under any partitioning/cluster size/input
+    # order, unlike randomSplit (per-partition sampling leaks rows across
+    # splits on a repartition). Gate checks the per-(source, split) census.
+    def sample_split(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.curate import (
+            hash_split,
+        )
+
+        return (
+            hash_split(_t(s, d, "documents"))
+            .groupBy("source", "split")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+        )
+
+    q["sample_split"] = sample_split
+
     def sample_temperature_q(s, d):
         from medical_doc_knowledge_graph_system_spark.functions.curate import (
             sample_temperature,
@@ -2003,6 +2023,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_estimate(cells, ["event_type"], 0.0, 1024.0, 12, (50, 95))
 
     q["stream_hist"] = stream_hist
+
+    # H (streaming Count-Min): the CMS cell table as a NATIVE update-mode
+    # streaming aggregation — (j, bucket) counts over the depth-way explode,
+    # state bounded at depth*width cells forever (the sketch property is
+    # exactly what makes the streaming state bounded). Counts are monotone,
+    # so the drained latest value per cell is max(c) == the final cell; the
+    # probe is the SAME cms_probe the batch gate uses (single-sourced), so
+    # the fold == the batch sketch and the oracle is shared verbatim with
+    # events_cms.
+    def stream_cms(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.functions.sketches import (
+            _cms_bucket,
+            cms_probe,
+        )
+
+        depth, width = 4, 256
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_cms_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select("user_id", "event_id")
+            ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema("user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            rows = F.array([F.lit(j) for j in range(depth)])
+            cells = (
+                stream.select(
+                    F.col("user_id").cast("string").alias("__k"),
+                    F.explode(rows).alias("j"),
+                )
+                .select("j", _cms_bucket(F.col("j"), F.col("__k"), width).alias("bucket"))
+                .groupBy("j", "bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                cells.writeStream.format("memory")
+                .queryName(f"scms_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        folded = s.table(f"scms_{tag}").groupBy("j", "bucket").agg(
+            F.max("c").alias("c")
+        )
+        return cms_probe(_t(s, d, "events"), folded, "user_id", depth, width)
+
+    q["stream_cms"] = stream_cms
+
+    # A4 end-to-end through the driver gate (previously pytest-only): the
+    # warehouse's snapshot-atomic bucketed write -> a bucket-targeted
+    # merge_upsert (modifying every doc_id % 3 == 0 row) -> the committed
+    # changed-bucket CDC log -> BucketAggView incremental refresh (full
+    # build at v1, changed-partials-only at v2). The oracle is the plain
+    # GROUP BY over the post-merge table contents — which the IVM result
+    # must equal exactly if (and only if) the whole chain is correct.
+    def warehouse_ivm(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.sources.ivm import BucketAggView
+        from medical_doc_knowledge_graph_system_spark.sources.warehouse import (
+            Warehouse,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        base = tempfile.mkdtemp(prefix=f"mdkgs_ivm_{tag}_")
+        try:
+            wh = Warehouse(os.path.join(base, "wh"))
+            docs = _t(s, d, "documents").select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.col("doc_id"),
+                "lang",
+                "n_chars",
+            )
+            wh.write_bucketed(
+                docs.where(F.col("doc_id") % 3 != 0), "t", n_buckets=8
+            )
+            view = BucketAggView(
+                wh,
+                "t",
+                partial_fn=lambda df: df.groupBy("__bucket", "lang").agg(
+                    F.count(F.lit(1)).cast("long").alias("c"),
+                    F.sum("n_chars").cast("long").alias("s"),
+                ),
+                merge_fn=lambda p: p.groupBy("lang").agg(
+                    F.sum("c").cast("long").alias("n_docs"),
+                    F.sum("s").cast("long").alias("sum_chars"),
+                ),
+                state_dir=os.path.join(base, "view"),
+            )
+            view.refresh(s)  # full build at v1
+            wh.merge_upsert(
+                docs.where(F.col("doc_id") % 3 == 0).withColumn(
+                    "n_chars", F.col("n_chars") + F.lit(1000)
+                ),
+                "t",
+                ["url"],
+            )
+            # incremental: only the buckets the v2 commit logged as changed
+            # have their partials recomputed; localCheckpoint materializes
+            # the result before the temp warehouse is removed
+            return view.refresh(s).localCheckpoint()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    q["warehouse_ivm"] = warehouse_ivm
 
     # H (native stateful): Spark's watermark + dropDuplicatesWithinWatermark
     # over the same planted-redelivery stream — the engine-owned bounded
@@ -4704,6 +4848,30 @@ FROM dn"""
     # drained histogram cells (monotone counts -> max(c) = latest) fold
     # to the batch sketch, so stream_hist shares the events_hist oracle
     o["stream_hist"] = o["events_hist"]
+    # the CMS cell fold (max of monotone update-mode counts) == the batch
+    # cells, and the probe is the same cms_probe — oracle shared verbatim
+    o["stream_cms"] = o["events_cms"]
+
+    # warehouse_ivm: the incrementally-maintained view must equal the plain
+    # aggregate over the post-merge table = all docs, with every
+    # doc_id % 3 == 0 row carrying the upserted n_chars + 1000
+    o["warehouse_ivm"] = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                     ELSE n_chars END) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang"""
+
+    o["sample_split"] = """
+WITH s AS (
+  SELECT source, n_chars,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS b
+  FROM documents
+)
+SELECT source,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1, 2"""
 
     # Flesch: three exact BIGINT counts (regex vowel-group syllables,
     # punctuation-run sentences), one closed-form double, banded on the

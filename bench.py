@@ -55,10 +55,12 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_cluster",
     "dedup_containment",
+    "dedup_prefix_filter",
     "curate_docs",
     "sample_tokens",
     "sample_pack",
     "sample_stratified",
+    "sample_split",
     "text_bpe_tokens",
     "text_rolling_hash",
     "url_canonical",
@@ -67,6 +69,7 @@ HEADLINE = [
     "dedup_substring",
     "decontam_ngram",
     "sim_topk",
+    "sim_kmeans",
     "sim_neardup",
     "sim_neardup_bands",
     "sim_ivf_topk",
@@ -84,6 +87,7 @@ HEADLINE = [
     "events_hourly",
     "events_sessions",
     "events_asof",
+    "events_gapfill",
     "events_funnel",
     "events_pivot",
     "events_range_join",

@@ -482,3 +482,41 @@ def weighted_sample(
         .orderBy(F.asc("es_key"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split membership is a pure
+    function of the row id (md5 bucket), so the SAME row lands in the SAME
+    split on any cluster size, partitioning, input ordering or re-run —
+    the property Spark's own randomSplit does NOT have (its sampling is
+    evaluated per-partition, so a repartition or an input-file reorder
+    silently reshuffles the splits and leaks eval rows into training).
+
+    `splits` is [(name, n_of_buckets)] consuming `n_buckets` in order —
+    default [('train', 8), ('val', 1), ('test', 1)] over 10 buckets.
+    Adds a `split` column; pure column expression, zero shuffle.
+    """
+    if splits is None:
+        splits = [("train", 8), ("val", 1), ("test", 1)]
+    if sum(n for _, n in splits) != n_buckets:
+        raise ValueError("split bucket counts must sum to n_buckets")
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    expr = None
+    lo = 0
+    for name, n in splits[:-1]:
+        cond = b < lo + n
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += n
+    expr = (
+        F.lit(splits[0][0]) if expr is None else expr.otherwise(splits[-1][0])
+    )
+    return df.withColumn("split", expr)

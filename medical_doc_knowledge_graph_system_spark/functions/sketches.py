@@ -384,6 +384,65 @@ def hll_regs_to_moments(regs_col) -> tuple[F.Column, F.Column]:
     return n_regs, sum_q
 
 
+def _cms_bucket(j_col, k_col, width: int) -> F.Column:
+    """Row-j bucket of a key: md5-derived, shared verbatim by the batch
+    build, the streaming fold and the DuckDB oracle (never fork)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j_col.cast("string"), F.lit(":"), k_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The Count-Min cell table (j, bucket, c): ONE algebraic groupBy over
+    a depth-way explode — map-side combine collapses each partition to
+    <= depth*width cells before the shuffle (the sketch-merge property);
+    the result is depth*width rows TOTAL, independent of N."""
+    rows = F.array([F.lit(j) for j in range(depth)])
+    exploded = df.select(
+        F.col(key_col).cast("string").alias("__k"), F.explode(rows).alias("j")
+    ).select("j", _cms_bucket(F.col("j"), F.col("__k"), width).alias("bucket"))
+    return exploded.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_probe(
+    df: DataFrame,
+    cells: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Probe every distinct key of `df` against a CMS cell table:
+    (key, n_true, cms_est) with cms_est = MIN over the key's depth cells —
+    the provable overestimate. n_true (the exact count) rides along as the
+    accuracy gate."""
+    rows = F.array([F.lit(j) for j in range(depth)])
+    keys = df.groupBy(F.col(key_col).cast("string").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    probes = keys.select(key_col, "n_true", F.explode(rows).alias("j")).select(
+        key_col,
+        "n_true",
+        "j",
+        _cms_bucket(F.col("j"), F.col(key_col), width).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(key_col, "n_true")
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
 def cms_frequencies(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
@@ -396,51 +455,11 @@ def cms_frequencies(
     Returns (key, n_true, cms_est) for every distinct key; n_true is the
     exact count so the gate verifies cms_est >= n_true row-for-row and the
     estimate error is measurable. Pure BIGINT arithmetic end to end —
-    bit-exact cross-engine by construction.
-
-    Scale shape: the sketch build is ONE algebraic groupBy on (row,
-    bucket) over a depth-way explode — map-side combine collapses each
-    partition to <= depth*width cells before the shuffle, which is the
-    sketch-merge property (cells: depth*width rows TOTAL, independent of
-    N). The probe joins the distinct keys against the broadcast cell
-    table. At true 100 TB the per-key probe output is optional — the
-    sketch itself is the bounded artifact; here it doubles as the
-    accuracy gate.
+    bit-exact cross-engine by construction. Composition of cms_cells (the
+    bounded sketch artifact — the streaming fold builds the same cells as
+    a native update-mode aggregation) and cms_probe.
     """
-    rows = F.array([F.lit(j) for j in range(depth)])
-
-    def bucket(j_col, k_col) -> F.Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(j_col.cast("string"), F.lit(":"), k_col)), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-
-    exploded = df.select(
-        F.col(key_col).cast("string").alias("__k"), F.explode(rows).alias("j")
-    ).select("j", bucket(F.col("j"), F.col("__k")).alias("bucket"))
-    cells = exploded.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    keys = df.groupBy(F.col(key_col).cast("string").alias(key_col)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_true")
-    )
-    probes = keys.select(key_col, "n_true", F.explode(rows).alias("j")).select(
-        key_col,
-        "n_true",
-        "j",
-        bucket(F.col("j"), F.col(key_col)).alias("bucket"),
-    )
-    return (
-        probes.join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy(key_col, "n_true")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    return cms_probe(df, cms_cells(df, key_col, depth, width), key_col, depth, width)
 
 
 def bloom_bits(grams: DataFrame, m: int = 1 << 18, k: int = 4) -> DataFrame:
