@@ -1535,6 +1535,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_rollup"] = tpch_rollup
 
+    # TPC-H Q5 shape (local-supplier volume): the canonical 6-way
+    # snowflake join — lineitem⋈orders (the one big-big shuffle)
+    # ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with the same-nation
+    # predicate c_nationkey = s_nationkey and region + date-range filters
+    # pushed to the dimension scans. Every dimension side is broadcast;
+    # revenue is quantized to BIGINT cents per row
+    # (floor(x·100 + 0.5), identical operand order both engines) so the
+    # sum is exact integer arithmetic — no float accumulation anywhere.
+    def tpch_local_supplier(s, d):
+        li = _t(s, d, "lineitem")
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        su = _t(s, d, "supplier")
+        n = _t(s, d, "nation")
+        r = _t(s, d, "region")
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            )
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(
+                F.broadcast(su),
+                (li.l_suppkey == su.s_suppkey)
+                & (c.c_nationkey == su.s_nationkey),
+            )
+            .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .where(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(
+                F.sum(rev_c).cast("long").alias("revenue_c"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["tpch_local_supplier"] = tpch_local_supplier
+
+    # latest-wins compaction (the CDC "current snapshot" op — what a
+    # MERGE-on-read table's read-side dedup does): per (user_id,
+    # event_type) the most recent event under the deterministic
+    # (ts, event_id) total order. ONE algebraic max over a struct whose
+    # comparison prefix is that order — plans as partial_max before the
+    # exchange (SortAggregate: struct max isn't hash-aggregable), so
+    # map-side combine absorbs per-key skew where a window top-1 would
+    # shuffle every row to its key's reducer.
+    def events_latest(s, d):
+        ev = _t(s, d, "events")
+        m = (
+            ev.groupBy("user_id", "event_type")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        )
+        return m.select(
+            "user_id",
+            "event_type",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            (F.round(F.col("m.value"), 4) + F.lit(0.0)).alias("value"),
+        )
+
+    q["events_latest"] = events_latest
+
+    # one-pass column profiling (functions/profiling.py): per-column
+    # null/distinct/min/max census in a single scan — the multi-distinct
+    # aggregate plans as ONE Expand, not one job per column.
+    def docs_profile(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+            profile_columns,
+        )
+
+        return profile_columns(
+            _t(s, d, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
+    q["docs_profile"] = docs_profile
+
+    # KG-embedding training negatives (operators/kgtrain.py): k
+    # deterministic md5-indexed corrupt-tail candidates per true triple,
+    # 'filtered' via one anti-join against the true-triple set. The
+    # candidate index is a pure function of (triple, k) — partitioning /
+    # cluster-size / order invariant, which is also what makes it exactly
+    # oracle-able where a rand() sampler is not.
+    def kg_negatives(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.kgtrain import (
+            negative_samples,
+        )
+
+        docs = _t(s, d, "documents")
+        # pin mentions: doc_triples self-joins it (zero exchange reuse
+        # across branches), so unpinned it would scan the corpus twice
+        m = webkg.doc_mentions(docs).localCheckpoint()
+        return negative_samples(webkg.doc_triples(docs, mentions=m), k=5)
+
+    q["kg_negatives"] = kg_negatives
+
     # pivot: event_type counts as columns per user
     def events_pivot(s, d):
         ev = _t(s, d, "events")
@@ -2087,6 +2187,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cms_probe(_t(s, d, "events"), folded, "user_id", depth, width)
 
     q["stream_cms"] = stream_cms
+
+    # H (streaming compaction): the latest-wins snapshot as a NATIVE
+    # update-mode streaming aggregation — per-key max over the
+    # (ts, event_id, value) order-prefixed struct, exactly what a CDC
+    # consumer materializes as the "current state" table. The struct max
+    # is MONOTONE across updates (later batches only grow it), so the
+    # drained fold is max again per key == the batch compaction; oracle
+    # shared verbatim with events_latest. State = one struct per live key.
+    def stream_latest(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_latest_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "user_id", "event_type", "ts", "event_id", "value"
+            )
+            ev.where(F.col("event_id") % 2 == 0).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(
+                    "user_id long, event_type string, ts timestamp_ntz,"
+                    " event_id long, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = stream.groupBy("user_id", "event_type").agg(
+                F.max(F.struct("ts", "event_id", "value")).alias("m")
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(f"slatest_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        folded = (
+            s.table(f"slatest_{tag}")
+            .groupBy("user_id", "event_type")
+            .agg(F.max("m").alias("m"))
+        )
+        return folded.select(
+            "user_id",
+            "event_type",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            (F.round(F.col("m.value"), 4) + F.lit(0.0)).alias("value"),
+        )
+
+    q["stream_latest"] = stream_latest
+
+    # I (batch applyInPandas): per-key ECDF rank — grouped Arrow transform
+    # semantically pinned to ROW_NUMBER + COUNT OVER (PARTITION BY): the
+    # gate proves the per-group pandas path (the contract the multimodal /
+    # extraction UDFs ride) bit-matches the window oracle on pure BIGINTs,
+    # invariant to partitioning and Arrow batch boundaries.
+    def events_ecdf(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.grouped import (
+            ecdf_ranks,
+        )
+
+        return ecdf_ranks(_t(s, d, "events"), "user_id", ["ts", "event_id"])
+
+    q["events_ecdf"] = events_ecdf
+
+    # I (cogroup applyInPandas): views-strictly-before-purchase counts per
+    # purchase — the two-sided grouped-merge surface (sorted timestamps +
+    # searchsorted per key, O(|views| log) where the oracle's inequality
+    # join is views x purchases per key). Exact BIGINTs.
+    def events_attrib_pandas(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.grouped import (
+            views_before_purchase,
+        )
+
+        return views_before_purchase(_t(s, d, "events"))
+
+    q["events_attrib_pandas"] = events_attrib_pandas
 
     # A4 end-to-end through the driver gate (previously pytest-only): the
     # warehouse's snapshot-atomic bucketed write -> a bucket-targeted
@@ -4642,6 +4832,113 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+    # Q5: revenue quantized to BIGINT cents per row (floor(x*100 + 0.5) in
+    # identical operand order) so the aggregate is exact integer arithmetic
+    o["tpch_local_supplier"] = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name"""
+
+    # latest-wins compaction: the Spark side is an algebraic max over a
+    # (ts, event_id, value) struct; (ts, event_id) is a unique total order,
+    # so the window formulation below selects the identical row
+    o["events_latest"] = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts, event_id,
+       round(value, 4) + 0.0 AS value
+FROM r WHERE rn = 1"""
+
+    # the streaming struct-max fold is monotone across update-mode batches,
+    # so the drained max per key == the batch compaction — oracle shared
+    o["stream_latest"] = o["events_latest"]
+
+    # applyInPandas ECDF rank pinned to the exact window formulation
+    o["events_ecdf"] = """
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rnk,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+FROM events"""
+
+    # cogroup searchsorted (side='left') == the strict v.ts < p.ts
+    # inequality join; COUNT(v.ts) counts only matched views
+    o["events_attrib_pandas"] = """
+SELECT p.user_id, p.event_id, CAST(COUNT(v.ts) AS BIGINT) AS n_views_before
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id AND v.ts < p.ts
+GROUP BY p.user_id, p.event_id"""
+
+    o["docs_profile"] = """
+SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v
+FROM documents
+UNION ALL
+SELECT 'text', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT text) AS BIGINT), MIN(text), MAX(text)
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents"""
+
+    # filtered corrupt-tail negatives: candidate index = md5(triple|k) %
+    # n_entities over the name-dense entity ids — a pure function of the
+    # triple key, so the oracle reproduces it verbatim
+    o["kg_negatives"] = f"""
+WITH {_triples_cte()},
+ents AS (
+  SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS ent_id
+  FROM (SELECT subj AS name FROM triples UNION SELECT obj FROM triples) u
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ents FROM ents),
+cand AS (
+  SELECT t.subj, t.pred, t.obj, k.neg_k, e.name AS neg_obj
+  FROM triples t
+  CROSS JOIN nn
+  CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS neg_k) k
+  JOIN ents e
+    ON e.ent_id = ('0x' || substring(md5(t.subj || '|' || t.pred || '|' || t.obj
+                                         || '|' || CAST(k.neg_k AS VARCHAR)),
+                                     1, 12))::BIGINT % nn.n_ents
+  WHERE e.name <> t.obj AND e.name <> t.subj
+)
+SELECT c.subj, c.pred, c.obj, c.neg_k, c.neg_obj
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM triples tt
+  WHERE tt.subj = c.subj AND tt.pred = c.pred AND tt.obj = c.neg_obj
+)"""
     o["events_pivot"] = """
 SELECT user_id,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

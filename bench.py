@@ -37,6 +37,7 @@ HEADLINE = [
     "kg_pagerank",
     "kg_pagerank_weighted",
     "kg_linkpred",
+    "kg_negatives",
     "kg_triangles",
     "kg_ktruss",
     "kg_sssp",
@@ -57,6 +58,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_prefix_filter",
     "curate_docs",
+    "docs_profile",
     "sample_tokens",
     "sample_pack",
     "sample_stratified",
@@ -87,6 +89,9 @@ HEADLINE = [
     "events_hourly",
     "events_sessions",
     "events_asof",
+    "events_latest",
+    "events_ecdf",
+    "events_attrib_pandas",
     "events_gapfill",
     "events_funnel",
     "events_pivot",
@@ -105,6 +110,7 @@ HEADLINE = [
     "kg_assortativity",
     "tpch_pricing",
     "tpch_rollup",
+    "tpch_local_supplier",
     "tpch_top_customers",
     "docs_setops",
     # late-r5 additions: whole-graph analytics, LM corpus statistics,
