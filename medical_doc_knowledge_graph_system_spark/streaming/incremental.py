@@ -288,3 +288,49 @@ def run_windowed_counts_available_now(
         "n_events",
         "sum_value",
     )
+
+
+def upsert_sink(wh, name: str, keys: list[str]):
+    """A foreachBatch MERGE sink into a warehouse table — the Structured
+    Streaming -> Iceberg `MERGE INTO` pattern — with a BATCH-ID FENCE for
+    exactly-once effects.
+
+    Why merge alone isn't enough: foreachBatch is at-least-once (the stream
+    checkpoint commits AFTER the function returns), and while re-merging
+    the SAME batch is idempotent, a replay of an OLDER batch after a newer
+    one has applied would clobber newer rows for shared keys —
+    last-writer-wins inverted. The fence (a tmp+rename sidecar recording
+    the highest applied batch id, written AFTER the merge commits) makes
+    replays of any batch <= the fence a no-op:
+
+      crash after merge, before fence  -> replay re-merges identical rows
+                                          (idempotent) and re-writes the
+                                          fence: same table either way;
+      replay of an older batch         -> skipped at the fence.
+
+    Iceberg parity: this is exactly Iceberg's snapshot-property
+    commit-fencing for streaming writers (spark.sql streaming-watermark /
+    wap.id dedup). Returns the function to pass to
+    `stream.writeStream.foreachBatch(...)`.
+    """
+    import json
+
+    fence_path = wh.path(f"{name}.sink.json")
+
+    def _last_applied() -> int:
+        if not os.path.exists(fence_path):
+            return -1
+        with open(fence_path) as f:
+            return json.load(f)["last_batch"]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied():
+            return  # replayed or out-of-order epoch: already in the table
+        if not batch_df.isEmpty():
+            wh.merge_upsert(batch_df, name, keys)
+        tmp = fence_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch": batch_id}, f)
+        os.replace(tmp, fence_path)
+
+    return _process

@@ -302,6 +302,14 @@ def test_gate_query_scan_budget(spark):
         ("events_hist", 1),
         # eff-diameter roots in the checkpointed BFS distance layers
         ("kg_eff_diameter", 0),
+        # eighth-session r5: negatives root in the pinned mention/triple
+        # frames (entity dim, candidate base and the anti-join's build
+        # side are all derivatives of the one checkpoint); the profiler
+        # is the canonical ONE-scan census
+        ("kg_negatives", 0),
+        ("docs_profile", 1),
+        ("events_latest", 1),
+        ("events_ecdf", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
@@ -351,3 +359,21 @@ def test_decontam_eval_suite_broadcasts(spark, docs):
     # eval grams (ExistingRDD), never the corpus scan
     bx = p.split("BroadcastExchange", 1)[1]
     assert "Scan ExistingRDD" in bx and "Scan parquet" not in bx
+
+
+def test_tpch_local_supplier_broadcasts_every_dimension(spark):
+    """The Q5 snowflake: the only permissible shuffle join is the
+    lineitem-orders fact join; every dimension side (customer, supplier,
+    nation, region) must be a BroadcastHashJoin, and nothing may plan as
+    a nested-loop or cartesian product."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_local_supplier"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
