@@ -2747,6 +2747,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_walks"] = kg_walks
 
+    # BM25 top-k retrieval (ninth-session r5): the sparse ranking function
+    # over a deterministic mid-frequency query band; per-(doc,term) score
+    # quantized to BIGINT micro-units before the per-doc sum so the only
+    # cross-engine float is one closed-form expression per term (see
+    # corpusstats.bm25_topk).
+    def text_bm25_topk(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            bm25_topk,
+        )
+
+        return bm25_topk(_t(s, d, "documents"), k=20)
+
+    q["text_bm25_topk"] = text_bm25_topk
+
+    # Symmetric-delete (SymSpell) edit-distance-1 blocking + levenshtein
+    # verify over the serial-id customer names — the blocking that does NOT
+    # degenerate on shared prefixes (prefix blocking would put all 150k
+    # 'Customer#...' names in one bucket; deletion-variant buckets stay
+    # bounded by |alphabet| x length). Both engines have native
+    # levenshtein; the candidate generation is the same explode+equi-join.
+    def dedup_editdist(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            editdist_pairs,
+        )
+
+        return editdist_pairs(_t(s, d, "customer"), name_col="c_name")
+
+    q["dedup_editdist"] = dedup_editdist
+
+    # Bipartite butterfly counts over the doc<->rare-shingle incidence (the
+    # blocking graph the dedup family joins on): 4-cycle multiplicity
+    # separates robust duplicate clusters from single-shingle chaining.
+    # Pure BIGINT algebra; wedge fan-out df-capped on the shingle side.
+    def kg_butterflies(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            doc_shingles,
+        )
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            butterflies,
+        )
+
+        return butterflies(doc_shingles(_t(s, d, "documents")))
+
+    q["kg_butterflies"] = kg_butterflies
+
+    # TPC-H Q3 shape (shipping priority): unshipped-order revenue for one
+    # market segment, top-10 by revenue. Segment-filtered customer
+    # broadcasts; the only shuffle join is lineitem-orders; top-10 is
+    # TakeOrderedAndProject on (revenue desc, date asc, orderkey asc) —
+    # a fully deterministic total order. Revenue exact in BIGINT cents
+    # (identical operand order, the tpch_local_supplier convention).
+    def tpch_ship_priority(s, d):
+        li = _t(s, d, "lineitem")
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        rw = Window.orderBy(
+            F.desc("revenue_c"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        return (
+            li.where(F.col("l_shipdate") > "1997-01-01")
+            .join(
+                o.where(F.col("o_orderdate") < "1997-01-01"),
+                li.l_orderkey == o.o_orderkey,
+            )
+            .join(
+                F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+                o.o_custkey == c.c_custkey,
+            )
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                F.sum(rev_c).cast("long").alias("revenue_c"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+            .orderBy(
+                F.desc("revenue_c"), F.asc("o_orderdate"), F.asc("l_orderkey")
+            )
+            .limit(10)
+            .withColumn("rk", F.row_number().over(rw).cast("long"))
+        )
+
+    q["tpch_ship_priority"] = tpch_ship_priority
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -5479,5 +5565,111 @@ und AS (SELECT a AS x, b AS y FROM e0 UNION SELECT b AS x, a AS y FROM e0),
 srcs AS (SELECT DISTINCT x AS name FROM und WHERE x % 31 = 0),
 w0 AS MATERIALIZED (SELECT name AS src, name AS node FROM srcs){_walk_steps}
 SELECT src AS name, step, node FROM ({_walk_union})"""
+
+    # BM25: identical operand order per (doc, term); the per-doc sum runs
+    # over BIGINT micro-units (order-free); 2.2 == repr(1.2 + 1.0) and
+    # 0.25 == repr(1.0 - 0.75) round-trip exactly, so the literals ARE the
+    # Spark-side doubles.
+    o["text_bm25_topk"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM pairs GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT n_docs, sum_dl / n_docs AS avgdl
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl)
+),
+qsel AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term ASC) AS qrk
+    FROM dfreq)
+  WHERE qrk BETWEEN 10 AND 14
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS sq
+  FROM tf JOIN qsel q USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, CAST(sum(sq) AS BIGINT) AS s_q,
+               CAST(count(*) AS BIGINT) AS n_qterms
+        FROM scored GROUP BY doc_id),
+rk AS (SELECT *, row_number() OVER (ORDER BY s_q DESC, doc_id ASC) AS rk
+       FROM agg)
+SELECT doc_id, n_qterms, round(s_q / 1000000.0, 4) AS bm25,
+       CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 20"""
+
+    # SymSpell blocking: neighborhood = {name} union all 1-deletions;
+    # generate_series is inclusive like F.sequence; substr past the end is
+    # '' on both engines. Native levenshtein on both sides.
+    o["dedup_editdist"] = """
+WITH names AS (SELECT DISTINCT c_name AS name FROM customer),
+vars AS (
+  SELECT name,
+         unnest(list_distinct(list_prepend(name,
+           list_transform(generate_series(1, length(name)),
+             i -> concat(substr(name, 1, i - 1),
+                         substr(name, i + 1, length(name))))))) AS v
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT l.name AS name_a, r.name AS name_b
+  FROM vars l JOIN vars r ON l.v = r.v AND l.name < r.name
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1"""
+
+    # butterflies: sh is already per-doc-distinct (array_distinct in
+    # shingles_col == list_distinct in _shingles_cte); MATERIALIZED because
+    # the incidence feeds both halves of the wedge self-join (invariant #3).
+    o["kg_butterflies"] = f"""
+WITH {_shingles_cte()},
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) BETWEEN 2 AND 50),
+ir AS MATERIALIZED (
+  SELECT i.doc_id, i.shingle FROM sh i JOIN rare USING (shingle)),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+  FROM ir l JOIN ir r USING (shingle)
+  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+bf AS (SELECT a, b, (c * (c - 1)) // 2 AS bfly,
+              CASE WHEN c >= 2 THEN 1 ELSE 0 END AS cop FROM pairs),
+per AS (
+  SELECT doc_id, CAST(sum(cop) AS BIGINT) AS n_copair,
+         CAST(sum(bfly) AS BIGINT) AS n_bfly
+  FROM (SELECT a AS doc_id, bfly, cop FROM bf
+        UNION ALL SELECT b, bfly, cop FROM bf)
+  GROUP BY doc_id)
+SELECT doc_id, n_copair, n_bfly FROM per WHERE n_bfly > 0"""
+
+    # Q3: the deterministic (revenue desc, date asc, orderkey asc) top-10.
+    o["tpch_ship_priority"] = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    ORDER BY revenue_c DESC, o_orderdate ASC, l_orderkey ASC) AS rk
+  FROM agg
+)
+SELECT l_orderkey, o_orderdate, revenue_c, n_items, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 10"""
 
     return o

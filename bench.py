@@ -39,6 +39,7 @@ HEADLINE = [
     "kg_linkpred",
     "kg_negatives",
     "kg_triangles",
+    "kg_butterflies",
     "kg_ktruss",
     "kg_sssp",
     "kg_kcore",
@@ -69,6 +70,7 @@ HEADLINE = [
     "text_repetition",
     "text_pii_scrub",
     "dedup_substring",
+    "dedup_editdist",
     "decontam_ngram",
     "sim_topk",
     "sim_kmeans",
@@ -102,6 +104,7 @@ HEADLINE = [
     "text_ngram_topk",
     "text_inverted_index",
     "text_tfidf_topk",
+    "text_bm25_topk",
     "text_vocab_growth",
     "sample_temperature",
     "docs_global_rank",
@@ -112,6 +115,7 @@ HEADLINE = [
     "tpch_rollup",
     "tpch_local_supplier",
     "tpch_top_customers",
+    "tpch_ship_priority",
     "docs_setops",
     # late-r5 additions: whole-graph analytics, LM corpus statistics,
     # data-selection weights, deterministic sketches (streaming gates are

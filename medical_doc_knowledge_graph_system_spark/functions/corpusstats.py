@@ -389,3 +389,95 @@ def ppl_buckets(
         .cast("long")
         .alias("bucket"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 20,
+    q_lo: int = 10,
+    q_hi: int = 14,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: score every document against a deterministic query
+    term set (document-frequency ranks [q_lo, q_hi] — the mid-frequency
+    band, where BM25 actually discriminates) and return the top-k docs.
+    This is the retrieval-scoring workload the reference runs through its
+    vector store (`app/rag/`), re-expressed as the classic sparse ranking
+    function so it is exactly oracle-able.
+
+    Float parity: each (doc, term) partial score is ONE closed-form double
+    from exact BIGINTs (tf, df, dl, n_docs) + the broadcast avgdl, computed
+    in identical operand order cross-engine, then quantized to BIGINT
+    micro-units (floor(x*1e6+0.5)) BEFORE the per-doc sum — summing doubles
+    across terms would be addition-order-sensitive; summing BIGINTs is not.
+    Ranking is on the BIGINT sum (deterministic total order with doc_id
+    tiebreak); the reported double is reconstructed once per survivor.
+
+    Scale shape: one corpus scan (the tf frame is pinned and re-derives
+    dl, df and the score join from the materialization); the query-term
+    selection is TakeOrderedAndProject over the vocabulary-sized df frame
+    (never a global sort); qterms and the corpus stats arrive as broadcast
+    frames; the only corpus-sized shuffles are the tf groupBy and the
+    per-doc sum. Output: (doc_id, n_qterms, bm25, rk), rk in [1, k].
+    """
+    pairs = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
+    tf = (
+        pairs.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # deterministic mid-frequency query band: df desc, term asc ranks
+    # [q_lo, q_hi]; limit first (TakeOrderedAndProject), window the <=q_hi
+    # survivors (never the whole vocabulary)
+    qw = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        dfreq.orderBy(F.desc("df"), F.asc("term"))
+        .limit(q_hi)
+        .withColumn("qrk", F.row_number().over(qw))
+        .where(F.col("qrk") >= q_lo)
+        .select("term", "df")
+    )
+    stats = (
+        dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        .select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score_q = F.floor(
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / den * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score_q.alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("sq").cast("long").alias("s_q"),
+            F.count(F.lit(1)).cast("long").alias("n_qterms"),
+        )
+    )
+    rw = Window.orderBy(F.desc("s_q"), F.asc("doc_id"))
+    return (
+        per_doc.orderBy(F.desc("s_q"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rk", F.row_number().over(rw).cast("long"))
+        .select(
+            "doc_id",
+            "n_qterms",
+            F.round(F.col("s_q") / F.lit(1000000.0), 4).alias("bm25"),
+            "rk",
+        )
+    )

@@ -511,3 +511,57 @@ def prefix_filter_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def editdist_pairs(
+    df: DataFrame, name_col: str = "name", max_dist: int = 1
+) -> DataFrame:
+    """Edit-distance-1 near-duplicate string pairs via symmetric-delete
+    (SymSpell) blocking: two strings are within Levenshtein distance 1 iff
+    their deletion neighborhoods ({s} union all 1-deletions of s) intersect
+    — substitution at position p shares the delete-p variant, insert/delete
+    shares the string itself — so ONE equi-join on the variant key is a
+    COMPLETE blocking (no false negatives), then `F.levenshtein` verifies
+    the survivors. The typo/variant-mining op a query-log or entity-name
+    curation pipeline runs where full fuzzy matching (resolve.py's
+    token_sort_ratio path) is too heavy.
+
+    Scale shape: the variant explode is length+1 rows per distinct name; a
+    variant bucket only contains names one edit from the SAME short string,
+    so its size is bounded by |alphabet| x (len+1) + 1 regardless of corpus
+    size — blocked equi-join, never all-pairs, no length/prefix bucket to
+    skew (contrast prefix blocking, which degenerates on shared-prefix
+    serial ids). The variant frame is pinned once ahead of its self-join
+    (Catalyst gives zero ReusedExchange across self-join branches).
+    Output: (name_a, name_b, dist) with name_a < name_b, dist <= max_dist.
+    """
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.substring(F.col("name"), F.lit(1), i - F.lit(1)),
+            F.substring(F.col("name"), i + F.lit(1), F.length("name")),
+        ),
+    )
+    variants = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .select(
+            "name",
+            F.explode(
+                F.array_distinct(F.concat(F.array(F.col("name")), dels))
+            ).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    l = variants.select(F.col("name").alias("name_a"), "v")
+    r = variants.select(F.col("name").alias("name_b"), "v")
+    cand = (
+        l.join(r, "v")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= max_dist).select(
+        "name_a", "name_b", dist.cast("long").alias("dist")
+    )

@@ -1252,3 +1252,65 @@ def maximal_independent_set(
     for d in decided:
         out = out.unionAll(d)
     return out
+
+
+def butterflies(
+    incid: DataFrame,
+    left_col: str = "doc_id",
+    right_col: str = "shingle",
+    min_df: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Per-left-vertex butterfly (bipartite 4-cycle) counts over a distinct
+    incidence frame — the bipartite cousin of `triangle_stats`. A butterfly
+    (d1, d2, s1, s2) is two left vertices sharing two right vertices: the
+    cohesion motif of a doc<->shingle blocking graph (many butterflies
+    between two docs = robust near-duplicate evidence; the Sanei-Mehri
+    et al. 2018 vertex-priority counting identity: for each left pair with
+    c common right-neighbors, C(c, 2) butterflies).
+
+    Scale shape: wedges are enumerated from the RIGHT side (per-shingle doc
+    pairs), whose fan-out is hard-capped by the df window [min_df, max_df]
+    — the identical rare-blocking bound every dedup join here uses — so
+    the self-join is never all-pairs; the common-neighbor count c and
+    c*(c-1)/2 are pure BIGINT algebra (no floats anywhere). The filtered
+    incidence is pinned once ahead of its self-join. Output:
+    (doc_id, n_copair, n_bfly) for left vertices in >= 1 butterfly.
+    """
+    d, s = left_col, right_col
+    # pin the incidence before deriving rare + the filter join from it —
+    # unpinned, the df aggregate and the join branch each re-run the
+    # corpus scan/explode during ir's own materialization (the
+    # shingle_overlap_edges precedent)
+    incid = incid.select(d, s).localCheckpoint()
+    rare = (
+        incid.groupBy(s)
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where((F.col("df_") >= min_df) & (F.col("df_") <= max_df))
+        .select(s)
+    )
+    ir = incid.join(rare, s).localCheckpoint()
+    l = ir.select(F.col(d).alias("a"), s)
+    r = ir.select(F.col(d).alias("b"), s)
+    pairs = (
+        l.join(r, [s])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bf = pairs.select(
+        "a",
+        "b",
+        F.expr("(c * (c - 1)) div 2").alias("bfly"),
+        F.when(F.col("c") >= 2, F.lit(1)).otherwise(F.lit(0)).alias("cop"),
+    )
+    per = (
+        bf.select(F.col("a").alias(d), "bfly", "cop")
+        .unionAll(bf.select(F.col("b").alias(d), "bfly", "cop"))
+        .groupBy(d)
+        .agg(
+            F.sum("cop").cast("long").alias("n_copair"),
+            F.sum("bfly").cast("long").alias("n_bfly"),
+        )
+    )
+    return per.where(F.col("n_bfly") > 0)

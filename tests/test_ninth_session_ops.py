@@ -1,0 +1,164 @@
+"""Ninth-session r5 operators: SymSpell edit-distance blocking
+(completeness vs brute-force levenshtein, verify soundness), bipartite
+butterfly counting (known answer + brute-force 4-cycle enumeration), and
+BM25 top-k (python-reference equality on the quantized scores)."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from medical_doc_knowledge_graph_system_spark.functions.corpusstats import bm25_topk
+from medical_doc_knowledge_graph_system_spark.functions.dedup import editdist_pairs
+from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+    butterflies,
+)
+
+
+# ── edit distance ────────────────────────────────────────────────────────────
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_pairs_complete_vs_brute_force(spark):
+    # substitutions, inserts, deletes, a shared-prefix serial-id family,
+    # and strings >1 apart — the blocking must find EXACTLY the <=1 set
+    names = [
+        "alpha", "alpho",            # substitution
+        "beta", "betas",             # insert at end
+        "gamma", "gama",             # delete
+        "id#001", "id#002", "id#011", "id#101",  # serial ids
+        "zeta", "omega",             # unrelated
+        "x", "y", "xy",              # short strings ('' variant bucket)
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = sorted(
+        (r.name_a, r.name_b, r.dist)
+        for r in editdist_pairs(df, "name").collect()
+    )
+    want = sorted(
+        (a, b, _lev(a, b))
+        for a, b in combinations(sorted(names), 2)
+        if _lev(a, b) <= 1
+    )
+    assert got == want
+    # sanity: the brute-force set is non-trivial in every edit class
+    assert ("alpha", "alpho", 1) in want and ("x", "xy", 1) in want
+
+
+def test_editdist_pairs_dedups_multi_variant_candidates(spark):
+    # "aa"/"ab" share TWO deletion variants ('a' from each position on one
+    # side, plus themselves); the pair must still appear exactly once
+    df = spark.createDataFrame([("aa",), ("ab",)], "name string")
+    rows = editdist_pairs(df, "name").collect()
+    assert [(r.name_a, r.name_b, r.dist) for r in rows] == [("aa", "ab", 1)]
+
+
+# ── butterflies ──────────────────────────────────────────────────────────────
+
+
+def _brute_butterflies(incid):
+    left = sorted({d for d, _ in incid})
+    nb = {d: {s for dd, s in incid if dd == d} for d in left}
+    per = {}
+    for d1, d2 in combinations(left, 2):
+        c = len(nb[d1] & nb[d2])
+        if c >= 2:
+            bfly = c * (c - 1) // 2
+            for d in (d1, d2):
+                cop, tot = per.get(d, (0, 0))
+                per[d] = (cop + 1, tot + bfly)
+    return sorted((d, c, b) for d, (c, b) in per.items())
+
+
+def test_butterflies_known_answer_and_brute_force(spark):
+    # K_{2,2} on (1,2)x(a,b) = exactly 1 butterfly; doc 3 shares only one
+    # shingle with each -> in no butterfly; shingle 'z' is df=1 (dropped
+    # by min_df); 'w' has df=4 but stays under max_df
+    incid = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+        (3, "a"), (3, "z"),
+        (1, "w"), (2, "w"), (3, "w"), (4, "w"),
+    ]
+    df = spark.createDataFrame(incid, "doc_id bigint, shingle string")
+    got = sorted(
+        (r.doc_id, r.n_copair, r.n_bfly) for r in butterflies(df).collect()
+    )
+    assert got == _brute_butterflies(incid)
+    # docs 1 and 2 share {a, b, w} -> C(3,2)=3 butterflies each from that
+    # pair alone; 1-3 and 2-3 share {a, w} -> 1 more each
+    assert got == [(1, 2, 4), (2, 2, 4), (3, 2, 2)]
+
+
+def test_butterflies_df_cap_drops_frequent_shingles(spark):
+    # with max_df=2 the df-3 shingle is excluded and no butterfly survives
+    incid = [(1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "b"), (3, "b")]
+    df = spark.createDataFrame(incid, "doc_id bigint, shingle string")
+    assert butterflies(df, max_df=2).count() == 0
+    assert butterflies(df, max_df=3).count() == 3
+
+
+# ── BM25 ────────────────────────────────────────────────────────────────────
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    docs = [
+        (0, "join scan join filter"),
+        (1, "join join join join scan"),
+        (2, "filter scan"),
+        (3, "merge sort spill"),
+        (4, "join filter merge scan sort"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # rank the full (tiny) vocab band so every term is a query term
+    got = {
+        r.doc_id: (r.n_qterms, r.bm25, r.rk)
+        for r in bm25_topk(df, k=5, q_lo=1, q_hi=100).collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in docs}
+    tf = {i: {w: ts.count(w) for w in set(ts)} for i, ts in toks.items()}
+    dfreq: dict[str, int] = {}
+    for ts in tf.values():
+        for w in ts:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    want = {}
+    for i, ts in tf.items():
+        sq = 0
+        for w, f in ts.items():
+            idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            s = idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * len(toks[i]) / avgdl))
+            sq += math.floor(s * 1000000.0 + 0.5)
+        want[i] = (len(ts), round(sq / 1000000.0, 4))
+    order = sorted(want, key=lambda i: (-round(want[i][1] * 1e6), i))
+    for rk, i in enumerate(order, 1):
+        assert got[i] == (want[i][0], want[i][1], rk)
+
+
+def test_bm25_rarer_term_outranks_common_at_equal_tf(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4; the rare-term doc
+    # must outrank the common-term doc of identical length/tf
+    docs = [
+        (0, "common rare pad pad"),
+        (1, "common pad pad pad"),
+        (2, "common pad pad pad"),
+        (3, "common pad pad pad"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = bm25_topk(df, k=4, q_lo=1, q_hi=100).collect()
+    top = min(rows, key=lambda r: r.rk)
+    assert top.doc_id == 0 and top.n_qterms == 3

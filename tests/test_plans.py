@@ -310,6 +310,11 @@ def test_gate_query_scan_budget(spark):
         ("docs_profile", 1),
         ("events_latest", 1),
         ("events_ecdf", 1),
+        # ninth-session: bm25 roots in the pinned tf frame; editdist in the
+        # pinned variant frame; butterflies in the pinned filtered incidence
+        ("text_bm25_topk", 0),
+        ("dedup_editdist", 0),
+        ("kg_butterflies", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
@@ -377,3 +382,21 @@ def test_tpch_local_supplier_broadcasts_every_dimension(spark):
     assert p.count("BroadcastHashJoin") >= 4
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_ship_priority_broadcasts_customer_and_topk(spark):
+    """Q3 shape: the segment-filtered customer dim must broadcast, the
+    top-10 must be TakeOrderedAndProject (never a global sort), and the
+    date filters must reach the scans as pushed filters."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_ship_priority"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
