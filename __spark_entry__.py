@@ -2833,6 +2833,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_ship_priority"] = tpch_ship_priority
 
+    # Daily OHLC candles per event type: open/close are the value at the
+    # min/max (ts, event_id) row — the same monotone order-prefixed-struct
+    # algebraic min/max as events_latest (partial aggregation before the
+    # exchange; a window top-1 would shuffle every row) — high/low are
+    # plain min/max on the raw doubles (comparisons, no arithmetic ⇒
+    # bit-exact cross-engine). The candle compaction every time-series
+    # store ships.
+    def events_ohlc(s, d):
+        ev = _t(s, d, "events")
+        g = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        return g.select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            (F.round(F.col("o.value"), 4) + F.lit(0.0)).alias("open"),
+            (F.round("high", 4) + F.lit(0.0)).alias("high"),
+            (F.round("low", 4) + F.lit(0.0)).alias("low"),
+            (F.round(F.col("c.value"), 4) + F.lit(0.0)).alias("close"),
+            "n",
+        )
+
+    q["events_ohlc"] = events_ohlc
+
+    # Pairwise Welch's t-test between event types on value: the A/B-test
+    # readout. Values quantized to BIGINT cents per row (floor(v*100+0.5),
+    # the tpch money convention) so n/sum/sum_sq are EXACT integer moments
+    # (sum_sq headroom ~10^9 rows/group at this value range); t and the
+    # Welch–Satterthwaite df are each ONE closed-form double from the six
+    # BIGINTs in identical operand order. Moments are map-side partials;
+    # the pair frame is |types|^2 — bounded by group cardinality, not
+    # corpus size.
+    def events_ab_welch(s, d):
+        ev = _t(s, d, "events")
+        vc = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        m = (
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(vc).cast("long").alias("s1"),
+                F.sum(vc * vc).cast("long").alias("s2"),
+            )
+            # group-cardinality rows; pinned because BOTH sides of the pair
+            # join read it — unpinned, each side re-runs the corpus scan
+            .localCheckpoint()
+        )
+        a, b = m.alias("a"), m.alias("b")
+        j = a.join(
+            F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+        )
+        # per-side mean and Bessel variance in CENTS (double division of
+        # exact BIGINTs — identical cross-engine), then the Welch forms
+        ma = F.col("a.s1") / F.col("a.n")
+        mb = F.col("b.s1") / F.col("b.n")
+        va = (F.col("a.n") * F.col("a.s2") - F.col("a.s1") * F.col("a.s1")) / (
+            F.col("a.n") * (F.col("a.n") - F.lit(1))
+        )
+        vb = (F.col("b.n") * F.col("b.s2") - F.col("b.s1") * F.col("b.s1")) / (
+            F.col("b.n") * (F.col("b.n") - F.lit(1))
+        )
+        se2 = va / F.col("a.n") + vb / F.col("b.n")
+        t = (ma - mb) / F.sqrt(se2)
+        nu = (se2 * se2) / (
+            (va / F.col("a.n")) * (va / F.col("a.n")) / (F.col("a.n") - F.lit(1))
+            + (vb / F.col("b.n")) * (vb / F.col("b.n")) / (F.col("b.n") - F.lit(1))
+        )
+        return j.select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            (F.round(t, 4) + F.lit(0.0)).alias("t_welch"),
+            F.round(nu, 4).alias("df_welch"),
+        )
+
+    q["events_ab_welch"] = events_ab_welch
+
+    # CCNet-style duplicated-passage scrub with reconstruction: fixed
+    # 20-token chunks, keep the globally FIRST occurrence of each chunk
+    # (min (doc_id, idx) struct — map-side partials absorb boilerplate
+    # mega-duplicates where a row_number window would single-reducer
+    # them), reassemble every doc from its survivors.
+    def text_chunk_dedup(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            chunk_dedup,
+        )
+
+        return chunk_dedup(_t(s, d, "documents"))
+
+    q["text_chunk_dedup"] = text_chunk_dedup
+
+    # KG relation-cardinality profile (Bordes 2013's 1-1/1-N/N-1/N-N
+    # typing, the stats a KG-embedding trainer reads first): per predicate
+    # the triple count, distinct head/tail counts, tails-per-head /
+    # heads-per-tail (BIGINT/BIGINT doubles) and the 1.5-threshold class.
+    # One aggregate over the triple set; the two COUNT(DISTINCT)s plan as
+    # a single Expand, not per-column jobs.
+    def kg_rel_cardinality(s, d):
+        t = webkg.doc_triples(_t(s, d, "documents"))
+        g = t.groupBy("pred").agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subj"),
+            F.countDistinct("obj").cast("long").alias("n_obj"),
+        )
+        tph = F.col("n_triples") / F.col("n_subj")
+        hpt = F.col("n_triples") / F.col("n_obj")
+        cls = (
+            F.when((tph > 1.5) & (hpt > 1.5), F.lit("N-N"))
+            .when(tph > 1.5, F.lit("1-N"))
+            .when(hpt > 1.5, F.lit("N-1"))
+            .otherwise(F.lit("1-1"))
+        )
+        return g.select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            F.round(tph, 4).alias("tails_per_head"),
+            F.round(hpt, 4).alias("heads_per_tail"),
+            cls.alias("rel_class"),
+        )
+
+    q["kg_rel_cardinality"] = kg_rel_cardinality
+
+    # BPE tokenizer induction (Sennrich 2016): the first 4 merge rules,
+    # learned the way the standard trainers do — corpus-sized work is ONE
+    # word count; every round is vocabulary-bounded (pair aggregate +
+    # broadcast top-1 + map-side greedy string fold). The fold unrolls
+    # bit-for-bit in DuckDB list_reduce (see corpusstats.bpe_merges).
+    def text_bpe_merges(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            bpe_merges,
+        )
+
+        return bpe_merges(_t(s, d, "documents"), k=4)
+
+    q["text_bpe_merges"] = text_bpe_merges
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -5671,5 +5813,145 @@ rk AS (
 )
 SELECT l_orderkey, o_orderdate, revenue_c, n_items, CAST(rk AS BIGINT) AS rk
 FROM rk WHERE rk <= 10"""
+
+    # OHLC: (ts, event_id) is a unique total order, so the window first/last
+    # rows select exactly the struct-min/max rows the Spark side aggregates.
+    o["events_ohlc"] = """
+WITH r AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts ASC, event_id ASC) AS rn_o,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_c
+  FROM events
+)
+SELECT event_type, day,
+       round(max(CASE WHEN rn_o = 1 THEN value END), 4) + 0.0 AS open,
+       round(max(value), 4) + 0.0 AS high,
+       round(min(value), 4) + 0.0 AS low,
+       round(max(CASE WHEN rn_c = 1 THEN value END), 4) + 0.0 AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2"""
+
+    # Welch: six exact BIGINT moments (cents), t and df each one closed-form
+    # double in identical operand order. DuckDB sum(BIGINT) returns HUGEINT
+    # — CAST back so the divisions are BIGINT/BIGINT like Spark's.
+    o["events_ab_welch"] = """
+WITH m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc * vc) AS BIGINT) AS s2
+  FROM (SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc FROM events)
+  GROUP BY event_type
+),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         a.s1 / a.n AS ma, b.s1 / b.n AS mb,
+         (a.n * a.s2 - a.s1 * a.s1) / (a.n * (a.n - 1)) AS va,
+         (b.n * b.s2 - b.s1 * b.s1) / (b.n * (b.n - 1)) AS vb
+  FROM m a JOIN m b ON a.event_type < b.event_type
+),
+e AS (SELECT *, va / n_a + vb / n_b AS se2 FROM j)
+SELECT type_a, type_b, n_a, n_b,
+       round((ma - mb) / sqrt(se2), 4) + 0.0 AS t_welch,
+       round((se2 * se2) / ((va / n_a) * (va / n_a) / (n_a - 1)
+                            + (vb / n_b) * (vb / n_b) / (n_b - 1)), 4)
+         AS df_welch
+FROM e"""
+
+    # chunk dedup: 1-based inclusive slice ts[a:b] == Spark slice(arr,a,w);
+    # first occurrence by the bare (doc_id, idx) window == the Spark
+    # min-struct; string_agg is NULL for fully-deduped docs (invariant #3:
+    # coalesce the DuckDB side).
+    o["text_chunk_dedup"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+nch AS (SELECT doc_id, ts, (len(ts) + 19) // 20 AS m FROM toks),
+chh AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS idx,
+         array_to_string(ts[(i - 1) * 20 + 1:(i - 1) * 20 + 20], ' ') AS chunk
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, m)) AS i FROM nch)
+),
+firsts AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, idx) AS rn
+    FROM chh)
+  WHERE rn = 1
+),
+kept AS (SELECT c.doc_id, c.idx, c.chunk
+         FROM chh c JOIN firsts f USING (doc_id, idx)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) AS new_text
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM chh GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.new_text, '') AS new_text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_chunks - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN agg a USING (doc_id)"""
+
+    o["kg_rel_cardinality"] = f"""
+WITH {_triples_cte()},
+g AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+  FROM triples GROUP BY pred
+)
+SELECT pred, n_triples, n_subj, n_obj,
+       round(n_triples / n_subj, 4) AS tails_per_head,
+       round(n_triples / n_obj, 4) AS heads_per_tail,
+       CASE WHEN n_triples / n_subj > 1.5 AND n_triples / n_obj > 1.5
+              THEN 'N-N'
+            WHEN n_triples / n_subj > 1.5 THEN '1-N'
+            WHEN n_triples / n_obj > 1.5 THEN 'N-1'
+            ELSE '1-1' END AS rel_class
+FROM g"""
+
+    # BPE: round-for-round unroll; every CTE referenced twice per round is
+    # MATERIALIZED (invariant #3); list_reduce with the prepended ''
+    # sentinel == Spark's F.aggregate with init '' — greedy left-to-right
+    # non-overlapping merge on both engines (validated: 'b b b' under
+    # (b,b) folds to '|bb|b' in both).
+    def _bpe_round(r: int) -> str:
+        return f""",
+tk{r} AS MATERIALIZED (
+  SELECT w, freq, list_filter(string_split(s, '|'), x -> x <> '') AS tk
+  FROM s{r - 1}),
+p{r} AS (
+  SELECT lt, rt, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq, tk[i] AS lt, tk[i + 1] AS rt
+    FROM (SELECT freq, tk,
+                 unnest(generate_series(1, len(tk) - 1)) AS i FROM tk{r}))
+  GROUP BY lt, rt),
+t{r} AS MATERIALIZED (
+  SELECT lt, rt, n FROM p{r} ORDER BY n DESC, lt ASC, rt ASC LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT w, freq,
+         list_reduce(list_prepend('', tk),
+           (acc, x) -> CASE WHEN x = t.rt AND ends_with(acc, '|' || t.lt)
+                       THEN acc || x ELSE acc || '|' || x END) AS s
+  FROM tk{r} CROSS JOIN t{r} t)"""
+
+    _bpe_rounds = "".join(_bpe_round(r) for r in range(1, 5))
+    _bpe_union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, lt AS left_tok,"
+        f" rt AS right_tok, n FROM t{r}"
+        for r in range(1, 5)
+    )
+    o["text_bpe_merges"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS w FROM toks) WHERE len(w) > 0 GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, freq,
+         '|' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substr(w, i, 1)), '|') AS s
+  FROM w){_bpe_rounds}
+{_bpe_union}"""
 
     return o

@@ -40,6 +40,7 @@ HEADLINE = [
     "kg_negatives",
     "kg_triangles",
     "kg_butterflies",
+    "kg_rel_cardinality",
     "kg_ktruss",
     "kg_sssp",
     "kg_kcore",
@@ -71,6 +72,8 @@ HEADLINE = [
     "text_pii_scrub",
     "dedup_substring",
     "dedup_editdist",
+    "text_chunk_dedup",
+    "text_bpe_merges",
     "decontam_ngram",
     "sim_topk",
     "sim_kmeans",
@@ -140,6 +143,8 @@ HEADLINE = [
     "events_cms",
     "events_hll",
     "events_hist",
+    "events_ohlc",
+    "events_ab_welch",
     "decontam_bloom",
 ]
 

@@ -481,3 +481,90 @@ def bm25_topk(
             "rk",
         )
     )
+
+
+def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
+    """BPE tokenizer induction (Sennrich et al. 2016): learn the first k
+    merge rules over the corpus, exactly as the standard trainers do —
+    count words ONCE, then iterate on the distinct-word table (the state
+    is vocabulary-bounded, never corpus-bounded; the corpus-sized pass is
+    only the initial word count).
+
+    Per round: adjacent symbol pairs weighted by word frequency → one
+    aggregate; winner = (count desc, left asc, right asc) top-1 via
+    TakeOrderedAndProject; the merge applies as a LEFT-TO-RIGHT GREEDY
+    string fold over each word's '|'-delimited symbol string
+    (`F.aggregate`): append-without-delimiter when the previous symbol is
+    exactly `left` and the next is `right` — ends_with('|'+left) encodes
+    "previous symbol == left" because symbols never contain '|', and a
+    just-merged symbol (left||right != left) can't re-merge, which is
+    precisely BPE's non-overlapping greedy semantics ('b b b' under
+    (b,b) → 'bb b'). The state is pinned per round (iterative-loop house
+    rule). Output: (round, left_tok, right_tok, n) — the merge table.
+
+    Scale: word count is one shuffle over the corpus; every round after
+    is an aggregate + broadcast top-1 + map-side fold over the vocabulary
+    frame. Exactly oracle-able: the fold unrolls round-for-round in
+    DuckDB's list_reduce.
+    """
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    st = words.select(
+        "w",
+        "freq",
+        F.concat(F.lit("|"), F.array_join(chars, "|")).alias("s"),
+    ).localCheckpoint()
+
+    out = None
+    for r in range(1, k + 1):
+        tk = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+        # sequence(1, 0) in Spark is the DESCENDING [1, 0] — guard sub-2
+        # symbol words to an empty pair list explicitly
+        pairs_arr = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("lt"),
+                    F.element_at(tk, i + 1).alias("rt"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lt:string,rt:string>>"))
+        top1 = (
+            st.select("freq", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.lt").alias("lt"), F.col("p.rt").alias("rt"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("lt"), F.asc("rt"))
+            .limit(1)
+            .localCheckpoint()  # referenced by the merge AND the output
+        )
+        fold = F.aggregate(
+            tk,
+            F.lit(""),
+            lambda acc, x: F.when(
+                (x == F.col("rt"))
+                & acc.endswith(F.concat(F.lit("|"), F.col("lt"))),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit("|"), x)),
+        )
+        st = (
+            st.crossJoin(F.broadcast(top1.select("lt", "rt")))
+            .select("w", "freq", fold.alias("s"))
+            .localCheckpoint()
+        )
+        row = top1.select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("lt").alias("left_tok"),
+            F.col("rt").alias("right_tok"),
+            "n",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

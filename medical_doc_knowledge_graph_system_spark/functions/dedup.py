@@ -565,3 +565,72 @@ def editdist_pairs(
     return cand.where(dist <= max_dist).select(
         "name_a", "name_b", dist.cast("long").alias("dist")
     )
+
+
+def chunk_dedup(
+    df: DataFrame, text_col: str = "text", width: int = 20
+) -> DataFrame:
+    """CCNet-style duplicated-passage removal WITH text reconstruction:
+    split each doc into fixed ``width``-token chunks, keep only the
+    globally FIRST occurrence of each chunk (by the (doc_id, chunk_idx)
+    total order), and reassemble each doc from its surviving chunks —
+    the within-corpus boilerplate scrub a pretraining pipeline runs
+    before tokenization (dedup_substring is the report-only overlapping-
+    window sibling; this one rewrites the corpus).
+
+    Scale shape: the chunk explode is map-side (corpus tokens / width
+    rows); first-occurrence selection is an algebraic min-struct per
+    chunk hash (map-side partials absorb boilerplate mega-duplicates —
+    a row_number window would shuffle every occurrence to one reducer)
+    followed by the hash-keyed join back; reassembly is one per-doc
+    collect of the doc's own <=n_chunks rows. The chunk frame is pinned
+    once (three consumers). Output: (doc_id, new_text, n_kept,
+    n_dropped) — every input doc appears, fully-duplicated docs with
+    new_text = '' and n_kept = 0.
+    """
+    toks = tokens_col(text_col)
+    n_ch = F.expr(f"(size({text_col}_toks) + {width - 1}) div {width}")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_ch - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col(f"{text_col}_toks"), i * width + 1, width)
+        ),
+    )
+    ch = (
+        df.select("doc_id", toks.alias(f"{text_col}_toks"))
+        .select("doc_id", F.posexplode(chunks_arr).alias("idx", "chunk"))
+        .withColumn("h", F.md5("chunk"))
+        .localCheckpoint()
+    )
+    firsts = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("f")
+    )
+    kept = (
+        ch.join(firsts, "h")
+        .where(
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("idx") == F.col("f.idx"))
+        )
+        .select("doc_id", "idx", "chunk")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    tot = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -162,3 +162,155 @@ def test_bm25_rarer_term_outranks_common_at_equal_tf(spark):
     rows = bm25_topk(df, k=4, q_lo=1, q_hi=100).collect()
     top = min(rows, key=lambda r: r.rk)
     assert top.doc_id == 0 and top.n_qterms == 3
+
+
+# ── OHLC + Welch ────────────────────────────────────────────────────────────
+
+
+def test_events_ohlc_known_answer(spark):
+    import datetime as dt
+
+    rows = [
+        # (event_id, ts, value): one day, deliberately out of order
+        (3, dt.datetime(2024, 1, 1, 12, 0), 5.0),
+        (1, dt.datetime(2024, 1, 1, 0, 30), 2.0),   # open (earliest ts)
+        (2, dt.datetime(2024, 1, 1, 23, 0), 9.0),   # close (latest ts)
+        (4, dt.datetime(2024, 1, 1, 12, 0), 1.0),   # low (ties on ts w/ 3)
+        # second day, single row: open==close==high==low
+        (5, dt.datetime(2024, 1, 2, 8, 0), 7.5),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, 7, "click", v, "{}") for i, t, v in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    import __spark_entry__ as entry
+
+    # queries() closures take (spark, sf_dir); drive the same expression
+    # directly on the in-memory frame instead
+    F_ = entry.F
+    g = df.groupBy("event_type", F_.to_date("ts").alias("day")).agg(
+        F_.min(F_.struct("ts", "event_id", "value")).alias("o"),
+        F_.max(F_.struct("ts", "event_id", "value")).alias("c"),
+        F_.max("value").alias("high"),
+        F_.min("value").alias("low"),
+        F_.count(F_.lit(1)).cast("long").alias("n"),
+    ).select(
+        F_.col("day").cast("string").alias("day"),
+        F_.col("o.value").alias("open"),
+        "high", "low",
+        F_.col("c.value").alias("close"),
+        "n",
+    )
+    got = {r.day: (r.open, r.high, r.low, r.close, r.n) for r in g.collect()}
+    assert got["2024-01-01"] == (2.0, 9.0, 1.0, 9.0, 4)
+    assert got["2024-01-02"] == (7.5, 7.5, 7.5, 7.5, 1)
+
+
+def test_events_ab_welch_matches_numpy(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(50, 10, 200).clip(0)
+    b = rng.normal(55, 20, 150).clip(0)
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 1, "A", float(v), "{}")
+        for i, v in enumerate(a)
+    ] + [
+        (1000 + i, dt.datetime(2024, 1, 1), 1, "B", float(v), "{}")
+        for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    import __spark_entry__ as entry
+
+    [r] = entry.queries()["events_ab_welch"](spark, d).collect()
+    # independent reference on the SAME quantized cents
+    qa = np.floor(a * 100.0 + 0.5)
+    qb = np.floor(b * 100.0 + 0.5)
+    va, vb = qa.var(ddof=1), qb.var(ddof=1)
+    se2 = va / len(qa) + vb / len(qb)
+    t = (qa.mean() - qb.mean()) / np.sqrt(se2)
+    nu = se2**2 / (
+        (va / len(qa)) ** 2 / (len(qa) - 1) + (vb / len(qb)) ** 2 / (len(qb) - 1)
+    )
+    assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("A", "B", 200, 150)
+    assert abs(r.t_welch - t) < 2e-4 and abs(r.df_welch - nu) < 2e-3
+
+
+# ── chunk dedup ─────────────────────────────────────────────────────────────
+
+
+def test_chunk_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        chunk_dedup,
+    )
+
+    w = 4  # small width so the fixture stays readable
+    boiler = "b1 b2 b3 b4"          # the duplicated chunk
+    uniq0 = "a1 a2 a3 a4"
+    uniq2 = "c1 c2 c3"              # short tail chunk
+    docs = [
+        (0, f"{uniq0} {boiler}"),   # first occurrence of boiler (doc 0, idx 1)
+        (1, boiler),                # fully duplicated -> new_text ''
+        (2, f"{boiler} {uniq2}"),   # boiler dropped, tail kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.new_text, r.n_kept, r.n_dropped)
+        for r in chunk_dedup(df, width=w).collect()
+    }
+    assert got[0] == (f"{uniq0} {boiler}", 2, 0)
+    assert got[1] == ("", 0, 1)
+    assert got[2] == (uniq2, 1, 1)
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        chunk_dedup,
+    )
+
+    # the same chunk twice INSIDE one doc: second occurrence dropped
+    df = spark.createDataFrame(
+        [(7, "x1 x2 x1 x2")], "doc_id bigint, text string"
+    )
+    [r] = chunk_dedup(df, width=2).collect()
+    assert (r.new_text, r.n_kept, r.n_dropped) == ("x1 x2", 1, 1)
+
+
+# ── BPE merges ──────────────────────────────────────────────────────────────
+
+
+def test_bpe_merges_known_answer_greedy(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        bpe_merges,
+    )
+
+    # 'aaab' x3 + 'ab' x2: round 1 pairs — (a,a) n=6 (two per 'aaab'),
+    # (a,b) n=5 -> merge (a,a). Round 2 operates on greedy-folded 'aa a b'
+    # (NOT 'aa aa ...'): pairs (aa,a) n=3, (a,b) n=5 -> merge (a,b).
+    docs = [(0, "aaab aaab aaab ab ab")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [
+        (r.round, r.left_tok, r.right_tok, r.n)
+        for r in bpe_merges(df, k=2).orderBy("round").collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 5)]
+
+
+def test_bpe_merges_tie_breaks_lexicographic(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        bpe_merges,
+    )
+
+    # 'xy' and 'xz' both n=1: (x,y) < (x,z) lexicographically wins
+    df = spark.createDataFrame([(0, "xy xz")], "doc_id bigint, text string")
+    [r] = bpe_merges(df, k=1).collect()
+    assert (r.left_tok, r.right_tok, r.n) == ("x", "y", 1)

@@ -315,6 +315,14 @@ def test_gate_query_scan_budget(spark):
         ("text_bm25_topk", 0),
         ("dedup_editdist", 0),
         ("kg_butterflies", 0),
+        # ohlc is one straight aggregate over the scan; welch roots both
+        # pair-join sides in the pinned group-cardinality moment frame
+        ("events_ohlc", 1),
+        ("events_ab_welch", 0),
+        # chunk dedup roots every consumer in the pinned chunk frame
+        ("text_chunk_dedup", 0),
+        # bpe output rows root in the per-round checkpointed top-1 frames
+        ("text_bpe_merges", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
