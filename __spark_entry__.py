@@ -2975,6 +2975,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bpe_merges"] = text_bpe_merges
 
+    # Wilson lower-bound conversion ranking (the ranking-under-uncertainty
+    # readout every experimentation stack ships): per user cohort
+    # (user_id % 20) trials = view+purchase events, successes = purchases
+    # (trials must bound successes or p>1 breaks the bound);
+    # the 95% Wilson score LOWER bound orders small-sample cohorts
+    # honestly where the raw rate over-ranks 1/1. Counts are exact
+    # BIGINTs from ONE conditional aggregate (no self-join); the bound is
+    # ONE closed-form double in identical operand order; rank on the
+    # ROUNDED bound + cohort tiebreak (the text_tfidf_topk convention).
+    def events_wilson(s, d):
+        ev = _t(s, d, "events")
+        g = ev.where(
+            F.col("event_type").isin("view", "purchase")
+        ).groupBy((F.col("user_id") % 20).alias("cohort")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_trials"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_buy"),
+        )
+        z2 = F.lit(1.96 * 1.96)
+        p = F.col("n_buy") / F.col("n_trials")
+        n = F.col("n_trials")
+        lb = (
+            p
+            + z2 / (2.0 * n)
+            - F.lit(1.96)
+            * F.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+        ) / (1.0 + z2 / n)
+        w = Window.orderBy(F.desc("wilson_lb"), F.asc("cohort"))
+        return (
+            g.select(
+                "cohort",
+                "n_trials",
+                "n_buy",
+                F.round(lb, 4).alias("wilson_lb"),
+            )
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+        )
+
+    q["events_wilson"] = events_wilson
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -5953,5 +5996,31 @@ s0 AS MATERIALIZED (
                           i -> substr(w, i, 1)), '|') AS s
   FROM w){_bpe_rounds}
 {_bpe_union}"""
+
+    # Wilson: the z^2 literal is repr(1.96*1.96) so it parses to the exact
+    # Spark-side double; every term in the bound is written in the
+    # identical operand order.
+    _z2 = repr(1.96 * 1.96)
+    o["events_wilson"] = f"""
+WITH g AS (
+  SELECT user_id % 20 AS cohort,
+         CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_buy
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+s AS (
+  SELECT cohort, n_trials, n_buy,
+         round((n_buy / n_trials + {_z2} / (2.0 * n_trials)
+                - 1.96 * sqrt((n_buy / n_trials * (1.0 - n_buy / n_trials)
+                               + {_z2} / (4.0 * n_trials)) / n_trials))
+               / (1.0 + {_z2} / n_trials), 4) AS wilson_lb
+  FROM g
+)
+SELECT cohort, n_trials, n_buy, wilson_lb,
+       CAST(row_number() OVER (ORDER BY wilson_lb DESC, cohort ASC)
+            AS BIGINT) AS rk
+FROM s"""
 
     return o

@@ -145,6 +145,7 @@ HEADLINE = [
     "events_hist",
     "events_ohlc",
     "events_ab_welch",
+    "events_wilson",
     "decontam_bloom",
 ]
 

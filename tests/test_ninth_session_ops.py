@@ -314,3 +314,31 @@ def test_bpe_merges_tie_breaks_lexicographic(spark):
     df = spark.createDataFrame([(0, "xy xz")], "doc_id bigint, text string")
     [r] = bpe_merges(df, k=1).collect()
     assert (r.left_tok, r.right_tok, r.n) == ("x", "y", 1)
+
+
+def test_events_wilson_penalizes_small_samples(spark, tmp_path):
+    import datetime as dt
+
+    # cohort 0: 1/1 (raw rate 1.0, tiny n); cohort 1: 90/100 — the Wilson
+    # LOWER bound must rank the large honest cohort above the 1/1 fluke
+    rows = [(0, dt.datetime(2024, 1, 1), 0, "purchase", 1.0, "{}")]
+    rows += [
+        (100 + i, dt.datetime(2024, 1, 1), 1,
+         "purchase" if i < 90 else "view", 1.0, "{}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    import __spark_entry__ as entry
+
+    got = {r.cohort: r for r in entry.queries()["events_wilson"](spark, d).collect()}
+    assert got[0].n_trials == 1 and got[0].n_buy == 1
+    assert got[1].n_trials == 100 and got[1].n_buy == 90
+    # bound strictly below the raw rate, and the 90/100 cohort ranks first
+    assert got[0].wilson_lb < 1.0 and got[1].wilson_lb < 0.9
+    assert got[1].rk == 1 and got[0].rk == 2

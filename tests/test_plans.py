@@ -323,6 +323,8 @@ def test_gate_query_scan_budget(spark):
         ("text_chunk_dedup", 0),
         # bpe output rows root in the per-round checkpointed top-1 frames
         ("text_bpe_merges", 0),
+        # wilson is one conditional aggregate over the filtered scan
+        ("events_wilson", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
