@@ -3095,6 +3095,333 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_ohlc"] = stream_ohlc
 
+    # TPC-H Q4 shape (order priority checking): orders in a one-year window
+    # with at least one lineitem shipped AFTER the order date (the schema
+    # here has no commitdate/receiptdate, so "late shipment" is the
+    # EXISTS predicate), counted per priority. Plans as a LEFT SEMI join —
+    # the lineitem side never materializes matched rows, and the date
+    # filter is pushed to the orders scan. Pure BIGINT.
+    def tpch_order_priority(s, d):
+        o_ = _t(s, d, "orders")
+        li = _t(s, d, "lineitem")
+        return (
+            o_.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            )
+            .join(
+                li,
+                (o_.o_orderkey == li.l_orderkey)
+                & (li.l_shipdate > o_.o_orderdate),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        )
+
+    q["tpch_order_priority"] = tpch_order_priority
+
+    # TPC-H Q14 shape (promotion effect): share of one ship-month's revenue
+    # from PROMO-type parts. Conditional aggregation over a broadcast part
+    # join; both sums exact BIGINT cents, the percentage is ONE closed-form
+    # double from the two BIGINTs. The month filter is pushed to the
+    # lineitem scan.
+    def tpch_promo(s, d):
+        li = _t(s, d, "lineitem")
+        p = _t(s, d, "part")
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= "1997-03-01")
+                & (F.col("l_shipdate") < "1997-04-01")
+            )
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("promo_rev_c"),
+                F.sum(rev_c).cast("long").alias("total_rev_c"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+            .select(
+                "promo_rev_c",
+                "total_rev_c",
+                "n_items",
+                (
+                    F.round(
+                        F.lit(100.0) * F.col("promo_rev_c") / F.col("total_rev_c"), 4
+                    )
+                    + F.lit(0.0)
+                ).alias("promo_pct"),
+            )
+        )
+
+    q["tpch_promo"] = tpch_promo
+
+    # TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three disjunctive
+    # (brand, size-band, quantity-band) branches — the classic test that a
+    # disjunctive join predicate still broadcasts the dim and pushes the
+    # common conjuncts; grouped per brand so the result pins each branch.
+    # Revenue exact BIGINT cents.
+    def tpch_complex_pred(s, d):
+        li = _t(s, d, "lineitem")
+        p = _t(s, d, "part")
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        branch = (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        ) | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        ) | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(branch)
+            .groupBy("p_brand")
+            .agg(
+                F.sum(rev_c).cast("long").alias("revenue_c"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["tpch_complex_pred"] = tpch_complex_pred
+
+    # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    # local fingerprinting scheme): k=5-token gram hashes, keep the MIN
+    # hash of every w=8-gram window (guarantee threshold t = w + k - 1);
+    # ties break to the LEFTMOST position because the encoded value is
+    # hash*2^20 + pos and the min is over the encoding. Everything up to
+    # the final explode is pure array expressions inside one projection —
+    # zero shuffles, no per-doc windows — so it scales embarrassingly:
+    # each task fingerprints its own documents. Unlike with_rolling_hash
+    # (one whole-doc Rabin-Karp value) this yields the position-anchored
+    # fingerprint SET plagiarism/near-dup overlap detection needs.
+    def text_winnowing(s, d):
+        docs = _t(s, d, "documents")
+        base = docs.select(
+            "doc_id", F.split(F.lower(F.trim("text")), " ").alias("ts")
+        ).where(F.size("ts") >= 5)
+        enc = base.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(ts) - 5), i -> "
+                "cast(conv(substring(md5(array_join(slice(ts, i + 1, 5), ' ')),"
+                " 1, 10), 16, 10) as bigint) * 1048576 + i)"
+            ).alias("g"),
+        )
+        sel = enc.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, greatest(size(g) - 8, 0)),"
+                    " j -> array_min(slice(g, j + 1, 8))))"
+                )
+            ).alias("e"),
+        )
+        return sel.select(
+            "doc_id",
+            (F.col("e") % F.lit(1048576)).cast("long").alias("pos"),
+            F.expr("e div 1048576").cast("long").alias("fp"),
+        )
+
+    q["text_winnowing"] = text_winnowing
+
+    # CUSUM changepoint detection (Page 1954) per event type over the daily
+    # mean in cents — entirely in BIGINTs: the deviation of day d is
+    # (day_sum * N - total_sum * day_n), i.e. the mean deviation scaled by
+    # N*day_n, so no division ever happens and the cumulative statistic is
+    # exact. The changepoint is the day maximizing |CUSUM| (earliest day on
+    # ties). The per-type window runs over ~30 daily rows — bounded by the
+    # calendar, not the corpus. Headroom: |dev| < day_sum_c * N; at 1e9
+    # rows of 1e4-cent values that is ~1e17 per day — production beyond
+    # that scales the quantization down a decade.
+    def events_cusum(s, d):
+        ev = _t(s, d, "events")
+        vc = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vc).cast("long").alias("s1"),
+        )
+        w_all = Window.partitionBy("event_type")
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        scored = (
+            daily.withColumn("nn", F.sum("n").over(w_all))
+            .withColumn("ss", F.sum("s1").over(w_all))
+            .withColumn(
+                "cusum",
+                F.sum(
+                    F.col("s1") * F.col("nn") - F.col("ss") * F.col("n")
+                ).over(w_cum),
+            )
+        )
+        w_pick = Window.partitionBy("event_type").orderBy(
+            F.desc(F.abs(F.col("cusum"))), F.asc("day")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w_pick))
+            .where(F.col("rk") == 1)
+            .select(
+                "event_type",
+                F.col("day").cast("string").alias("cp_day"),
+                F.col("cusum").cast("long").alias("cusum"),
+                F.col("nn").cast("long").alias("n_total"),
+            )
+        )
+
+    q["events_cusum"] = events_cusum
+
+    # Pearson chi-squared independence test of event_type x day-of-week:
+    # observed counts and both margins are exact BIGINTs, each cell's term
+    # is the ONE closed-form double (O*N - rt*ct)^2 / (N*rt*ct) — the
+    # numerator squared while still a BIGINT — quantized to BIGINT
+    # micro-units BEFORE the sum (the text_bm25_topk convention: double
+    # sums are addition-order-sensitive, BIGINT sums are not). Day-of-week
+    # from pure epoch arithmetic — dayofweek() conventions differ across
+    # engines, (epoch div 86400) % 7 does not. The contingency frame is
+    # |types| x 7 rows, so the unpartitioned windows are bounded by group
+    # cardinality. BIGINT headroom: O*N < 2^62 holds to ~2e9 events.
+    def events_chisq(s, d):
+        ev = _t(s, d, "events")
+        cells = ev.groupBy(
+            "event_type",
+            (
+                F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+                % F.lit(7)
+            ).alias("dow"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+        w_r = Window.partitionBy("event_type")
+        w_c = Window.partitionBy("dow")
+        w_n = Window.partitionBy()
+        terms = (
+            cells.withColumn("rt", F.sum("o").over(w_r))
+            .withColumn("ct", F.sum("o").over(w_c))
+            .withColumn("nn", F.sum("o").over(w_n))
+            .withColumn(
+                "dlt",
+                F.col("o") * F.col("nn") - F.col("rt") * F.col("ct"),
+            )
+            .withColumn(
+                "term_u",
+                F.floor(
+                    (F.col("dlt") * F.col("dlt"))
+                    / (F.col("nn") * F.col("rt") * F.col("ct"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+        )
+        return terms.agg(
+            F.round(F.sum("term_u") / F.lit(1000000.0), 4).alias("chi2"),
+            (
+                (F.count_distinct("event_type") - F.lit(1))
+                * (F.count_distinct("dow") - F.lit(1))
+            )
+            .cast("long")
+            .alias("dof"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("nn").cast("long").alias("n_events"),
+        )
+
+    q["events_chisq"] = events_chisq
+
+    # Market-basket association rules (Agrawal/Srikant A-Priori pair pass):
+    # baskets are (user, day), items the distinct event types seen in the
+    # basket. Pair support via a self-join ON the basket key — per-basket
+    # fan-out is C(items,2), bounded by the item vocabulary, never by
+    # corpus size — then confidence both ways and lift, each ONE
+    # closed-form double from exact BIGINT supports. Item supports and the
+    # basket total broadcast back onto the pair frame.
+    def events_assoc_rules(s, d):
+        ev = _t(s, d, "events")
+        bi = (
+            ev.select(
+                "user_id",
+                F.to_date("ts").alias("day"),
+                "event_type",
+            )
+            .distinct()
+            # both the pair self-join sides, the item supports and the
+            # basket count read this frame — pin it or the events scan +
+            # distinct runs four times (CLAUDE.md late-r2: no cross-branch
+            # exchange reuse)
+            .localCheckpoint()
+        )
+        nb = bi.select("user_id", "day").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_baskets")
+        )
+        supp = bi.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("supp")
+        )
+        a, b = bi.alias("a"), bi.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.day") == F.col("b.day"))
+                & (F.col("a.event_type") < F.col("b.event_type")),
+            )
+            .groupBy(
+                F.col("a.event_type").alias("item_a"),
+                F.col("b.event_type").alias("item_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
+        )
+        sa = supp.select(
+            F.col("event_type").alias("item_a"), F.col("supp").alias("supp_a")
+        )
+        sb = supp.select(
+            F.col("event_type").alias("item_b"), F.col("supp").alias("supp_b")
+        )
+        return (
+            pairs.join(F.broadcast(sa), "item_a")
+            .join(F.broadcast(sb), "item_b")
+            .crossJoin(F.broadcast(nb))
+            .select(
+                "item_a",
+                "item_b",
+                "supp_ab",
+                "supp_a",
+                "supp_b",
+                "n_baskets",
+                (F.round(F.col("supp_ab") / F.col("supp_a"), 4) + F.lit(0.0)).alias(
+                    "conf_ab"
+                ),
+                (F.round(F.col("supp_ab") / F.col("supp_b"), 4) + F.lit(0.0)).alias(
+                    "conf_ba"
+                ),
+                (
+                    F.round(
+                        (F.col("supp_ab") * F.col("n_baskets"))
+                        / (F.col("supp_a") * F.col("supp_b")),
+                        4,
+                    )
+                    + F.lit(0.0)
+                ).alias("lift"),
+            )
+        )
+
+    q["events_assoc_rules"] = events_assoc_rules
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -6103,5 +6430,168 @@ FROM s"""
     # streaming OHLC fold: every cell monotone across update-mode batches,
     # so drained == batch — oracle shared verbatim
     o["stream_ohlc"] = o["events_ohlc"]
+
+    # Q4 shape: EXISTS == the Spark LEFT SEMI join
+    o["tpch_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1"""
+
+    # Q14 shape: both sums exact BIGINT cents, one closed-form double
+    o["tpch_promo"] = """
+WITH j AS (
+  SELECT CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rev_c,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+),
+a AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+              AS BIGINT) AS promo_rev_c,
+         CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM j
+)
+SELECT promo_rev_c, total_rev_c, n_items,
+       round(100.0 * promo_rev_c / total_rev_c, 4) + 0.0 AS promo_pct
+FROM a"""
+
+    # Q19 shape: identical OR-of-ANDs branches, BIGINT cents, per brand
+    o["tpch_complex_pred"] = """
+SELECT p_brand,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1"""
+
+    # winnowing: list slices are 1-based inclusive (ts[i+1:i+5] == Spark
+    # slice(ts, i+1, 5)); the encoded min carries the leftmost-position
+    # tiebreak on both engines; md5-prefix hash via the '0x' cast
+    # (invariant #3).
+    o["text_winnowing"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+ok AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 5),
+enc AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, len(ts) - 5), i ->
+           CAST(('0x' || substr(md5(array_to_string(ts[i + 1:i + 5], ' ')),
+                                1, 10)) AS BIGINT) * 1048576 + i) AS g
+  FROM ok
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(0, greatest(len(g) - 8, 0)),
+           j -> list_min(g[j + 1:j + 8])))) AS e
+  FROM enc
+)
+SELECT doc_id, CAST(e % 1048576 AS BIGINT) AS pos,
+       CAST(e // 1048576 AS BIGINT) AS fp
+FROM sel"""
+
+    # CUSUM: every quantity BIGINT (dev = s1*N - S*n needs no division);
+    # sum(BIGINT) returns HUGEINT — CAST back (invariant #3)
+    o["events_cusum"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS nn,
+         CAST(sum(s1) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+  FROM daily
+),
+cum AS (
+  SELECT *,
+         CAST(sum(s1 * nn - ss * n) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cusum
+  FROM tot
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(cusum) DESC, day ASC) AS rk
+  FROM cum
+)
+SELECT event_type, CAST(day AS VARCHAR) AS cp_day, cusum,
+       nn AS n_total
+FROM rk WHERE rk = 1"""
+
+    # chi-squared: dow from pure epoch arithmetic; per-cell term quantized
+    # to BIGINT micro-units before the sum (order-free)
+    o["events_chisq"] = """
+WITH cells AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT *,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+         CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+         CAST(sum(o) OVER () AS BIGINT) AS nn
+  FROM cells
+),
+t AS (
+  SELECT *,
+         CAST(FLOOR((o * nn - rt * ct) * (o * nn - rt * ct)
+                    / (nn * rt * ct) * 1000000.0 + 0.5) AS BIGINT) AS term_u
+  FROM m
+)
+SELECT round(CAST(sum(term_u) AS BIGINT) / 1000000.0, 4) AS chi2,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+            AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(nn) AS BIGINT) AS n_events
+FROM t"""
+
+    # association rules: identical basket key, closed-form doubles from
+    # exact BIGINT supports in identical operand order
+    o["events_assoc_rules"] = """
+WITH bi AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM bi)
+),
+supp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS supp FROM bi GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         CAST(count(*) AS BIGINT) AS supp_ab
+  FROM bi a JOIN bi b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, supp_ab,
+       sa.supp AS supp_a, sb.supp AS supp_b, n_baskets,
+       round(supp_ab / sa.supp, 4) + 0.0 AS conf_ab,
+       round(supp_ab / sb.supp, 4) + 0.0 AS conf_ba,
+       round((supp_ab * n_baskets) / (sa.supp * sb.supp), 4) + 0.0 AS lift
+FROM pairs
+JOIN supp sa ON pairs.item_a = sa.event_type
+JOIN supp sb ON pairs.item_b = sb.event_type
+CROSS JOIN nb"""
 
     return o

@@ -146,6 +146,13 @@ HEADLINE = [
     "events_ohlc",
     "events_ab_welch",
     "events_wilson",
+    "events_cusum",
+    "events_chisq",
+    "events_assoc_rules",
+    "text_winnowing",
+    "tpch_order_priority",
+    "tpch_promo",
+    "tpch_complex_pred",
     "decontam_bloom",
 ]
 

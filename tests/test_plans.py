@@ -325,6 +325,14 @@ def test_gate_query_scan_budget(spark):
         ("text_bpe_merges", 0),
         # wilson is one conditional aggregate over the filtered scan
         ("events_wilson", 1),
+        # tenth-session: winnowing is one narrow projection pipeline over
+        # the corpus scan; cusum/chisq are one aggregate + bounded-frame
+        # windows; assoc rules root every consumer (pair self-join sides,
+        # item supports, basket count) in the pinned basket-item frame
+        ("text_winnowing", 1),
+        ("events_cusum", 1),
+        ("events_chisq", 1),
+        ("events_assoc_rules", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
@@ -410,3 +418,83 @@ def test_tpch_ship_priority_broadcasts_customer_and_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+
+
+def test_tpch_order_priority_plans_left_semi(spark):
+    """Q4 shape: EXISTS must compile to a LEFT SEMI join (the lineitem
+    side never materializes matched rows — at fact-scale the probe streams
+    past the build once), the one-year window must reach the orders scan
+    as pushed filters, and no nested-loop may appear despite the
+    non-equi shipdate > orderdate conjunct riding on the equi key."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_order_priority"](spark, SF))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert (
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+    )
+
+
+def test_tpch_promo_broadcasts_part_and_pushes_month(spark):
+    """Q14 shape: part broadcasts, the ship-month window reaches the
+    lineitem scan, and both conditional sums partial-aggregate BEFORE the
+    single-partition exchange (map-side combine — the exchange carries 3
+    numbers per task, not the month's rows)."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_promo"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+    )
+    assert "partial_sum" in p
+
+
+def test_tpch_complex_pred_splits_disjunction_per_side(spark):
+    """Q19 shape: Catalyst must factor the OR-of-ANDs into per-side
+    implied disjunctions — the quantity-band OR pushed into the lineitem
+    scan, the brand/size OR filtering the broadcast part build — so
+    neither side reads rows no branch can accept."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_complex_pred"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # quantity disjunction reached the parquet reader
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in p
+    # brand disjunction filters the build side before broadcast
+    assert "Brand#13" in p
+
+
+def test_text_winnowing_is_shuffle_free(spark):
+    """Winnowing's scale property: the whole fingerprint selection is one
+    narrow projection pipeline (transform/array_min/array_distinct inside
+    a single task) — NO exchange anywhere, one corpus scan, and the gram
+    loop stays inside whole-stage codegen's Project."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["text_winnowing"](spark, SF))
+    assert "Exchange" not in p
+    assert p.count("Scan parquet") == 1
+    assert "Generate explode" in p
