@@ -3422,6 +3422,328 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_assoc_rules"] = events_assoc_rules
 
+    # TPC-H Q13 shape (customer order-count distribution): the FILTERED
+    # LEFT OUTER join — the non-urgent filter rides the ON clause so
+    # zero-qualifying customers survive with count 0 — then the
+    # double aggregation (per-customer count, then the count histogram).
+    # The preserved side is the dimension, so this is the one TPC-H shape
+    # that genuinely must shuffle both sides (a broadcast would drop the
+    # preserved rows); the histogram reduce is |distinct counts| rows.
+    def tpch_cust_dist(s, d):
+        c = _t(s, d, "customer")
+        o_ = _t(s, d, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+        per = (
+            c.join(o_, c.c_custkey == o_.o_custkey, "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        )
+        return per.groupBy("c_count").agg(
+            F.count(F.lit(1)).cast("long").alias("custdist")
+        )
+
+    q["tpch_cust_dist"] = tpch_cust_dist
+
+    # TPC-H Q17 shape (small-quantity revenue): the correlated
+    # avg-subquery — revenue of one brand's lineitems below 20% of their
+    # part's average quantity — decorrelated as aggregate-then-rejoin on
+    # the SAME frame. The brand slice is pinned once (both the per-part
+    # aggregate and the filtered rejoin read it); the 20%-of-avg predicate
+    # is the pure-integer cross-multiplication qty*n*5 < sum_q (quantities
+    # are integral), so no float division ever happens.
+    def tpch_small_qty(s, d):
+        li = _t(s, d, "lineitem")
+        p = _t(s, d, "part").where(F.col("p_brand") == "Brand#2").select(
+            "p_partkey"
+        )
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        lb = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                "l_partkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+                rev_c.alias("rev_c"),
+            )
+            .localCheckpoint()
+        )
+        pa = lb.groupBy("l_partkey").agg(
+            F.sum("qty").cast("long").alias("sum_q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        return (
+            lb.join(pa, "l_partkey")
+            .where(F.col("qty") * F.col("n") * F.lit(5) < F.col("sum_q"))
+            .agg(
+                F.sum("rev_c").cast("long").alias("rev_c"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["tpch_small_qty"] = tpch_small_qty
+
+    # TPC-H Q18 shape (large-volume orders): HAVING-threshold aggregate on
+    # the fact, then the qualifying keys join back to orders with the
+    # customer dim broadcast. The quantity sum and the threshold are pure
+    # BIGINTs; the order date round-trips as an explicit yyyy-MM-dd string
+    # (TIMESTAMP_NTZ value-hash parity without timezone semantics).
+    def tpch_big_orders(s, d):
+        li = _t(s, d, "lineitem")
+        o_ = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+            .where(F.col("sum_qty") > 300)
+        )
+        return (
+            o_.join(big, o_.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(c), o_.o_custkey == c.c_custkey)
+            .select(
+                "c_name",
+                "o_custkey",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .alias("total_c"),
+                "sum_qty",
+            )
+        )
+
+    q["tpch_big_orders"] = tpch_big_orders
+
+    # TPC-H Q7 shape (nation-to-nation volume): the two-dimension star —
+    # lineitem keeps ONE shuffle join (orders, fact-to-fact at scale);
+    # supplier, customer and both nation aliases broadcast. Two years of
+    # shipping revenue per (supp_nation, cust_nation, year), exact BIGINT
+    # cents.
+    def tpch_nation_volume(s, d):
+        li = _t(s, d, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        o_ = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        sup = _t(s, d, "supplier")
+        n = _t(s, d, "nation")
+        n1 = n.select(
+            F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = n.select(
+            F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+        )
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        return (
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(o_, li.l_orderkey == o_.o_orderkey)
+            .join(F.broadcast(c), o_.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+            .groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").cast("long").alias("l_year"),
+            )
+            .agg(
+                F.sum(rev_c).cast("long").alias("revenue_c"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["tpch_nation_volume"] = tpch_nation_volume
+
+    # TPC-H Q22 shape (idle rich customers): the scalar-subquery +
+    # anti-join combination — customers whose balance beats the
+    # positive-balance average (pure-integer cross-multiplication
+    # bal_c * n_pos > sum_c, no float average) AND with no order in the
+    # trailing year (LEFT ANTI against the date-filtered fact). The
+    # customer projection is pinned once: the scalar aggregate and the
+    # main filter both read it.
+    def tpch_idle_customers(s, d):
+        c = _t(s, d, "customer")
+        o_ = _t(s, d, "orders").where(F.col("o_orderdate") >= "2000-08-01")
+        cc = c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("bal_c"),
+        ).localCheckpoint()
+        pos = cc.where(F.col("bal_c") > 0).agg(
+            F.sum("bal_c").cast("long").alias("sum_c"),
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+        )
+        rich = cc.crossJoin(F.broadcast(pos)).where(
+            F.col("bal_c") * F.col("n_pos") > F.col("sum_c")
+        )
+        idle = rich.join(o_, rich.c_custkey == o_.o_custkey, "left_anti")
+        return idle.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum("bal_c").cast("long").alias("bal_sum_c"),
+        )
+
+    q["tpch_idle_customers"] = tpch_idle_customers
+
+    # TPC-H Q15 shape (top supplier): one quarter's revenue per supplier,
+    # keep every supplier tied at the global max — the global-max scalar
+    # broadcast back onto the aggregate (no single-partition window). The
+    # per-supplier aggregate is pinned (|suppliers| rows) because the max
+    # probe and the equality filter both read it; revenue exact BIGINT
+    # cents so the tie semantics are exact.
+    def tpch_top_supplier(s, d):
+        li = _t(s, d, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        sup = _t(s, d, "supplier")
+        rev_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        rev = (
+            li.groupBy("l_suppkey")
+            .agg(F.sum(rev_c).cast("long").alias("total_rev_c"))
+            .localCheckpoint()
+        )
+        mx = rev.agg(F.max("total_rev_c").alias("mx"))
+        return (
+            rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_rev_c") == F.col("mx"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(
+                F.col("l_suppkey").alias("suppkey"), "s_name", "total_rev_c"
+            )
+        )
+
+    q["tpch_top_supplier"] = tpch_top_supplier
+
+    # int8 scalar quantization of the embedding corpus (the SQ8 storage
+    # path every 100-TB vector index runs before IVF/HNSW): per-DIMENSION
+    # global [min, max] (comparisons only — bit-exact on float→double
+    # casts), each value quantized to a 0..255 code by the ONE closed-form
+    # double floor((v-mn)/(mx-mn)*255+0.5), reconstruction error
+    # (v - dequant)² quantized to BIGINT pico-units BEFORE the per-vector
+    # sum (order-free). The exploded (vec_id, dim, v) frame is pinned once
+    # — the 64-row stats frame and the quantize pass both read it; stats
+    # broadcast back. Constant dims (mx == mn) code to 0 with zero error.
+    def sim_sq8(s, d):
+        emb = _dbl_emb(_t(s, d, "embeddings"))
+        ex = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        ).localCheckpoint()
+        stats = ex.groupBy("dim").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        )
+        qz = (
+            ex.join(F.broadcast(stats), "dim")
+            .withColumn(
+                "code",
+                F.when(
+                    F.col("mx") > F.col("mn"),
+                    F.floor(
+                        (F.col("v") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * F.lit(255.0)
+                        + F.lit(0.5)
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .withColumn(
+                "vr",
+                F.col("mn")
+                + F.col("code") * (F.col("mx") - F.col("mn")) / F.lit(255.0),
+            )
+            .withColumn(
+                "err_u",
+                F.floor(
+                    (F.col("v") - F.col("vr"))
+                    * (F.col("v") - F.col("vr"))
+                    * F.lit(1000000000000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+        )
+        return qz.groupBy("vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum("code").cast("long").alias("code_sum"),
+            F.sum("err_u").cast("long").alias("sse_u"),
+        )
+
+    q["sim_sq8"] = sim_sq8
+
+    # RFM customer segmentation (recency / frequency / monetary quintiles)
+    # — the classic audience-building aggregate, with every quintile
+    # assigned from skew.global_rank_bucketed (three bucketed two-phase
+    # global ranks — the only single-partition windows are over the
+    # bucket-totals frames, never over users) instead of a global-sort
+    # NTILE. Score = 5 - (rank-1)*5 div n (pure integer — 5 is best), so
+    # both engines share the exact quintile boundaries; the per-user frame
+    # is pinned once for its four consumers.
+    def events_rfm(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            global_rank_bucketed,
+        )
+
+        ev = _t(s, d, "events")
+        u = (
+            ev.groupBy("user_id")
+            .agg(
+                F.datediff(
+                    F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))
+                )
+                .cast("long")
+                .alias("recency_d"),
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"))
+                .cast("long")
+                .alias("monetary_c"),
+            )
+            .localCheckpoint()
+        )
+        n = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        r = global_rank_bucketed(
+            u, -F.col("recency_d"), [F.asc("recency_d"), F.asc("user_id")], "r_rank"
+        )
+        r = global_rank_bucketed(
+            r,
+            F.floor(F.col("freq") / 16),
+            [F.desc("freq"), F.asc("user_id")],
+            "f_rank",
+        )
+        r = global_rank_bucketed(
+            r,
+            F.floor(F.col("monetary_c") / 65536),
+            [F.desc("monetary_c"), F.asc("user_id")],
+            "m_rank",
+        )
+        sc = r.crossJoin(F.broadcast(n)).select(
+            "user_id",
+            "recency_d",
+            "freq",
+            "monetary_c",
+            F.expr("5 - ((r_rank - 1) * 5) div n_users").cast("long").alias("r_score"),
+            F.expr("5 - ((f_rank - 1) * 5) div n_users").cast("long").alias("f_score"),
+            F.expr("5 - ((m_rank - 1) * 5) div n_users").cast("long").alias("m_score"),
+        )
+        return sc.withColumn(
+            "segment",
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+
+    q["events_rfm"] = events_rfm
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -6593,5 +6915,175 @@ FROM pairs
 JOIN supp sa ON pairs.item_a = sa.event_type
 JOIN supp sb ON pairs.item_b = sb.event_type
 CROSS JOIN nb"""
+
+    # Q13 shape: the non-urgent filter lives in the ON clause (preserved
+    # customers keep count 0), then the count histogram
+    o["tpch_cust_dist"] = """
+WITH per AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY 1"""
+
+    # Q17 shape: decorrelated avg-subquery; the 20%-of-avg predicate is
+    # the pure-integer cross-multiplication (quantities integral)
+    o["tpch_small_qty"] = """
+WITH lb AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+),
+pa AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lb GROUP BY 1
+)
+SELECT CAST(sum(lb.rev_c) AS BIGINT) AS rev_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lb JOIN pa USING (l_partkey)
+WHERE qty * n * 5 < sum_q"""
+
+    # Q18 shape: HAVING-threshold keys join back; date as an explicit
+    # yyyy-MM-dd string (TIMESTAMP_NTZ parity without timezone semantics)
+    o["tpch_big_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c_name, o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_c,
+       sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+    # Q7 shape: identical star, BIGINT cents, calendar year of the naive
+    # timestamp on both engines
+    o["tpch_nation_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3"""
+
+    # Q22 shape: scalar average as the integer cross-multiplication,
+    # NOT EXISTS == the Spark LEFT ANTI against the date-filtered fact
+    o["tpch_idle_customers"] = """
+WITH cc AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM cc WHERE bal_c > 0
+),
+rich AS (SELECT cc.* FROM cc, pos WHERE bal_c * n_pos > sum_c),
+idle AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-08-01')
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bal_c) AS BIGINT) AS bal_sum_c
+FROM idle GROUP BY 1"""
+
+    # Q15 shape: global max broadcast back onto the per-supplier
+    # aggregate; exact BIGINT tie semantics
+    o["tpch_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+mx AS (SELECT max(total_rev_c) AS mx FROM rev)
+SELECT l_suppkey AS suppkey, s_name, total_rev_c
+FROM rev CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c = mx"""
+
+    # SQ8: parallel unnests zip in DuckDB (posexplode equivalent);
+    # min/max are comparisons (bit-exact on float→double), the code and
+    # the error are each ONE closed-form double in identical operand
+    # order, the error quantized to pico-units before the per-vector sum
+    o["sim_sq8"] = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+),
+st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+qz AS (
+  SELECT vec_id, v, mn, mx,
+         CASE WHEN mx > mn
+              THEN CAST(FLOOR((v - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS code
+  FROM ex JOIN st USING (dim)
+),
+e2 AS (
+  SELECT vec_id, code,
+         CAST(FLOOR((v - (mn + code * (mx - mn) / 255.0))
+                    * (v - (mn + code * (mx - mn) / 255.0))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS err_u
+  FROM qz
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(err_u) AS BIGINT) AS sse_u
+FROM e2 GROUP BY 1"""
+
+    # RFM: bare row_number totals orders ARE the bucketed two-phase ranks;
+    # quintile boundaries from pure integer arithmetic on both engines
+    o["events_rfm"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(CAST(ts AS DATE)), DATE '2024-02-01')
+              AS BIGINT) AS recency_d,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM events GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+r AS (
+  SELECT u.*,
+         row_number() OVER (ORDER BY recency_d ASC, user_id ASC) AS r_rank,
+         row_number() OVER (ORDER BY freq DESC, user_id ASC) AS f_rank,
+         row_number() OVER (ORDER BY monetary_c DESC, user_id ASC) AS m_rank
+  FROM u
+),
+sc AS (
+  SELECT user_id, recency_d, freq, monetary_c,
+         CAST(5 - ((r_rank - 1) * 5) // n_users AS BIGINT) AS r_score,
+         CAST(5 - ((f_rank - 1) * 5) // n_users AS BIGINT) AS f_score,
+         CAST(5 - ((m_rank - 1) * 5) // n_users AS BIGINT) AS m_score
+  FROM r, n
+)
+SELECT *, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+FROM sc"""
 
     return o

@@ -153,6 +153,14 @@ HEADLINE = [
     "tpch_order_priority",
     "tpch_promo",
     "tpch_complex_pred",
+    "tpch_cust_dist",
+    "tpch_small_qty",
+    "tpch_big_orders",
+    "tpch_nation_volume",
+    "tpch_idle_customers",
+    "tpch_top_supplier",
+    "sim_sq8",
+    "events_rfm",
     "decontam_bloom",
 ]
 

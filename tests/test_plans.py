@@ -333,6 +333,17 @@ def test_gate_query_scan_budget(spark):
         ("events_cusum", 1),
         ("events_chisq", 1),
         ("events_assoc_rules", 0),
+        # eleventh-session: sq8 pins the exploded frame (stats + quantize
+        # both read it); rfm pins the per-user frame (count + three
+        # ranks); small_qty pins the brand slice (per-part aggregate +
+        # rejoin); idle_customers pins the customer projection so only
+        # the orders anti-join side scans; top_supplier pins the
+        # per-supplier aggregate so only the supplier dim scans
+        ("sim_sq8", 0),
+        ("events_rfm", 0),
+        ("tpch_small_qty", 0),
+        ("tpch_idle_customers", 1),
+        ("tpch_top_supplier", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
@@ -498,3 +509,90 @@ def test_text_winnowing_is_shuffle_free(spark):
     assert "Exchange" not in p
     assert p.count("Scan parquet") == 1
     assert "Generate explode" in p
+
+
+def test_tpch_cust_dist_filtered_left_outer(spark):
+    """Q13 shape: the join must stay LEFT OUTER (zero-order customers are
+    the point of the query) with the non-urgent filter ON the orders
+    side — reaching the orders parquet scan as a pushed filter — and the
+    preserved side must NOT be broadcast away."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_cust_dist"](spark, SF))
+    assert "LeftOuter" in p
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_big_orders_partial_agg_and_broadcast_customer(spark):
+    """Q18 shape: the per-order quantity sum partial-aggregates map-side
+    (the shuffle carries one row per order per task, not lineitems), and
+    the customer dim broadcasts."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_big_orders"](spark, SF))
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_nation_volume_broadcasts_all_dims(spark):
+    """Q7 shape: supplier, customer and both nation aliases broadcast
+    (>= 4 broadcast joins), the two-year window reaches the lineitem
+    scan, and no nested loop appears in the 6-table star."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_nation_volume"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_idle_customers_plans_left_anti(spark):
+    """Q22 shape: NOT EXISTS must compile to a LEFT ANTI join with the
+    trailing-year window pushed to the orders scan (the anti side reads
+    one year of keys, not the whole fact)."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_idle_customers"](spark, SF))
+    assert "LeftAnti" in p
+    assert (
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+    )
+
+
+def test_sim_sq8_broadcasts_dim_stats(spark):
+    """SQ8 shape: the 64-row per-dimension stats frame broadcasts back
+    onto the pinned exploded frame (zero re-scan of the corpus), and the
+    per-vector reduce partial-aggregates map-side."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["sim_sq8"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+    assert p.count("Scan parquet") == 0
