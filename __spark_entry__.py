@@ -3744,6 +3744,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rfm"] = events_rfm
 
+    # Reciprocal-rank fusion of BM25 + query-term-overlap retrieval over
+    # the deterministic mid-frequency query band — the hybrid-search merge
+    # (Cormack 2009). RRF score = Σ 1e9 div (60 + rank) over the systems
+    # that retrieved the doc: integer-exact fused ordering, no float
+    # summation; the (doc, term) tf frame is pinned once for both systems
+    # (one corpus scan total).
+    def text_rrf_fusion(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            rrf_fusion,
+        )
+
+        return rrf_fusion(_t(s, d, "documents"), k=20)
+
+    q["text_rrf_fusion"] = text_rrf_fusion
+
+    # Nelson–Aalen cumulative hazard (survival analysis over user churn):
+    # lifetime = days between a user's first and last event; death is
+    # OBSERVED iff the last event precedes the corpus horizon by > 3 days
+    # (else right-censored — the user may still be alive). Per cohort
+    # (user_id % 4): at-risk n(t) = suffix sum of arrivals, hazard
+    # increment d(t)/n(t) as the EXACT integer (d*1e6) div n — the
+    # estimator that needs no logs and no products, so the whole curve is
+    # BIGINT-exact (Kaplan–Meier's Π(1 - d/n) would force transcendental
+    # parity; Nelson–Aalen is the additive twin). Per-cohort windows are
+    # bounded by distinct lifetimes (the calendar), never the corpus.
+    def events_survival(s, d):
+        ev = _t(s, d, "events")
+        u = (
+            ev.groupBy("user_id")
+            .agg(
+                F.min(F.to_date("ts")).alias("d0"),
+                F.max(F.to_date("ts")).alias("d1"),
+            )
+            # the horizon scalar and the lifetime frame both read the
+            # per-user aggregate — pin it or events scans twice
+            .localCheckpoint()
+        )
+        mx = u.agg(F.max("d1").alias("dmax"))
+        lif = u.crossJoin(F.broadcast(mx)).select(
+            (F.col("user_id") % 4).cast("long").alias("cohort"),
+            F.datediff("d1", "d0").cast("long").alias("t"),
+            F.when(F.datediff("dmax", "d1") > 3, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("death"),
+        )
+        at_t = lif.groupBy("cohort", "t").agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.sum("death").cast("long").alias("d_t"),
+        )
+        w_risk = (
+            Window.partitionBy("cohort")
+            .orderBy(F.desc("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_cum = (
+            Window.partitionBy("cohort")
+            .orderBy(F.asc("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            at_t.withColumn("n_risk", F.sum("n_t").over(w_risk).cast("long"))
+            .withColumn("term_u", F.expr("(d_t * 1000000) div n_risk").cast("long"))
+            .withColumn("haz_u", F.sum("term_u").over(w_cum).cast("long"))
+            .select("cohort", "t", "n_risk", "d_t", "haz_u")
+        )
+
+    q["events_survival"] = events_survival
+
+    # Neyman-optimal stratified sampling (allocation n_h ∝ N_h·S_h): the
+    # curation sampler that puts budget where the variance is. Per-stratum
+    # stddev from EXACT BIGINT cent-moments; S_h = sqrt(varnum/(n(n-1)))
+    # stays bit-exact cross-engine because +,-,*,/ and sqrt are all
+    # IEEE-correctly-rounded (only transcendentals drift) — then the
+    # weight is quantized to BIGINT micro-units and the seat assignment is
+    # pure-integer largest-remainder (base = (budget·w) div W, bonus seats
+    # to the largest (budget·w) mod W). The draw itself is the
+    # deterministic md5 bottom-n_h per stratum. BIGINT headroom: n·Σx²
+    # at ~10× sf0.1 volumes; beyond that rescale cents to dollars.
+    def sample_neyman(s, d, budget=500):
+        ev = _t(s, d, "events")
+        x_c = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        st = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x_c).cast("long").alias("s1"),
+            F.sum(x_c * x_c).cast("long").alias("s2"),
+        )
+        w_u = F.when(
+            F.col("n") > 1,
+            F.floor(
+                F.col("n")
+                * F.sqrt(
+                    (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    / (F.col("n") * (F.col("n") - F.lit(1)))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0)).cast("long")
+        # the |strata|-row weight frame feeds both the total and the seat
+        # table — pin it or the stats pass over events runs twice
+        ws = st.select("event_type", "n", w_u.alias("w_u")).localCheckpoint()
+        tot = ws.agg(F.sum("w_u").cast("long").alias("w_tot"))
+        seats = (
+            ws.crossJoin(F.broadcast(tot))
+            .withColumn("base", F.expr(f"({budget} * w_u) div w_tot").cast("long"))
+            .withColumn("rem", F.expr(f"({budget} * w_u) % w_tot").cast("long"))
+        )
+        bw = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+        sw = Window.partitionBy(F.lit(1))
+        alloc = (
+            seats.withColumn("brk", F.row_number().over(bw).cast("long"))
+            .withColumn("base_tot", F.sum("base").over(sw).cast("long"))
+            .withColumn(
+                "alloc",
+                (
+                    F.col("base")
+                    + F.when(
+                        F.col("brk") <= F.lit(budget) - F.col("base_tot"), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).cast("long"),
+            )
+            .select("event_type", "n", "w_u", "alloc")
+        )
+        dw = Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), F.asc("event_id")
+        )
+        return (
+            ev.select("event_type", "event_id")
+            .withColumn("rk", F.row_number().over(dw).cast("long"))
+            .join(F.broadcast(alloc), "event_type")
+            .where(F.col("rk") <= F.col("alloc"))
+            .select("event_type", "event_id", "rk", "alloc", "n", "w_u")
+        )
+
+    q["sample_neyman"] = sample_neyman
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -7085,5 +7222,148 @@ sc AS (
 )
 SELECT *, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
 FROM sc"""
+
+    # RRF: both systems' rankings mirror the bm25 oracle structure; the
+    # fused score is the exact integer 1e9 // (60 + rank) per retrieving
+    # system (absent -> rank 0, contributes 0)
+    o["text_rrf_fusion"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM pairs GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT n_docs, sum_dl / n_docs AS avgdl
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl)
+),
+qsel AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term ASC) AS qrk
+    FROM dfreq)
+  WHERE qrk BETWEEN 10 AND 14
+),
+qtf AS (SELECT tf.* , q.df FROM tf JOIN qsel q USING (term)),
+scored AS (
+  SELECT qtf.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (s.n_docs - qtf.df + 0.5) / (qtf.df + 0.5))
+           * (qtf.tf * 2.2)
+           / (qtf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS sq
+  FROM qtf JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+bm AS (SELECT doc_id, CAST(sum(sq) AS BIGINT) AS s_q FROM scored GROUP BY 1),
+top_a AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s_q DESC, doc_id ASC)
+                      AS BIGINT) AS rk_a
+  FROM bm ORDER BY s_q DESC, doc_id ASC LIMIT 20
+),
+ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_match,
+              CAST(sum(tf) AS BIGINT) AS tf_sum
+       FROM qtf GROUP BY 1),
+top_b AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_match DESC, tf_sum DESC,
+                                 doc_id ASC) AS BIGINT) AS rk_b
+  FROM ov ORDER BY n_match DESC, tf_sum DESC, doc_id ASC LIMIT 20
+),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE(rk_a, 0) AS BIGINT) AS bm25_rk,
+         CAST(COALESCE(rk_b, 0) AS BIGINT) AS overlap_rk
+  FROM top_a a FULL OUTER JOIN top_b b USING (doc_id)
+),
+sc AS (
+  SELECT *,
+         CAST((CASE WHEN bm25_rk > 0 THEN 1000000000 // (60 + bm25_rk)
+                    ELSE 0 END)
+              + (CASE WHEN overlap_rk > 0 THEN 1000000000 // (60 + overlap_rk)
+                      ELSE 0 END) AS BIGINT) AS rrf_u
+  FROM fused
+)
+SELECT *, CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id ASC) AS BIGINT)
+            AS fused_rk
+FROM sc"""
+
+    # Nelson–Aalen: every quantity BIGINT; (d*1e6) // n is the exact
+    # hazard increment, the suffix/cumulative windows mirror exactly
+    o["events_survival"] = """
+WITH u AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(d1) AS dmax FROM u),
+lif AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+         CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+         CASE WHEN date_diff('day', d1, dmax) > 3 THEN 1 ELSE 0 END AS death
+  FROM u, mx
+),
+at_t AS (
+  SELECT cohort, t, CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(death) AS BIGINT) AS d_t
+  FROM lif GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(sum(n_t) OVER (
+    PARTITION BY cohort ORDER BY t DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM at_t
+),
+h AS (SELECT *, CAST((d_t * 1000000) // n_risk AS BIGINT) AS term_u FROM r)
+SELECT cohort, t, n_risk, d_t,
+       CAST(sum(term_u) OVER (
+         PARTITION BY cohort ORDER BY t ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS haz_u
+FROM h"""
+
+    # Neyman: sqrt is IEEE-correctly-rounded on both engines, so the
+    # micro-quantized weight is bit-exact; seats by integer largest
+    # remainder; the draw is the md5 bottom-n_h per stratum
+    o["sample_neyman"] = """
+WITH st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1
+),
+ws AS (
+  SELECT event_type, n,
+         CASE WHEN n > 1
+              THEN CAST(FLOOR(n * sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+                              * 1000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS w_u
+  FROM st
+),
+tot AS (SELECT CAST(sum(w_u) AS BIGINT) AS w_tot FROM ws),
+seats AS (
+  SELECT event_type, n, w_u,
+         CAST((500 * w_u) // w_tot AS BIGINT) AS base,
+         CAST((500 * w_u) % w_tot AS BIGINT) AS rem
+  FROM ws, tot
+),
+alloc AS (
+  SELECT event_type, n, w_u,
+         CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                  event_type ASC)
+                          <= 500 - (SELECT sum(base) FROM seats)
+                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM seats
+),
+rk AS (
+  SELECT event_type, event_id,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id ASC)
+           AS BIGINT) AS rk
+  FROM events
+)
+SELECT rk.event_type, rk.event_id, rk.rk, a.alloc, a.n, a.w_u
+FROM rk JOIN alloc a USING (event_type)
+WHERE rk.rk <= a.alloc"""
 
     return o

@@ -161,6 +161,9 @@ HEADLINE = [
     "tpch_top_supplier",
     "sim_sq8",
     "events_rfm",
+    "text_rrf_fusion",
+    "events_survival",
+    "sample_neyman",
     "decontam_bloom",
 ]
 

@@ -483,6 +483,119 @@ def bm25_topk(
     )
 
 
+def rrf_fusion(
+    docs: DataFrame,
+    k: int = 20,
+    q_lo: int = 10,
+    q_hi: int = 14,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rrf_k: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two sparse
+    retrieval systems over the same deterministic query band as
+    ``bm25_topk``: system A = BM25 top-k, system B = query-term-overlap
+    top-k (n matched query terms desc, total tf desc — pure integers).
+    This is the hybrid-search merge every production retrieval stack runs
+    (lexical + second signal fused by rank, not by incomparable scores).
+
+    Exactness: RRF score = Σ 1/(rrf_k + rank) over the systems that
+    retrieved the doc — each reciprocal is the exact BIGINT
+    ``1e9 div (rrf_k + rank)`` so the fused ordering is integer-exact
+    (no float summation anywhere); absent-in-system ranks report 0 and
+    contribute 0, the standard convention. The per-(doc,term) tf frame is
+    pinned once — both systems, the query-band selection and the corpus
+    stats all derive from the one materialization (one corpus scan total).
+    The fused frame is ≤ 2k rows, so the final window is driver-trivial.
+    """
+    pairs = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
+    tf = (
+        pairs.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qw = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        dfreq.orderBy(F.desc("df"), F.asc("term"))
+        .limit(q_hi)
+        .withColumn("qrk", F.row_number().over(qw))
+        .where(F.col("qrk") >= q_lo)
+        .select("term", "df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    qtf = tf.join(F.broadcast(qterms), "term")
+
+    # system A: BM25 (the bm25_topk scoring verbatim — micro-quantized
+    # per-term partials, BIGINT per-doc sum)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score_q = F.floor(
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / den * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    bm = (
+        qtf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score_q.alias("sq"))
+        .groupBy("doc_id")
+        .agg(F.sum("sq").cast("long").alias("s_q"))
+    )
+    rw_a = Window.orderBy(F.desc("s_q"), F.asc("doc_id"))
+    top_a = (
+        bm.orderBy(F.desc("s_q"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rk_a", F.row_number().over(rw_a).cast("long"))
+        .select("doc_id", "rk_a")
+    )
+
+    # system B: query-term overlap — integers only
+    ov = qtf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+    )
+    rw_b = Window.orderBy(F.desc("n_match"), F.desc("tf_sum"), F.asc("doc_id"))
+    top_b = (
+        ov.orderBy(F.desc("n_match"), F.desc("tf_sum"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rk_b", F.row_number().over(rw_b).cast("long"))
+        .select("doc_id", "rk_b")
+    )
+
+    fused = (
+        top_a.join(top_b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rk_a", F.lit(0)).cast("long").alias("bm25_rk"),
+            F.coalesce("rk_b", F.lit(0)).cast("long").alias("overlap_rk"),
+        )
+        .withColumn(
+            "rrf_u",
+            (
+                F.when(
+                    F.col("bm25_rk") > 0,
+                    F.expr(f"1000000000 div ({rrf_k} + bm25_rk)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("overlap_rk") > 0,
+                    F.expr(f"1000000000 div ({rrf_k} + overlap_rk)"),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    fw = Window.orderBy(F.desc("rrf_u"), F.asc("doc_id"))
+    return fused.withColumn("fused_rk", F.row_number().over(fw).cast("long"))
+
+
 def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
     """BPE tokenizer induction (Sennrich et al. 2016): learn the first k
     merge rules over the corpus, exactly as the standard trainers do —

@@ -263,3 +263,139 @@ def test_tpch_idle_customers_anti_join_semantics(spark, tmp_path):
     )
     rows = entry.queries()["tpch_idle_customers"](spark, d).collect()
     assert [(r.c_nationkey, r.n_custs, r.bal_sum_c) for r in rows] == [(7, 1, 1000)]
+
+
+# ── text_rrf_fusion ──────────────────────────────────────────────────────────
+
+
+def test_text_rrf_fusion_consistent_with_bm25_and_exact_reciprocals(spark):
+    """System A of the fusion must reproduce the (independently oracled)
+    bm25_topk ranking exactly, and every fused score must equal the
+    integer reciprocal sum recomputed from the reported ranks."""
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        bm25_topk,
+    )
+
+    d = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    fused = entry.queries()["text_rrf_fusion"](spark, d).collect()
+    bm = {r.doc_id: r.rk for r in bm25_topk(docs, k=20).collect()}
+
+    got_a = {r.doc_id: r.bm25_rk for r in fused if r.bm25_rk > 0}
+    assert got_a == bm
+
+    for r in fused:
+        want = 0
+        if r.bm25_rk > 0:
+            want += 1000000000 // (60 + r.bm25_rk)
+        if r.overlap_rk > 0:
+            want += 1000000000 // (60 + r.overlap_rk)
+        assert r.rrf_u == want
+
+    order = sorted(fused, key=lambda r: (-r.rrf_u, r.doc_id))
+    assert [r.fused_rk for r in order] == list(range(1, len(fused) + 1))
+
+
+# ── events_survival ──────────────────────────────────────────────────────────
+
+
+def test_events_survival_known_answer(spark, tmp_path):
+    import datetime as dt
+
+    def ev(eid, uid, day_first, day_last):
+        return [
+            (eid, dt.datetime(2024, 1, day_first, 8, 0, 0), uid, "view", 1.0, "{}"),
+            (eid + 1, dt.datetime(2024, 1, day_last, 8, 0, 0), uid, "view", 1.0, "{}"),
+        ]
+
+    # horizon = Jan 30 (user 12 pushes dmax). cohort 0 = users {0,4,8,12}:
+    #   u0: days 1..3   -> t=2,  death (30-3  > 3)
+    #   u4: days 1..5   -> t=4,  death
+    #   u8: days 1..5   -> t=4,  death
+    #   u12: days 1..30 -> t=29, censored (30-30 = 0)
+    rows = (
+        ev(0, 0, 1, 3) + ev(10, 4, 1, 5) + ev(20, 8, 1, 5) + ev(30, 12, 1, 30)
+    )
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.cohort, r.t): (r.n_risk, r.d_t, r.haz_u)
+        for r in entry.queries()["events_survival"](spark, d).collect()
+    }
+    # t=2: at risk 4, 1 death -> 250000; t=4: at risk 3, 2 deaths ->
+    # 250000 + 666666; t=29: at risk 1, 0 deaths -> hazard flat
+    assert got == {
+        (0, 2): (4, 1, 250000),
+        (0, 4): (3, 2, 250000 + 666666),
+        (0, 29): (1, 0, 250000 + 666666),
+    }
+
+
+def test_events_survival_monotone(spark):
+    rows = entry.queries()["events_survival"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.t)
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_risk > b.n_risk  # strictly fewer at risk later
+            assert a.haz_u <= b.haz_u  # hazard accumulates
+
+
+# ── sample_neyman ────────────────────────────────────────────────────────────
+
+
+def test_sample_neyman_allocation_and_draw_match_python(spark, tmp_path):
+    import datetime as dt
+    import hashlib
+
+    # stratum A: constant value (variance 0 -> weight 0, zero seats);
+    # B: values alternate 0/2 ; C: values alternate 0/4 (double stddev)
+    rows = []
+    eid = 0
+    for st, vals in [("a", [5.0] * 40), ("b", [0.0, 2.0] * 20), ("c", [0.0, 4.0] * 20)]:
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 5, 9, 0, 0), eid % 7, st, v, "{}"))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    got = entry.queries()["sample_neyman"](spark, d).collect()
+
+    import math
+
+    def w_u(vals):
+        n = len(vals)
+        xc = [math.floor(v * 100.0 + 0.5) for v in vals]
+        s1, s2 = sum(xc), sum(x * x for x in xc)
+        num = n * s2 - s1 * s1
+        return math.floor(n * math.sqrt(num / (n * (n - 1))) * 1e6 + 0.5)
+
+    wa, wb, wc = w_u([5.0] * 40), w_u([0.0, 2.0] * 20), w_u([0.0, 4.0] * 20)
+    # same n, doubled spread -> ~2x weight (up to 1 micro-unit: the two
+    # floors quantize independently); the zero-variance stratum weighs 0
+    assert wa == 0 and abs(wc - 2 * wb) <= 1
+    w_tot = wa + wb + wc
+    base = {s: (500 * w) // w_tot for s, w in [("a", wa), ("b", wb), ("c", wc)]}
+    rem = {s: (500 * w) % w_tot for s, w in [("a", wa), ("b", wb), ("c", wc)]}
+    bonus = 500 - sum(base.values())
+    order = sorted(rem, key=lambda s: (-rem[s], s))
+    alloc = {s: base[s] + (1 if order.index(s) < bonus else 0) for s in base}
+
+    got_alloc = {}
+    got_ids: dict[str, set[int]] = {}
+    for r in got:
+        got_alloc[r.event_type] = r.alloc
+        got_ids.setdefault(r.event_type, set()).add(r.event_id)
+    # stratum a allocates 0 seats -> absent from the sample entirely
+    assert "a" not in got_alloc
+    assert got_alloc == {s: alloc[s] for s in ("b", "c")}
+
+    # the draw is the md5 bottom-alloc per stratum (capped by stratum size)
+    ids = {"b": range(40, 80), "c": range(80, 120)}
+    for s in ("b", "c"):
+        want = sorted(
+            ids[s], key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[: min(alloc[s], 40)]
+        assert got_ids[s] == set(want)
+        assert len(got_ids[s]) == min(alloc[s], 40)

@@ -344,6 +344,14 @@ def test_gate_query_scan_budget(spark):
         ("tpch_small_qty", 0),
         ("tpch_idle_customers", 1),
         ("tpch_top_supplier", 1),
+        # rrf pins the (doc,term) tf frame once for both retrieval
+        # systems; survival pins the per-user frame (horizon scalar +
+        # lifetime frame); neyman reads events twice BY DESIGN (stats
+        # pass + ranking pass — pinning the corpus is the wrong trade
+        # at 100 TB, the decontam_suite convention)
+        ("text_rrf_fusion", 0),
+        ("events_survival", 0),
+        ("sample_neyman", 2),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
