@@ -3881,6 +3881,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_neyman"] = sample_neyman
 
+    # Gini coefficient of per-user spend (the inequality measure behind
+    # every skew decision: cohort value concentration, shard imbalance,
+    # head-user dominance). G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over the
+    # spend-ascending rank i — the rank from skew.global_rank_bucketed
+    # (no global sort), every moment an exact BIGINT, the coefficient ONE
+    # integer division into micro-units (numerator ≥ 0 by the rearrangement
+    # inequality, so floor-div parity is trivial). BIGINT headroom:
+    # Σ(i·xᵢ)·1e6 at ~10× sf0.1 users; rescale micro→milli beyond.
+    def events_gini(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            global_rank_bucketed,
+        )
+
+        ev = _t(s, d, "events")
+        u = (
+            ev.groupBy("user_id")
+            .agg(
+                F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"))
+                .cast("long")
+                .alias("spend_c")
+            )
+            # the two-phase rank reads the per-user frame twice
+            .localCheckpoint()
+        )
+        r = global_rank_bucketed(
+            u,
+            -F.floor(F.col("spend_c") / 65536),
+            [F.asc("spend_c"), F.asc("user_id")],
+            "rnk",
+        )
+        return (
+            r.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("spend_c").cast("long").alias("total_c"),
+                F.sum(F.col("rnk") * F.col("spend_c")).cast("long").alias("s1"),
+            )
+            .select(
+                "n_users",
+                "total_c",
+                F.expr(
+                    "((2 * s1 - (n_users + 1) * total_c) * 1000000)"
+                    " div (n_users * total_c)"
+                )
+                .cast("long")
+                .alias("gini_u"),
+            )
+        )
+
+    q["events_gini"] = events_gini
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -7365,5 +7415,31 @@ rk AS (
 SELECT rk.event_type, rk.event_id, rk.rk, a.alloc, a.n, a.w_u
 FROM rk JOIN alloc a USING (event_type)
 WHERE rk.rk <= a.alloc"""
+
+    # Gini: bare ascending row_number IS the bucketed two-phase rank;
+    # every moment BIGINT, one floor division (numerator >= 0 by the
+    # rearrangement inequality, so // == div)
+    o["events_gini"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT spend_c,
+         row_number() OVER (ORDER BY spend_c ASC, user_id ASC) AS rnk
+  FROM u
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(spend_c) AS BIGINT) AS total_c,
+         CAST(sum(rnk * spend_c) AS BIGINT) AS s1
+  FROM r
+)
+SELECT n_users, total_c,
+       CAST(((2 * s1 - (n_users + 1) * total_c) * 1000000)
+            // (n_users * total_c) AS BIGINT) AS gini_u
+FROM a"""
 
     return o

@@ -164,6 +164,7 @@ HEADLINE = [
     "text_rrf_fusion",
     "events_survival",
     "sample_neyman",
+    "events_gini",
     "decontam_bloom",
 ]
 

@@ -399,3 +399,30 @@ def test_sample_neyman_allocation_and_draw_match_python(spark, tmp_path):
         )[: min(alloc[s], 40)]
         assert got_ids[s] == set(want)
         assert len(got_ids[s]) == min(alloc[s], 40)
+
+
+# ── events_gini ──────────────────────────────────────────────────────────────
+
+
+def test_events_gini_equality_and_extremes(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 10, 9, 0, 0)
+
+    # perfectly equal spend -> gini 0
+    rows = [(i, ts, i, "view", 7.0, "{}") for i in range(8)]
+    d = _write_events(spark, tmp_path / "eq", rows)
+    r = entry.queries()["events_gini"](spark, d).collect()[0]
+    assert (r.n_users, r.gini_u) == (8, 0)
+
+    # one user holds all positive spend, the rest ~0 is impossible with
+    # cents>=1, so use 1-cent floors: spends [1,1,1,9997] -> exact formula
+    rows = [(0, ts, 0, "view", 0.01, "{}"), (1, ts, 1, "view", 0.01, "{}"),
+            (2, ts, 2, "view", 0.01, "{}"), (3, ts, 3, "view", 99.97, "{}")]
+    d = _write_events(spark, tmp_path / "sk", rows)
+    r = entry.queries()["events_gini"](spark, d).collect()[0]
+    n, total = 4, 1 + 1 + 1 + 9997
+    s1 = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 9997
+    want = ((2 * s1 - (n + 1) * total) * 1000000) // (n * total)
+    assert r.gini_u == want
+    assert 700000 < r.gini_u < 760000  # near-maximal concentration

@@ -352,6 +352,9 @@ def test_gate_query_scan_budget(spark):
         ("text_rrf_fusion", 0),
         ("events_survival", 0),
         ("sample_neyman", 2),
+        # gini pins the per-user spend frame (the two-phase rank reads
+        # it twice)
+        ("events_gini", 0),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
