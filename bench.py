@@ -165,6 +165,7 @@ HEADLINE = [
     "events_survival",
     "sample_neyman",
     "events_gini",
+    "kg_mention_contexts",
     "decontam_bloom",
 ]
 

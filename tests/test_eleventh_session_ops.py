@@ -426,3 +426,27 @@ def test_events_gini_equality_and_extremes(spark, tmp_path):
     want = ((2 * s1 - (n + 1) * total) * 1000000) // (n * total)
     assert r.gini_u == want
     assert 700000 < r.gini_u < 760000  # near-maximal concentration
+
+
+# ── kg_mention_contexts ──────────────────────────────────────────────────────
+
+
+def test_kg_mention_contexts_windows(spark, tmp_path):
+    # 'join' at pos 0 (empty left), 'table' mid, 'spark' at the end
+    # (empty right); 'xx yy zz' are never gazetteer terms
+    text = "join aa bb cc table dd ee ff gg spark"
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r.pos, r.term): (r.label, r.left_ctx, r.right_ctx)
+        for r in entry.queries()["kg_mention_contexts"](spark, d).collect()
+    }
+    assert got == {
+        (0, "join"): ("Operator", "", "aa bb cc"),
+        (4, "table"): ("Structure", "aa bb cc", "dd ee ff"),
+        (9, "spark"): ("System", "ee ff gg", ""),
+    }

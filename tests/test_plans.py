@@ -355,6 +355,9 @@ def test_gate_query_scan_budget(spark):
         # gini pins the per-user spend frame (the two-phase rank reads
         # it twice)
         ("events_gini", 0),
+        # mention contexts: one per-document projection + one explode +
+        # the broadcast label dim — a single corpus scan
+        ("kg_mention_contexts", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
@@ -607,3 +610,22 @@ def test_sim_sq8_broadcasts_dim_stats(spark):
     assert "BroadcastHashJoin" in p
     assert "partial_sum" in p
     assert p.count("Scan parquet") == 0
+
+
+def test_kg_mention_contexts_no_shuffle(spark):
+    """KWIC contexts must build every window inside the per-document
+    projection (the winnowing pattern): no shuffle Exchange anywhere —
+    the only exchange is the gazetteer label broadcast — and one scan."""
+    import re
+
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["kg_mention_contexts"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert not re.search(r"(?<!Broadcast)(?<!Reused)Exchange", p), p
+    assert p.count("Scan parquet") == 1
