@@ -3981,6 +3981,209 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_mention_contexts"] = kg_mention_contexts
 
+    # Watermarked stream-stream LEFT OUTER join (view -> purchase
+    # attribution with explicit no-conversion rows): the semantics the
+    # inner stream_join_attrib can't show — an unmatched view emits its
+    # NULL-purchase row exactly when the GLOBAL watermark (min over both
+    # sources) passes the view's join-window upper bound, so each side is
+    # staged as (data file, far-future sentinel file) with pinned file
+    # order; the sentinel advances both watermarks past every real window
+    # and availableNow's final no-data batch flushes the outer state.
+    # Unmatched purchases report -1 (coalesced — null-free hash parity);
+    # a view matching k purchases emits k rows, exactly the batch LEFT
+    # JOIN multiplicity the oracle runs.
+    def stream_outer_join(s, d):
+        import glob as _glob
+        import hashlib as _h
+        import shutil
+        import tempfile
+        import time as _time
+
+        tag = _h.md5(("soj" + d).encode()).hexdigest()[:8]
+        base = tempfile.mkdtemp(prefix=f"mdkgs_soj_{tag}_")
+        lsrc = os.path.join(base, "l")
+        rsrc = os.path.join(base, "r")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events")
+            ev.where(F.col("event_type") == "view").select(
+                "user_id", F.col("ts").alias("view_ts")
+            ).repartition(1).write.mode("overwrite").parquet(lsrc)
+            s.createDataFrame(
+                [(-1, datetime.datetime(2150, 1, 1))],
+                "user_id long, view_ts timestamp_ntz",
+            ).coalesce(1).write.mode("append").parquet(lsrc)
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("purch_ts")
+            ).repartition(1).write.mode("overwrite").parquet(rsrc)
+            s.createDataFrame(
+                [(-1, datetime.datetime(2150, 6, 1))],
+                "p_user long, purch_ts timestamp_ntz",
+            ).coalesce(1).write.mode("append").parquet(rsrc)
+            now = _time.time()
+            for src in (lsrc, rsrc):
+                parts = sorted(
+                    _glob.glob(os.path.join(src, "part-*.parquet")),
+                    key=os.path.getmtime,
+                )
+                for i, p in enumerate(parts):
+                    os.utime(p, (now - 100 + 10 * i, now - 100 + 10 * i))
+            views = (
+                s.readStream.schema("user_id long, view_ts timestamp_ntz")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(lsrc)
+                .select(
+                    "user_id", F.col("view_ts").cast("timestamp").alias("view_ts")
+                )
+                .withWatermark("view_ts", "1 hour")
+            )
+            purch = (
+                s.readStream.schema("p_user long, purch_ts timestamp_ntz")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(rsrc)
+                .select(
+                    "p_user", F.col("purch_ts").cast("timestamp").alias("purch_ts")
+                )
+                .withWatermark("purch_ts", "1 hour")
+            )
+            joined = views.join(
+                purch,
+                (F.col("user_id") == F.col("p_user"))
+                & (F.col("purch_ts") >= F.col("view_ts"))
+                & (F.col("purch_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+                "left_outer",
+            ).select(
+                "user_id",
+                F.unix_micros("view_ts").alias("view_us"),
+                F.coalesce(F.unix_micros("purch_ts"), F.lit(-1))
+                .cast("long")
+                .alias("purch_us"),
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                joined.writeStream.format("memory")
+                .queryName(f"soj_{tag}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(base, ignore_errors=True)
+        return s.table(f"soj_{tag}").where(F.col("user_id") >= 0)
+
+    q["stream_outer_join"] = stream_outer_join
+
+    # Two-stage ANN serving over the SQ8 codes (the coarse-then-rerank
+    # shape every quantized vector index runs): stage 1 scores every
+    # candidate by the PURE-BIGINT code dot product (asymmetric distance
+    # on int8 codes — exact integers, no float order sensitivity) and
+    # keeps the top-m=50 per query via the two-phase skew.topk_per_group
+    # prune; stage 2 re-reads RAW vectors for the 5·m survivors only and
+    # reranks by exact cosine (the sim_topk float convention: left-fold
+    # dot == DuckDB list_dot_product, round 4dp, vec_id tiebreak). The
+    # exploded frame and the assembled code table are each pinned once;
+    # raw embeddings are re-scanned for the rerank BY DESIGN (codes are
+    # the stored index at scale, vectors are fetched per survivor).
+    def sim_sq8_rerank(s, d, m=50, k=5):
+        from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+            cosine_col,
+        )
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            topk_per_group,
+        )
+
+        emb = _dbl_emb(_t(s, d, "embeddings"))
+        ex = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        ).localCheckpoint()
+        stats = ex.groupBy("dim").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        )
+        cf = ex.join(F.broadcast(stats), "dim").select(
+            "vec_id",
+            "dim",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(255.0)
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("code"),
+        )
+        codes = (
+            cf.groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, code))),"
+                    " s -> s.code)"
+                ).alias("codes")
+            )
+            # the query slice and the candidate side both read the code
+            # table
+            .localCheckpoint()
+        )
+        qc = codes.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+        )
+        coarse = (
+            codes.crossJoin(F.broadcast(qc))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                # CENTERED code dot: Σ(c−128)(c'−128) — the raw Σcc' is
+                # swamped by the 128-offset constant and first-order sums
+                # (measured recall@5 0.2 raw vs 1.0 centered at sf0.001)
+                F.expr(
+                    "aggregate(zip_with(codes, qcodes,"
+                    " (x, y) -> (x - 128) * (y - 128)),"
+                    " 0L, (acc, v) -> acc + v)"
+                )
+                .cast("long")
+                .alias("coarse_dot"),
+            )
+        )
+        surv = topk_per_group(
+            coarse,
+            ["query_id"],
+            [F.desc("coarse_dot"), F.asc("vec_id")],
+            m,
+            rank_col="crk",
+        ).drop("crk")
+        emb2 = _dbl_emb(_t(s, d, "embeddings"))
+        qemb = emb2.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        scored = (
+            surv.join(emb2, "vec_id")
+            .join(F.broadcast(qemb), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                "coarse_dot",
+                F.round(
+                    cosine_col(F.col("q_embedding"), F.col("embedding")), 4
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+
+    q["sim_sq8_rerank"] = sim_sq8_rerank
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -7518,5 +7721,77 @@ hits AS (
 SELECT doc_id, CAST(h.pos AS BIGINT) AS pos, h.term AS term, gaz.label,
        h.left_ctx AS left_ctx, h.right_ctx AS right_ctx
 FROM hits JOIN {webkg.gazetteer_values_sql()} ON h.term = gaz.term"""
+
+    # streaming LEFT OUTER == the batch LEFT JOIN with the identical
+    # interval window once the sentinel has flushed all outer state;
+    # unmatched -> -1 (the coalesce convention), epoch micros of the
+    # naive timestamps on both engines
+    o["stream_outer_join"] = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, ts AS purch_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       CAST(epoch_us(view_ts) AS BIGINT) AS view_us,
+       CAST(COALESCE(epoch_us(purch_ts), -1) AS BIGINT) AS purch_us
+FROM v LEFT JOIN p
+  ON v.user_id = p.p_user
+ AND p.purch_ts >= v.view_ts
+ AND p.purch_ts <= v.view_ts + INTERVAL 2 HOUR"""
+
+    # SQ8 rerank: stage 1 is pure-BIGINT code dot products (list(...)
+    # ORDER BY dim mirrors the array_sort(collect_list(struct)) assembly);
+    # stage 2 is the sim_topk cosine convention (list_dot_product == the
+    # Spark left fold, round 4dp, vec_id tiebreak)
+    o["sim_sq8_rerank"] = f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+),
+st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+cf AS (
+  SELECT vec_id, dim,
+         CASE WHEN mx > mn
+              THEN CAST(FLOOR((v - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS code
+  FROM ex JOIN st USING (dim)
+),
+codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes FROM cf GROUP BY 1),
+qc AS (SELECT vec_id AS query_id, codes AS qcodes FROM codes WHERE vec_id < 5),
+coarse AS (
+  SELECT query_id, c.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+                                      i -> (c.codes[i] - 128)
+                                           * (qcodes[i] - 128)))
+              AS BIGINT) AS coarse_dot
+  FROM codes c CROSS JOIN qc
+  WHERE c.vec_id <> query_id
+),
+surv AS (
+  SELECT query_id, vec_id, coarse_dot FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY coarse_dot DESC, vec_id ASC) AS crk
+    FROM coarse)
+  WHERE crk <= 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_embedding FROM e
+      WHERE vec_id < 5),
+scored AS (
+  SELECT surv.query_id, surv.vec_id, surv.coarse_dot,
+         round({_cos("q.q_embedding", "e.embedding")}, 4) AS score
+  FROM surv JOIN e USING (vec_id) JOIN q ON surv.query_id = q.query_id
+)
+SELECT query_id, vec_id, coarse_dot, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5"""
 
     return o

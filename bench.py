@@ -166,6 +166,7 @@ HEADLINE = [
     "sample_neyman",
     "events_gini",
     "kg_mention_contexts",
+    "sim_sq8_rerank",
     "decontam_bloom",
 ]
 

@@ -450,3 +450,81 @@ def test_kg_mention_contexts_windows(spark, tmp_path):
         (4, "table"): ("Structure", "aa bb cc", "dd ee ff"),
         (9, "spark"): ("System", "ee ff gg", ""),
     }
+
+
+# ── stream_outer_join ────────────────────────────────────────────────────────
+
+
+def test_stream_outer_join_emits_unmatched_and_multiplicity(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 9, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: view with ONE purchase inside the 2h window
+        (0, at(0), 1, "view", 1.0, "{}"),
+        (1, at(30), 1, "purchase", 1.0, "{}"),
+        # u2: purchase 3h after the view -> outside the window -> -1
+        (2, at(0), 2, "view", 1.0, "{}"),
+        (3, at(180), 2, "purchase", 1.0, "{}"),
+        # u3: TWO purchases inside the window -> two emitted rows
+        (4, at(0), 3, "view", 1.0, "{}"),
+        (5, at(10), 3, "purchase", 1.0, "{}"),
+        (6, at(20), 3, "purchase", 1.0, "{}"),
+        # u4: purchase BEFORE the view -> unmatched
+        (7, at(60), 4, "view", 1.0, "{}"),
+        (8, at(0), 4, "purchase", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = sorted(
+        (r.user_id, r.view_us, r.purch_us)
+        for r in entry.queries()["stream_outer_join"](spark, d).collect()
+    )
+
+    def us(minutes):
+        return int((t0 + dt.timedelta(minutes=minutes)).timestamp() * 1e6)
+
+    assert got == [
+        (1, us(0), us(30)),
+        (2, us(0), -1),
+        (3, us(0), us(10)),
+        (3, us(0), us(20)),
+        (4, us(60), -1),
+    ]
+
+
+# ── sim_sq8_rerank ───────────────────────────────────────────────────────────
+
+
+def test_sim_sq8_rerank_recall_vs_exact(spark):
+    """The quantized coarse pass + exact rerank must (a) agree with the
+    exact brute-force top-k on every pair both return (identical rounded
+    cosine), and (b) recover most of the exact top-5 — SQ8 at 64 dims
+    loses little ranking signal, and the m=50 coarse pool is 10% of the
+    sf0.001 corpus."""
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        topk_cosine,
+    )
+    import __spark_entry__ as e
+
+    d = "/root/testdata/sf0.001"
+    emb = e._dbl_emb(spark.read.parquet(f"{d}/embeddings.parquet"))
+    queries = emb.where("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding AS q_embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.score
+        for r in topk_cosine(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id): r.score
+        for r in e.queries()["sim_sq8_rerank"](spark, d).collect()
+    }
+    common = set(exact) & set(got)
+    for key in common:
+        assert exact[key] == got[key]  # identical rounded cosine
+    recall = len(common) / len(exact)
+    assert recall >= 0.8, f"recall@5 {recall}"

@@ -358,6 +358,9 @@ def test_gate_query_scan_budget(spark):
         # mention contexts: one per-document projection + one explode +
         # the broadcast label dim — a single corpus scan
         ("kg_mention_contexts", 1),
+        # sq8 rerank: codes pinned; the rerank re-reads raw embeddings
+        # twice BY DESIGN (doc vectors for survivors + the query slice)
+        ("sim_sq8_rerank", 2),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
