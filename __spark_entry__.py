@@ -4184,6 +4184,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq8_rerank"] = sim_sq8_rerank
 
+    # Weekly-cohort cumulative LTV (the growth-analytics companion of
+    # events_retention): cohort = absolute epoch-week of a user's FIRST
+    # event, age = weeks since; per (cohort, age) cell the exact BIGINT
+    # cent revenue, its running cumulative sum (frame bounded by the
+    # calendar), and LTV-per-user in micro-cents via one integer division.
+    # Week indices from pure epoch arithmetic ((epoch div 86400) div 7 —
+    # the events_chisq convention: no engine-specific week-of-year rules).
+    # The per-user first-week frame is pinned once: the cohort sizes and
+    # the event mapping both read it; it broadcasts onto the event stream.
+    def events_cohort_ltv(s, d):
+        ev = _t(s, d, "events")
+        uf = (
+            ev.groupBy("user_id")
+            .agg(F.min(F.expr("floor(unix_timestamp(ts) / 86400) div 7")).cast("long").alias("cohort_w"))
+            .localCheckpoint()
+        )
+        sizes = uf.groupBy("cohort_w").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        )
+        cells = (
+            ev.select(
+                "user_id",
+                F.expr("floor(unix_timestamp(ts) / 86400) div 7")
+                .cast("long")
+                .alias("w"),
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            )
+            .join(F.broadcast(uf), "user_id")
+            .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("age_w"))
+            .agg(
+                F.sum("cents").cast("long").alias("rev_c"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+        )
+        wc = (
+            Window.partitionBy("cohort_w")
+            .orderBy("age_w")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            cells.join(F.broadcast(sizes), "cohort_w")
+            .withColumn("cum_rev_c", F.sum("rev_c").over(wc).cast("long"))
+            .withColumn(
+                "ltv_u",
+                F.expr("(cum_rev_c * 1000000) div n_users").cast("long"),
+            )
+            .select(
+                "cohort_w", "age_w", "n_users", "n_events", "rev_c",
+                "cum_rev_c", "ltv_u",
+            )
+        )
+
+    q["events_cohort_ltv"] = events_cohort_ltv
+
+    # Top conversion paths: the ordered event-type sequence of each
+    # (user, day) basket — assembled per basket with the
+    # array_sort(collect_list(struct)) pattern under the (ts, event_id)
+    # total order, never a window sort — counted, and the top 20 paths
+    # selected via TakeOrderedAndProject under the deterministic
+    # (count desc, path asc) order. Basket state is bounded by basket
+    # size, the path vocabulary by |types|^basket_size.
+    def events_top_paths(s, d, k=20):
+        ev = _t(s, d, "events")
+        paths = (
+            ev.groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(
+                F.expr(
+                    "array_join(transform(array_sort("
+                    "collect_list(struct(ts, event_id, event_type))),"
+                    " s -> s.event_type), '>')"
+                ).alias("path")
+            )
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        )
+        rw = Window.orderBy(F.desc("n_baskets"), F.asc("path"))
+        return (
+            paths.orderBy(F.desc("n_baskets"), F.asc("path"))
+            .limit(k)
+            .withColumn("rk", F.row_number().over(rw).cast("long"))
+        )
+
+    q["events_top_paths"] = events_top_paths
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -7793,5 +7879,57 @@ SELECT query_id, vec_id, coarse_dot, score,
             AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= 5"""
+
+    # cohort LTV: week = (epoch div 86400) div 7 on both engines (no
+    # week-of-year rules); every cell BIGINT; LTV one integer division
+    o["events_cohort_ltv"] = """
+WITH uf AS (
+  SELECT user_id,
+         CAST(min((CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7)
+              AS BIGINT) AS cohort_w
+  FROM events GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users FROM uf GROUP BY 1
+),
+cells AS (
+  SELECT cohort_w,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7) - cohort_w
+           AS age_w,
+         CAST(sum(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events JOIN uf USING (user_id)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cells.*, n_users,
+         CAST(sum(rev_c) OVER (
+           PARTITION BY cohort_w ORDER BY age_w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_rev_c
+  FROM cells JOIN sizes USING (cohort_w)
+)
+SELECT cohort_w, CAST(age_w AS BIGINT) AS age_w, n_users, n_events, rev_c,
+       cum_rev_c,
+       CAST((cum_rev_c * 1000000) // n_users AS BIGINT) AS ltv_u
+FROM cum"""
+
+    # top paths: list(... ORDER BY ts, event_id) == the
+    # array_sort(collect_list(struct)) assembly; deterministic
+    # (count desc, path asc) top-k
+    o["events_top_paths"] = """
+WITH b AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>')
+           AS path
+  FROM events GROUP BY 1, 2
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_baskets FROM b GROUP BY 1),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY n_baskets DESC, path ASC) AS rk
+  FROM c
+)
+SELECT path, n_baskets, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20"""
 
     return o

@@ -528,3 +528,62 @@ def test_sim_sq8_rerank_recall_vs_exact(spark):
         assert exact[key] == got[key]  # identical rounded cosine
     recall = len(common) / len(exact)
     assert recall >= 0.8, f"recall@5 {recall}"
+
+
+# ── events_cohort_ltv / events_top_paths ─────────────────────────────────────
+
+
+def test_events_cohort_ltv_known_answer(spark, tmp_path):
+    import datetime as dt
+
+    # users 1,2 first appear in week of Jan 1 (epoch-week W); user 3 a
+    # week later. Revenue: u1 spends 1.00 in W and 2.00 in W+1;
+    # u2 spends 3.00 in W; u3 spends 5.00 in W+1.
+    W = (int(dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc).timestamp()) // 86400) // 7
+    rows = [
+        (0, dt.datetime(2024, 1, 3, 9, 0), 1, "purchase", 1.00, "{}"),
+        (1, dt.datetime(2024, 1, 10, 9, 0), 1, "purchase", 2.00, "{}"),
+        (2, dt.datetime(2024, 1, 3, 10, 0), 2, "purchase", 3.00, "{}"),
+        (3, dt.datetime(2024, 1, 10, 11, 0), 3, "purchase", 5.00, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.cohort_w, r.age_w): (r.n_users, r.rev_c, r.cum_rev_c, r.ltv_u)
+        for r in entry.queries()["events_cohort_ltv"](spark, d).collect()
+    }
+    assert got == {
+        (W, 0): (2, 400, 400, 400 * 1000000 // 2),
+        (W, 1): (2, 200, 600, 600 * 1000000 // 2),
+        (W + 1, 0): (1, 500, 500, 500 * 1000000),
+    }
+
+
+def test_events_top_paths_order_and_ties(spark, tmp_path):
+    import datetime as dt
+
+    def basket(eid0, uid, day, types):
+        return [
+            (eid0 + i, dt.datetime(2024, 1, day, 9, i, 0), uid, t, 1.0, "{}")
+            for i, t in enumerate(types)
+        ]
+
+    rows = (
+        basket(0, 1, 1, ["view", "click", "purchase"])
+        + basket(10, 2, 1, ["view", "click", "purchase"])
+        + basket(20, 1, 2, ["view", "view"])
+        + basket(30, 3, 1, ["signup"])
+    )
+    d = _write_events(spark, tmp_path, rows)
+    got = [
+        (r.path, r.n_baskets, r.rk)
+        for r in sorted(
+            entry.queries()["events_top_paths"](spark, d).collect(),
+            key=lambda r: r.rk,
+        )
+    ]
+    # count desc, then path asc on the 1-count ties
+    assert got == [
+        ("view>click>purchase", 2, 1),
+        ("signup", 1, 2),
+        ("view>view", 1, 3),
+    ]

@@ -361,6 +361,10 @@ def test_gate_query_scan_budget(spark):
         # sq8 rerank: codes pinned; the rerank re-reads raw embeddings
         # twice BY DESIGN (doc vectors for survivors + the query slice)
         ("sim_sq8_rerank", 2),
+        # cohort LTV pins the per-user first-week frame (cohort sizes +
+        # the event mapping both read it); one event-stream scan
+        ("events_cohort_ltv", 1),
+        ("events_top_paths", 1),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
