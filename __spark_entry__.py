@@ -4270,6 +4270,291 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_top_paths"] = events_top_paths
 
+    # TPC-H Q6 shape (forecast revenue change): the pure scan-side query —
+    # all three predicates (date range, discount band, quantity cap) push
+    # to the parquet scan, the aggregate is one map-side-partial sum, no
+    # join, no shuffle beyond the final 1-row combine. Revenue =
+    # extendedprice * discount quantized per-row to BIGINT 1e-4 units
+    # (both factors have 2dp, so the product is exact at 4dp) BEFORE the
+    # sum — the BIGINT sum is addition-order-free.
+    def tpch_forecast_revenue(s, d):
+        li = _t(s, d, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        rev_u = F.floor(
+            F.col("l_extendedprice") * F.col("l_discount") * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        return li.agg(
+            F.sum(rev_u).cast("long").alias("revenue_u"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+
+    q["tpch_forecast_revenue"] = tpch_forecast_revenue
+
+    # TPC-H Q8 shape (national market share): lineitem keeps the ONE
+    # fact-to-fact shuffle join (orders); the filtered part slice,
+    # customer, supplier, both nation roles and region all broadcast.
+    # Share = NATION_3's volume over total volume per order-year — two
+    # exact BIGINT cent sums, then ONE closed-form double division
+    # (bit-exact cross-engine), rounded to 4dp.
+    def tpch_market_share(s, d):
+        li = _t(s, d, "lineitem")
+        o_ = _t(s, d, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        p = _t(s, d, "part").where(F.col("p_type") == "STANDARD")
+        c = _t(s, d, "customer")
+        sup = _t(s, d, "supplier")
+        n = _t(s, d, "nation")
+        r = _t(s, d, "region").where(F.col("r_name") == "ASIA")
+        n1 = n.join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        ).select(F.col("n_nationkey").alias("cnk"))
+        n2 = n.select(
+            F.col("n_nationkey").alias("snk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        vol_c = F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+        agg = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o_, li.l_orderkey == o_.o_orderkey)
+            .join(F.broadcast(c), o_.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"))
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snk"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(
+                F.sum(vol_c).cast("long").alias("total_c"),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol_c).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("nation_c"),
+            )
+        )
+        return agg.select(
+            "o_year",
+            "total_c",
+            "nation_c",
+            F.round(F.col("nation_c") / F.col("total_c"), 4).alias("mkt_share"),
+        )
+
+    q["tpch_market_share"] = tpch_market_share
+
+    # Product quantization ANN (Jégou et al. 2011): 64-dim vectors
+    # compressed to m=4 subspace codes against a 16-centroid-per-subspace
+    # codebook (the deterministic lowest-vec_id sample, same quantizer
+    # convention as sim_ivf_topk), then asymmetric-distance top-5 — the
+    # query builds one 4x16 LUT of subvector dots and every candidate is
+    # scored from its codes alone, never from its raw vector. Parity: each
+    # LUT entry is one left-fold dot (bit-exact both engines); the ADC sum
+    # pivots the 4 entries into fixed-order columns d0+d1+d2+d3 — never a
+    # float groupBy-sum.
+    def sim_pq(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+            topk_pq,
+        )
+
+        return topk_pq(
+            _dbl_emb(_t(s, d, "embeddings")),
+            _queries_dim(s, d),
+            k=5,
+            m=4,
+            n_cents=16,
+            dims=64,
+        )
+
+    q["sim_pq"] = sim_pq
+
+    # Streaming top conversion paths: basket assembly as a NATIVE
+    # update-mode streaming aggregation — per-(user, day) state is the
+    # collect_list of (ts, event_id, event_type) structs plus a row
+    # counter. The counter is strictly monotone across a key's update
+    # emissions, so the drained fold keeps max_by(list, n) == the complete
+    # basket; arrival order inside the state list is irrelevant because
+    # the path sorts the structs under the (ts, event_id) total order
+    # AFTER the drain — exactly the batch assembly. Shares the
+    # events_top_paths oracle verbatim.
+    def stream_top_paths(s, d, k=20):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_paths_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "user_id", "ts", "event_id", "event_type"
+            )
+            ev.where(F.col("event_id") % 2 == 0).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(
+                    "user_id long, ts timestamp_ntz,"
+                    " event_id long, event_type string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = stream.groupBy(
+                "user_id", F.to_date("ts").alias("day")
+            ).agg(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                ).alias("evs"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(f"spaths_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        baskets = (
+            s.table(f"spaths_{tag}")
+            .groupBy("user_id", "day")
+            .agg(F.max_by("evs", "n").alias("evs"))
+        )
+        paths = (
+            baskets.select(
+                F.expr(
+                    "array_join(transform(array_sort(evs),"
+                    " s -> s.event_type), '>')"
+                ).alias("path")
+            )
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        )
+        rw = Window.orderBy(F.desc("n_baskets"), F.asc("path"))
+        return (
+            paths.orderBy(F.desc("n_baskets"), F.asc("path"))
+            .limit(k)
+            .withColumn("rk", F.row_number().over(rw).cast("long"))
+        )
+
+    q["stream_top_paths"] = stream_top_paths
+
+    # Streaming cohort retention: the (user, day) activity set as a NATIVE
+    # update-mode streaming count — set membership is exactly "count > 0",
+    # and counts are monotone, so the drained DISTINCT keys ARE the batch
+    # activity set regardless of how many update emissions each key got.
+    # Cohort day (min over the set) and the (cohort, offset) cells are
+    # derived from the drained set batch-side — the same post-drain
+    # convention as stream_hist/stream_hll (state holds the sufficient
+    # statistic; the closed form runs once at the end). Shares the
+    # events_retention oracle verbatim.
+    def stream_retention(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_ret_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select("user_id", "ts", "event_id")
+            ev.where(F.col("event_id") % 2 == 0).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(
+                    "user_id long, ts timestamp_ntz, event_id long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = stream.groupBy(
+                "user_id", F.to_date("ts").alias("day")
+            ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(f"sret_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        # pin the drained activity set: the cohort aggregate and the cell
+        # mapping both read it (and a self-join of the memory-sink view
+        # would otherwise share attribute ids across branches)
+        days = (
+            s.table(f"sret_{tag}")
+            .select("user_id", "day")
+            .distinct()
+            .localCheckpoint()
+        )
+        cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_d"))
+        return (
+            days.join(cohort, "user_id")
+            .select(
+                F.col("cohort_d").cast("string").alias("cohort_d"),
+                F.datediff("day", "cohort_d").cast("long").alias("offset_d"),
+            )
+            .groupBy("cohort_d", "offset_d")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+
+    q["stream_retention"] = stream_retention
+
+    # Windowed conversion funnel (the windowFunnel semantic): same
+    # greedy-earliest chain as events_funnel but each step must land
+    # within 1 day of the previous match — the conversion-deadline bound
+    # every product-analytics funnel carries. Same scale shape (one
+    # shrinking equi-join + one min-aggregate per step); the gap bound is
+    # interval arithmetic on TIMESTAMP_NTZ (the events_asof convention —
+    # no double casts).
+    def events_funnel_windowed(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.funnel import (
+            funnel,
+        )
+
+        fn = funnel(
+            _t(s, d, "events"),
+            ["view", "click", "purchase"],
+            max_gap_sec=86400,
+        )
+        return fn.select(
+            "user_id",
+            "stage",
+            (F.unix_timestamp("t_1") - F.unix_timestamp("t_0")).alias(
+                "sec_to_click"
+            ),
+            (F.unix_timestamp("t_2") - F.unix_timestamp("t_1")).alias(
+                "sec_click_to_buy"
+            ),
+        )
+
+    q["events_funnel_windowed"] = events_funnel_windowed
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -7931,5 +8216,137 @@ r AS (
   FROM c
 )
 SELECT path, n_baskets, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20"""
+
+    # streaming basket assembly: monotone row counter => drained
+    # max_by(list, n) is the complete basket; sorted-struct path assembly
+    # is order-free => the batch oracle applies verbatim
+    o["stream_top_paths"] = o["events_top_paths"]
+
+    # streaming activity set: drained distinct (user, day) keys == the
+    # batch DISTINCT => the batch retention oracle applies verbatim
+    o["stream_retention"] = o["events_retention"]
+
+    # windowed funnel: the unbounded-funnel chain with each step's match
+    # bounded to (prev, prev + 1 day]; interval arithmetic only
+    o["events_funnel_windowed"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0
+    AND e.ts <= v.t0 + INTERVAL 86400 SECOND
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+    AND e.ts <= c.t1 + INTERVAL 86400 SECOND
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+              + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage,
+       date_diff('second', v.t0, c.t1) AS sec_to_click,
+       date_diff('second', c.t1, p.t2) AS sec_click_to_buy
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id"""
+
+    # Q6: every predicate on the scan; revenue quantized to 1e-4 units
+    # per row (2dp * 2dp is exact at 4dp), BIGINT sum order-free
+    o["tpch_forecast_revenue"] = """
+SELECT CAST(sum(CAST(FLOOR(l_extendedprice * l_discount * 10000.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_u,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+    # Q8: exact BIGINT cent volumes; share = one closed-form division
+    o["tpch_market_share"] = """
+WITH v AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS vol_c,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+),
+a AS (
+  SELECT o_year,
+         CAST(sum(vol_c) AS BIGINT) AS total_c,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c
+                       ELSE 0 END) AS BIGINT) AS nation_c
+  FROM v GROUP BY 1
+)
+SELECT o_year, total_c, nation_c,
+       round(nation_c / total_c, 4) AS mkt_share
+FROM a"""
+
+    # PQ / ADC: codebook = lowest-16 vec_ids sliced into 4 subspaces
+    # (DuckDB list_slice is 1-based inclusive == Spark F.slice(col, pos,
+    # len)); code = argmax subvector dot (ties to lowest cell); ADC sum
+    # pivots the 4 LUT entries into fixed-order d0+d1+d2+d3
+    _pq_pivot = ", ".join(
+        f"max(CASE WHEN sub = {j} THEN qd END) AS d{j}" for j in range(4)
+    )
+    o["sim_pq"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (SELECT unnest(range(0, 4)) AS sub),
+cb AS (
+  SELECT vec_id AS cell, sub,
+         list_slice(emb, sub * 16 + 1, sub * 16 + 16) AS c_sub
+  FROM e, subs WHERE vec_id < 16
+),
+vs AS (
+  SELECT vec_id, sub, list_slice(emb, sub * 16 + 1, sub * 16 + 16) AS v_sub
+  FROM e, subs
+),
+sc AS (
+  SELECT vec_id, vs.sub, cell,
+         row_number() OVER (
+           PARTITION BY vec_id, vs.sub
+           ORDER BY list_dot_product(v_sub, v_sub)
+                    - 2.0 * list_dot_product(v_sub, c_sub)
+                    + list_dot_product(c_sub, c_sub) ASC,
+                    cell ASC) AS rn
+  FROM vs JOIN cb ON vs.sub = cb.sub
+),
+codes AS (SELECT vec_id, sub, cell FROM sc WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.cell,
+         list_dot_product(
+           list_slice(q.emb, cb.sub * 16 + 1, cb.sub * 16 + 16), c_sub) AS qd
+  FROM e q, cb WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT query_id, vec_id, {_pq_pivot}
+  FROM codes JOIN lut USING (sub, cell)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, vec_id, round(d0 + d1 + d2 + d3, 4) AS score
+  FROM adc WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
 
     return o

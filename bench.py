@@ -168,6 +168,12 @@ HEADLINE = [
     "kg_mention_contexts",
     "sim_sq8_rerank",
     "decontam_bloom",
+    "events_cohort_ltv",
+    "events_top_paths",
+    "tpch_forecast_revenue",
+    "tpch_market_share",
+    "sim_pq",
+    "events_funnel_windowed",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -449,3 +449,179 @@ def kmeans_lloyd_quantized(
             F.min("vec_id").alias("rep"),
         )
     )
+
+
+def pq_codebook(
+    embeddings: DataFrame, m: int = 4, n_cents: int = 16, dims: int = 64
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al. 2011, TPAMI): the
+    embedding space is split into ``m`` contiguous subspaces of
+    ``dims // m`` dimensions; each subspace gets ``n_cents`` centroids.
+
+    Quantizer choice mirrors ``ivf_centroids`` (reference
+    ``app/rag/embeddings.py`` has no trained index either): a fixed
+    deterministic sample — the ``n_cents`` lowest vec_ids — supplies the
+    centroids, which keeps the whole construction oracle-able in SQL.
+    Swap in ``ivf_centroids_kmeans`` per subspace for a trained codebook
+    at deployment; the assignment/ADC plumbing below is identical.
+
+    Returns (cell, sub, c_sub) — m * n_cents rows, always broadcastable.
+    """
+    sd = dims // m
+    cents = embeddings.where(F.col("vec_id") < n_cents)
+    return cents.select(
+        F.col("vec_id").alias("cell"),
+        F.posexplode(
+            F.array(*[F.slice("embedding", j * sd + 1, sd) for j in range(m)])
+        ).alias("sub", "c_sub"),
+    )
+
+
+def pq_codebook_kmeans(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_cents: int = 16,
+    dims: int = 64,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """TRAINED PQ codebook: one seeded Euclidean k-means per subspace over
+    the subvector projections (the Jégou et al. construction proper),
+    same (cell, sub, c_sub) shape as pq_codebook so pq_encode / topk_pq
+    take either.
+
+    Why it exists: the fixed-sample codebook quantizes every subspace
+    with the SAME n_cents leading rows — oracle-able (the gate keeps it,
+    the ivf_centroids precedent) but untrained, so codes waste centroids
+    on whatever the leading rows happen to cover. Training per subspace
+    allocates centroids by that subspace's own density; measured recall
+    uplift is in BENCH.md (scripts/pq_ab.py). m sequential fits of an
+    N x (dims/m) problem; at 100 TB train each on .sample(fraction) —
+    codebook size is m * n_cents * dims/m doubles either way, always
+    broadcast-sized. NOT SQL-oracle-able (iterative), so it is covered
+    by pytest + the A/B script, not a driver gate."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sd = dims // m
+    spark = embeddings.sparkSession
+    rows = []
+    for j in range(m):
+        X = embeddings.select(
+            array_to_vector(
+                F.slice("embedding", j * sd + 1, sd).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(
+            k=n_cents, seed=seed + j, maxIter=max_iter, initMode="k-means||"
+        ).fit(X)
+        rows += [
+            (i, j, [float(v) for v in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(rows, "cell int, sub int, c_sub array<double>")
+
+
+def pq_encode(
+    embeddings: DataFrame, codebook: DataFrame, m: int = 4, dims: int = 64
+) -> DataFrame:
+    """Encode every vector as m subspace codes: (vec_id, sub, cell).
+
+    The code = the L2-NEAREST centroid of the subvector (the PQ paper's
+    quantizer: it bounds the ADC error |q·v - q·c| <= |q||v - c|, which
+    an argmax-dot assignment does not). dist² is the closed form
+    v·v - 2 v·c + c·c from three left-fold dots in fixed operand order —
+    bit-exact cross-engine; ties break to the lowest cell id. One
+    broadcast join of the m*k-row codebook onto the exploded subvectors,
+    one window per (vec_id, sub) over k rows — never a global sort.
+
+    Scale shape: the output is the COMPRESSED index — m small ints per
+    vector (m bytes at k<=256) instead of dims floats, an O(dims/m * 8/1)
+    = 128x storage cut at the gate's 64-dim/4-sub layout. At 100 TB the
+    codes table is what sits in memory; raw vectors are only read at
+    encode time (one scan) and never at query time.
+    """
+    sd = dims // m
+    vs = embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", j * sd + 1, sd) for j in range(m)])
+        ).alias("sub", "v_sub"),
+    )
+    dist2 = (
+        _dot(F.col("v_sub"), F.col("v_sub"))
+        - F.lit(2.0) * _dot(F.col("v_sub"), F.col("c_sub"))
+        + _dot(F.col("c_sub"), F.col("c_sub"))
+    )
+    scored = vs.join(F.broadcast(codebook), "sub").select(
+        "vec_id", "sub", "cell", dist2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d2"), F.asc("cell")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "cell")
+    )
+
+
+def topk_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_cents: int = 16,
+    dims: int = 64,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build the
+    m×n_cents lookup table of query-subvector·centroid dots ONCE, then
+    score every candidate as the sum of its m table entries — queries
+    never touch a raw candidate vector. The per-query LUT (m*k rows per
+    query) broadcasts onto the codes table; the scan side is the
+    compressed index only.
+
+    Float parity: each LUT entry is one left-fold dot product (bit-exact
+    cross-engine); the per-candidate score sums the m entries in FIXED
+    subspace order (conditional-max pivot, then d0+d1+...+d_{m-1}) —
+    never a float groupBy-sum, whose addition order is plan-dependent.
+
+    Returns (query_id, vec_id, score, rank) with score rounded to 4dp,
+    rank <= k under the deterministic (score desc, vec_id asc) order.
+    """
+    # pin the m*n_cents-row codebook: the encode pass and the query LUT
+    # both read it (unpinned, Catalyst re-derives it per branch — one
+    # extra corpus scan; the late-r2 shared-intermediate rule)
+    if codebook is None:
+        codebook = pq_codebook(embeddings, m=m, n_cents=n_cents, dims=dims)
+    cb = codebook.localCheckpoint()
+    codes = pq_encode(embeddings, cb, m=m, dims=dims)
+    sd = dims // m
+    qs = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("q_embedding", j * sd + 1, sd) for j in range(m)])
+        ).alias("sub", "q_sub"),
+    )
+    lut = qs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "cell", _dot("q_sub", "c_sub").alias("qd")
+    )
+    parts = codes.join(F.broadcast(lut), ["sub", "cell"])
+    pivots = [
+        F.max(F.when(F.col("sub") == j, F.col("qd"))).alias(f"d{j}")
+        for j in range(m)
+    ]
+    adc = parts.groupBy("query_id", "vec_id").agg(*pivots)
+    score = F.col("d0")
+    for j in range(1, m):
+        score = score + F.col(f"d{j}")
+    scored = adc.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", F.round(score, 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

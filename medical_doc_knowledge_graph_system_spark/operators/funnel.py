@@ -30,6 +30,7 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_sec: int | None = None,
 ) -> DataFrame:
     """Match the ordered ``steps`` chain per user.
 
@@ -39,6 +40,13 @@ def funnel(
     past the reached stage). Strictly-increasing timestamps: a step event
     at exactly the previous match's timestamp does NOT advance the funnel
     (the same event can never satisfy two steps).
+
+    ``max_gap_sec`` adds the windowFunnel-style conversion bound: step i
+    must land within (t_{i-1}, t_{i-1} + gap]. The matching stays
+    greedy-earliest — step i-1's match is fixed before step i is sought,
+    so a chain that would only complete from a LATER step-(i-1) event
+    does not count (the same deterministic semantics as the unbounded
+    funnel, and exactly one min-aggregate per step either way).
     """
     if len(steps) < 2:
         raise ValueError("funnel requires >= 2 steps")
@@ -50,10 +58,16 @@ def funnel(
     )
     for i, step in enumerate(steps[1:], start=1):
         prev_t = f"t_{i - 1}"
+        cond = F.col(ts_col) > F.col(prev_t)
+        if max_gap_sec is not None:
+            cond = cond & (
+                F.col(ts_col)
+                <= F.col(prev_t) + F.expr(f"INTERVAL {max_gap_sec} SECOND")
+            )
         nxt = (
             ev.where(F.col(type_col) == step)
             .join(cur.select(user_col, prev_t), user_col)
-            .where(F.col(ts_col) > F.col(prev_t))
+            .where(cond)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{i}"))
         )

@@ -365,6 +365,12 @@ def test_gate_query_scan_budget(spark):
         # the event mapping both read it); one event-stream scan
         ("events_cohort_ltv", 1),
         ("events_top_paths", 1),
+        # PQ pins the codebook; scans = corpus encode + query slice
+        ("sim_pq", 2),
+        # Q6 is the pure scan-side query; Q8 reads its 7 tables once each
+        # (nation twice — two roles)
+        ("tpch_forecast_revenue", 1),
+        ("tpch_market_share", 8),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
@@ -636,3 +642,69 @@ def test_kg_mention_contexts_no_shuffle(spark):
     assert "BroadcastHashJoin" in p
     assert not re.search(r"(?<!Broadcast)(?<!Reused)Exchange", p), p
     assert p.count("Scan parquet") == 1
+
+
+def test_tpch_forecast_revenue_all_predicates_pushed(spark):
+    """Q6 shape: the pure scan query — date range, discount band and
+    quantity cap ALL reach the parquet scan, the projection prunes to the
+    four touched columns, and no join appears anywhere."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    df = q["tpch_forecast_revenue"](spark, SF)
+    # simple mode truncates long filter lists; the full PushedFilters
+    # only appears in the formatted node-detail section
+    pf = plan_string(df)
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in pf, frag
+    p = physical_plan_string(df)
+    assert "Join" not in p
+    assert "l_orderkey" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_tpch_market_share_broadcasts_every_dim(spark):
+    """Q8 shape: the 8-table star keeps lineitem->orders as the only
+    possibly-shuffled join; the filtered part slice, customer, supplier,
+    region-filtered nation and the supplier-nation role all broadcast
+    (>= 6 broadcast joins), and the two-year window reaches the orders
+    scan."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_market_share"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,STANDARD)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sim_pq_stays_jvm_side_and_broadcasts_codebook(spark):
+    """PQ/ADC: encode + LUT + score are pure column expressions (no
+    Python eval anywhere); the codebook and the per-query LUT broadcast
+    onto the codes; the corpus is scanned once for encoding plus the
+    query slice."""
+    import __spark_entry__ as entry
+
+    from medical_doc_knowledge_graph_system_spark.plans.checks import (
+        physical_plan_string,
+    )
+
+    q = entry.queries()
+    p = physical_plan_string(q["sim_pq"](spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("Scan parquet") == 2
