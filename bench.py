@@ -174,6 +174,7 @@ HEADLINE = [
     "tpch_market_share",
     "sim_pq",
     "events_funnel_windowed",
+    "source_crawl",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
