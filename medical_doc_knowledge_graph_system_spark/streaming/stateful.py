@@ -273,3 +273,92 @@ def hll_stream(events_stream: DataFrame, value_col) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class LatestEventProcessor:
+    """transformWithState processor (the Spark 4 arbitrary-state API that
+    supersedes applyInPandasWithState): per-(user, event_type) running
+    LATEST event under the (ts, event_id) total order.
+
+    ENVIRONMENT-GATED: transformWithStateInPandas talks to the JVM state
+    server over protobuf, so it needs the `protobuf` Python package at
+    runtime — absent in this container (the driver worker crashes with
+    `ImportError: google.protobuf` in StateMessage_pb2; verified
+    r5 twelfth session). The operator is complete and covered by a
+    protobuf-gated test; the driver gates keep the
+    applyInPandasWithState sketches (stream_hll/stream_kmv), which carry
+    no such dependency. If protobuf appears, add a `stream_tws_latest`
+    gate sharing the events_latest oracle verbatim (the drained fold is
+    the same monotone max-struct).
+
+    State = ONE ValueState row (ts, event_id, value) — the same monotone
+    order-prefixed-struct max the batch `events_latest` gate computes, so
+    every update emission only ever tightens toward the batch answer and
+    the drained per-key fold equals the batch max exactly. handleInputRows
+    folds each Arrow batch vectorized (one idxmax per batch, no per-row
+    Python), merges with the stored row, updates, and emits the current
+    running latest.
+
+    Deliberately timer-free (timeMode="none"): the op is a pure running
+    aggregate; eviction/TTL belongs to the engine's state store config at
+    deployment, not the operator.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "latest", "ts timestamp_ntz, event_id long, value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        best = None
+        if self._state.exists():
+            t = self._state.get()
+            best = (t[0], t[1], t[2])
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            i = pdf.sort_values(["ts", "event_id"]).index[-1]
+            cand = (
+                pdf["ts"][i].to_pydatetime(),
+                int(pdf["event_id"][i]),
+                float(pdf["value"][i]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        self._state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "ts": [best[0]],
+                "event_id": [best[1]],
+                "value": [best[2]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def latest_event_stream(events_stream: DataFrame) -> DataFrame:
+    """Running latest event per (user_id, event_type) via
+    transformWithStateInPandas; update-mode emissions, drained fold ==
+    batch events_latest."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never requires the
+    # transformWithState API (pyspark >= 4.0 only)
+    proc = type(
+        "_LatestProc", (LatestEventProcessor, StatefulProcessor), {}
+    )()
+    return events_stream.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=(
+            "user_id long, event_type string, ts timestamp_ntz,"
+            " event_id long, value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

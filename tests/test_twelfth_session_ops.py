@@ -12,6 +12,17 @@ import __spark_entry__ as entry
 SF001 = "/root/testdata/sf0.001"
 
 
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
 def _write_embeddings(spark, tmp_path, vecs):
     df = spark.createDataFrame(
         [(i, [float(np.float32(x)) for x in v], 0) for i, v in enumerate(vecs)],
@@ -304,3 +315,60 @@ def test_funnel_windowed_gap_boundaries(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 2, 2: 1, 3: 3, 4: 2}
+
+
+def test_tws_latest_requires_protobuf_or_runs(spark, tmp_path):
+    """transformWithStateInPandas needs the protobuf package (JVM state
+    server protocol). With it absent this container can only assert the
+    operator constructs; with it present the drained fold must equal the
+    batch events_latest."""
+    import importlib.util
+
+    import datetime as dt
+
+    from medical_doc_knowledge_graph_system_spark.streaming.stateful import (
+        latest_event_stream,
+    )
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "view", 1.5, "{}"),
+        (1, dt.datetime(2024, 1, 1, 10), 1, "view", 2.5, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    st = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(d + "/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+    out = latest_event_stream(st)  # plan construction always works
+    assert set(out.schema.fieldNames()) == {
+        "user_id", "event_type", "ts", "event_id", "value",
+    }
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' package absent entirely
+        has_pb = False
+    if not has_pb:
+        import pytest
+
+        pytest.skip("protobuf absent: transformWithState runtime blocked")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_probe")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.table("tws_probe")
+        .groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .collect()
+    )
+    assert got[0].m.event_id == 1 and got[0].m.value == 2.5
