@@ -175,6 +175,15 @@ HEADLINE = [
     "sim_pq",
     "events_funnel_windowed",
     "source_crawl",
+    "events_trend_ols",
+    "events_mann_kendall",
+    "docs_skyline",
+    "tpch_waiting_suppliers",
+    "tpch_shipmode",
+    "tpch_supplier_cnt",
+    "tpch_important_parts",
+    "tpch_profit",
+    "tpch_min_cost_supp",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

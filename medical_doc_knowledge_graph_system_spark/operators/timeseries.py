@@ -52,3 +52,101 @@ def gapfill_daily(
         F.col(value_col).isNull().alias("is_gap"),
         F.last(value_col, ignorenulls=True).over(w).cast("long").alias("locf_cnt"),
     )
+
+
+def trend_ols(
+    series: DataFrame,
+    key_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y_c",
+) -> DataFrame:
+    """Per-key least-squares linear trend of an integer-quantized series:
+    slope and intercept of y on x from FIVE exact BIGINT moments
+    (n, Σx, Σx², Σy, Σxy) — one shuffle, map-side partials absorb the
+    series, and the only floats are the two closed-form divisions at the
+    very end (the assortativity pattern: exact integer moments keep float
+    parity structural, because a single IEEE expression over identical
+    BIGINT operands is bit-exact on any engine).
+
+    Expects x (e.g. a day index) and y (e.g. metric quantized to cents)
+    both integral. Output: (keys..., n, slope, intercept) with
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²-of-sum) and
+    intercept = (Σy − slope·Σx) / n, both unrounded doubles.
+
+    Scale shape: a plain groupBy — per-key state is 5 longs regardless of
+    series length; no window, no sort, no Python.
+    """
+    g = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(x_col).cast("long")).cast("long").alias("sx"),
+        F.sum(F.col(x_col).cast("long") * F.col(x_col).cast("long"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col(y_col).cast("long")).cast("long").alias("sy"),
+        F.sum(F.col(x_col).cast("long") * F.col(y_col).cast("long"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return g.select(
+        *key_cols, "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+def mann_kendall_s(
+    series: DataFrame,
+    key_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y_c",
+) -> DataFrame:
+    """Per-key Mann-Kendall trend statistic S = Σ_{i<j} sign(y_j − y_i)
+    over the series ordered by x — the NON-parametric twin of trend_ols:
+    pure integer comparisons, so cross-engine parity is trivial (no
+    float appears anywhere).
+
+    Implemented as the literal pairwise self-join restricted to x1 < x2.
+    Scale shape: the join is per-key and the per-key series here is
+    CALENDAR-BOUNDED (daily points over a fixed window ⇒ n ≤ span days,
+    pairs ≤ span²) — the quadratic blowup is capped by construction, not
+    by data volume. For unbounded series use the O(n log n) inversion
+    count instead; callers must pre-aggregate to a bounded grid first.
+    Pin (localCheckpoint) the input if its lineage is expensive — both
+    join branches re-run it otherwise.
+
+    Output: (keys..., n_points, n_pairs, s_stat); s_stat > 0 ⇒ rising.
+    """
+    a = series.select(
+        *key_cols,
+        F.col(x_col).alias("__x1"),
+        F.col(y_col).cast("long").alias("__y1"),
+    )
+    b = series.select(
+        *key_cols,
+        F.col(x_col).alias("__x2"),
+        F.col(y_col).cast("long").alias("__y2"),
+    )
+    pairs = a.join(b, key_cols).where(F.col("__x1") < F.col("__x2"))
+    counts = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    s = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("__y2") > F.col("__y1"), 1)
+            .when(F.col("__y2") < F.col("__y1"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+    )
+    return counts.join(s, key_cols, "left").select(
+        *key_cols,
+        "n_points",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
+    )
