@@ -184,6 +184,9 @@ HEADLINE = [
     "tpch_important_parts",
     "tpch_profit",
     "tpch_min_cost_supp",
+    "tpch_part_promotion",
+    "events_autocorr",
+    "docs_checks",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -58,3 +58,34 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return wide.select(F.explode(per_col).alias("p"), "n_rows").select(
         "p.col_name", "n_rows", "p.n_null", "p.n_distinct", "p.min_v", "p.max_v"
     )
+
+
+def check_suite(
+    df: DataFrame,
+    checks: list[tuple[str, "F.Column", "F.Column"]],
+) -> DataFrame:
+    """Deequ-style declarative data-validation suite: `checks` is a list
+    of (name, observed_aggregate, passed_predicate_over_aggregates); ALL
+    observed aggregates are computed in ONE aggregation over ONE scan
+    (the Deequ/whylogs trick — a 50-constraint suite costs the same pass
+    as a count), then unpivoted to one (check_name, observed, passed) row
+    per constraint via stack. `passed` is evaluated AFTER aggregation, so
+    it may reference any check's aggregate by its name.
+
+    Scale shape: one scan, one single-row global aggregate (map-side
+    partials collapse everything before the 1-row exchange), |checks|
+    output rows. COUNT(DISTINCT) constraints share the one Expand.
+    """
+    agg = df.agg(
+        *[obs.cast("long").alias(name) for name, obs, _ in checks]
+    )
+    passed = agg.select(
+        *[F.col(name) for name, _, _ in checks],
+        *[p.alias(f"__p_{name}") for name, _, p in checks],
+    )
+    parts = ", ".join(
+        f"'{name}', {name}, __p_{name}" for name, _, _ in checks
+    )
+    return passed.selectExpr(
+        f"stack({len(checks)}, {parts}) AS (check_name, observed, passed)"
+    )

@@ -150,3 +150,53 @@ def mann_kendall_s(
         F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
     )
+
+
+def autocorr_lag(
+    series: DataFrame,
+    key_cols: list[str],
+    lag: int = 1,
+    x_col: str = "x",
+    y_col: str = "y_c",
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of an integer series: Pearson r
+    between (y_t, y_{t+lag}) over the pairs where BOTH grid points exist
+    (gaps drop out of the equi-join naturally). Six exact BIGINT moments
+    over the paired rows, then ONE closed-form double — sqrt is
+    IEEE-correctly-rounded on both engines (bit-exact, unlike ln/exp),
+    so the expression gives structural float parity.
+
+    Overflow bound: m·Σy² must fit a signed 64-bit int — fine for counts
+    and any series with |y| ≲ 3·10⁸ over ≤ 10³ points; quantize coarser
+    (or pre-scale) beyond that.
+
+    Pin the input if its lineage is expensive — both join branches read it.
+    Output: (keys..., n_pairs, acf) with acf unrounded.
+    """
+    a = series.select(
+        *key_cols,
+        F.col(x_col).alias("__x"),
+        F.col(y_col).cast("long").alias("__a"),
+    )
+    b = series.select(
+        *key_cols,
+        (F.col(x_col) - F.lit(int(lag))).alias("__x"),
+        F.col(y_col).cast("long").alias("__b"),
+    )
+    pr = a.join(b, [*key_cols, "__x"])
+    m = pr.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("__a").cast("long").alias("sa"),
+        F.sum("__b").cast("long").alias("sb"),
+        F.sum(F.col("__a") * F.col("__a")).cast("long").alias("saa"),
+        F.sum(F.col("__b") * F.col("__b")).cast("long").alias("sbb"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("sab"),
+    )
+    num = (F.col("m") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (F.col("m") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (F.col("m") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        *key_cols,
+        F.col("m").alias("n_pairs"),
+        (num / (F.sqrt(da) * F.sqrt(db))).alias("acf"),
+    )

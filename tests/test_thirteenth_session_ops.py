@@ -208,3 +208,102 @@ def test_docs_skyline_one_scan_and_broadcast_joinback(spark):
     p = physical_plan_string(q["docs_skyline"](spark, SF001))
     assert p.count("Scan parquet") == 1
     assert "BroadcastHashJoin" in p
+
+
+# ── autocorr_lag ─────────────────────────────────────────────────────────────
+
+
+def test_autocorr_matches_numpy_and_drops_gaps(spark):
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        autocorr_lag,
+    )
+
+    rng = random.Random(29)
+    ys = [rng.randrange(0, 10**6) for _ in range(30)]
+    rows = [("g", x, y) for x, y in zip(range(30), ys)]
+    # a gapped key: days 0..4 and 7..11 — pairs only within each run
+    rows += [("gap", x, (x + 1) * 10) for x in [0, 1, 2, 3, 4, 7, 8, 9, 10, 11]]
+    df = spark.createDataFrame(rows, "k string, x int, y_c long")
+    out = {r["k"]: r for r in autocorr_lag(df, ["k"], lag=1).collect()}
+
+    a = np.array(ys[:-1], float)
+    b = np.array(ys[1:], float)
+    expect = np.corrcoef(a, b)[0, 1]
+    assert out["g"]["n_pairs"] == 29
+    assert abs(out["g"]["acf"] - expect) < 1e-9
+    # gapped: 4 pairs per run = 8 total; series is exactly linear within
+    # runs, so r = 1.0
+    assert out["gap"]["n_pairs"] == 8
+    assert abs(out["gap"]["acf"] - 1.0) < 1e-12
+
+
+def test_autocorr_perfect_alternation_is_minus_one(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        autocorr_lag,
+    )
+
+    df = spark.createDataFrame(
+        [("k", x, 100 if x % 2 == 0 else 200) for x in range(10)],
+        "k string, x int, y_c long",
+    )
+    got = autocorr_lag(df, ["k"], lag=1).collect()[0]
+    assert abs(got["acf"] + 1.0) < 1e-12
+
+
+# ── check_suite ──────────────────────────────────────────────────────────────
+
+
+def test_check_suite_flags_violations_in_one_scan(spark):
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+        check_suite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (2, "c")], "id long, txt string"
+    )
+    checks = [
+        ("row_count", F.count(F.lit(1)), F.col("row_count") >= 1),
+        (
+            "null_txt",
+            F.sum(F.when(F.col("txt").isNull(), 1).otherwise(0)),
+            F.col("null_txt") == 0,
+        ),
+        (
+            "dup_id",
+            F.count(F.lit(1)) - F.countDistinct("id"),
+            F.col("dup_id") == 0,
+        ),
+    ]
+    out = {r["check_name"]: r for r in check_suite(df, checks).collect()}
+    assert out["row_count"]["observed"] == 3 and out["row_count"]["passed"]
+    assert out["null_txt"]["observed"] == 1 and not out["null_txt"]["passed"]
+    assert out["dup_id"]["observed"] == 1 and not out["dup_id"]["passed"]
+    p = physical_plan_string(check_suite(df, checks))
+    assert p.count("Scan ExistingRDD") <= 1
+
+
+def test_docs_checks_one_scan(spark):
+    """The whole 6-constraint suite costs ONE parquet scan."""
+    q = entry.queries()
+    p = physical_plan_string(q["docs_checks"](spark, SF001))
+    assert p.count("Scan parquet") == 1
+
+
+def test_events_autocorr_rooted_in_pinned_daily(spark):
+    q = entry.queries()
+    p = physical_plan_string(q["events_autocorr"](spark, SF001))
+    assert p.count("Scan parquet") == 0
+
+
+def test_tpch_part_promotion_single_conditional_aggregate(spark):
+    """Q20 shape: both correlated aggregates fold into ONE conditional
+    aggregation — one lineitem scan, part + supplier broadcast."""
+    q = entry.queries()
+    p = physical_plan_string(q["tpch_part_promotion"](spark, SF001))
+    assert p.count("Scan parquet") == 3  # lineitem + part + supplier, once each
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
