@@ -187,6 +187,9 @@ HEADLINE = [
     "tpch_part_promotion",
     "events_autocorr",
     "docs_checks",
+    "events_simpson",
+    "events_bollinger",
+    "events_benford",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -15,7 +15,9 @@ columns because float→string formatting is engine-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SAFE_TYPES = {"string", "bigint", "int", "smallint", "tinyint", "long"}
@@ -57,6 +59,105 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
     return wide.select(F.explode(per_col).alias("p"), "n_rows").select(
         "p.col_name", "n_rows", "p.n_null", "p.n_distinct", "p.min_v", "p.max_v"
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """Per-key Simpson diversity index D = 1 − Σᵢ nᵢ(nᵢ−1) / (n(n−1)):
+    the probability two draws WITHOUT replacement from the key's items
+    differ — the ecology/domain-mix diversity measure that (unlike
+    Shannon entropy) needs no logarithm, so cross-engine float parity is
+    structural: both moments are exact BIGINTs and D is ONE closed-form
+    division.
+
+    The training-data use: per-source/per-shard category-mix diversity —
+    a shard whose D collapses toward 0 is dominated by one domain.
+
+    Scale shape: two hash aggregations (key×item cells, then per-key
+    moments), map-side partials absorb item skew; per-key state is three
+    longs regardless of item-set size. Keys with n < 2 are dropped (D is
+    undefined). Output: (keys..., n_items, n, simpson) unrounded.
+    """
+    cells = df.groupBy(*key_cols, item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    c = F.col("__c")
+    g = cells.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(c).cast("long").alias("n"),
+        F.sum(c * (c - F.lit(1))).cast("long").alias("__pairs"),
+    )
+    n = F.col("n")
+    d = F.lit(1.0) - F.col("__pairs").cast("double") / (
+        n * (n - F.lit(1))
+    ).cast("double")
+    return g.where(n >= 2).select(
+        *key_cols, "n_items", "n", d.alias("simpson")
+    )
+
+
+#: repr() round-trips doubles exactly, so these literal strings parse to
+#: the identical IEEE double on Spark AND DuckDB — embed them verbatim in
+#: both the column expressions and any SQL oracle.
+BENFORD_P = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def benford_firstdigit(
+    df: DataFrame,
+    cents_col: str,
+) -> DataFrame:
+    """First-significant-digit census vs Benford's law — the classic
+    fraud/synthetic-data screen over any positive amount column, plus the
+    χ² goodness-of-fit statistic.
+
+    ``cents_col`` must be a positive BIGINT (quantize upstream; rows < 1
+    are ignored). The first digit is taken from the decimal string of the
+    BIGINT (integer→string is exact on any engine — never via log10,
+    which is not correctly rounded). Digits with zero observations still
+    contribute their expected-count term (the 9-row digit dimension is
+    generated, not observed). Each χ² term (o−e)²/e is quantized to
+    BIGINT micro-units BEFORE the 9-term sum — double sums are
+    addition-order-sensitive, BIGINT sums are not — and the expected
+    probabilities are repr()-literal doubles (see ``BENFORD_P``).
+
+    Scale shape: one scan, one 9-cell hash aggregate (map-side partials),
+    then constant-size (9-row) windows. Output: one row per digit
+    (digit, n_obs, expected, chi2) with expected/chi2 unrounded doubles
+    and chi2 identical on every row.
+    """
+    spark = df.sparkSession
+    obs = (
+        df.where(F.col(cents_col) >= 1)
+        .groupBy(
+            F.substring(F.col(cents_col).cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    dims = spark.createDataFrame(
+        [(d, float(p)) for d, p in BENFORD_P.items()], "digit int, p double"
+    )
+    j = dims.join(obs, "digit", "left").select(
+        "digit", "p", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
+    )
+    w_all = Window.partitionBy()
+    t = j.withColumn("nn", F.sum("n_obs").over(w_all).cast("long"))
+    e = F.col("nn").cast("double") * F.col("p")
+    od = F.col("n_obs").cast("double")
+    term_u = F.floor((od - e) * (od - e) / e * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    t = t.withColumn("__tu", term_u)
+    return t.select(
+        "digit",
+        "n_obs",
+        e.alias("expected"),
+        (F.sum("__tu").over(w_all) / F.lit(1000000.0)).alias("chi2"),
     )
 
 

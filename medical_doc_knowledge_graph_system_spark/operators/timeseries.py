@@ -152,6 +152,64 @@ def mann_kendall_s(
     )
 
 
+def bollinger_bands(
+    daily: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    value_col: str = "n",
+    window: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """Per-key Bollinger bands over an integer daily series: trailing
+    ``window``-row moving average ± k·(Bessel sample stddev), the
+    volatility envelope every metrics/anomaly dashboard draws.
+
+    Float parity is structural: the frame holds ≤ ``window`` BIGINTs, so
+    count / Σy / Σy² are exact integers (BIGINT sums are order-free);
+    ma = Σy/n is ONE division, sd = sqrt((n·Σy² − (Σy)²)/(n·(n−1))) is
+    ONE division under an IEEE-correctly-rounded sqrt (bit-exact on any
+    engine, unlike ln/exp), and the bands are one fma-free add each.
+    Rows with fewer than 2 frame observations (each key's first row) are
+    dropped — the stddev is undefined there.
+
+    Scale shape: one bounded per-key window (state = ``window`` rows),
+    no global sort, no Python. Output: (keys..., day, value, n_obs, ma,
+    sd, upper, lower) with the floats unrounded.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    y = F.col("__y")
+    base = daily.select(
+        *key_cols, day_col, F.col(value_col).cast("long").alias("__y")
+    ).select(
+        *key_cols,
+        day_col,
+        F.col("__y").alias(value_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+        F.sum(y).over(w).cast("long").alias("__s"),
+        F.sum(y * y).over(w).cast("long").alias("__ss"),
+    )
+    n_obs, s, ss = F.col("n_obs"), F.col("__s"), F.col("__ss")
+    ma = s.cast("double") / n_obs.cast("double")
+    sd = F.sqrt(
+        (n_obs * ss - s * s).cast("double")
+        / (n_obs * (n_obs - F.lit(1))).cast("double")
+    )
+    return base.where(n_obs >= 2).select(
+        *key_cols,
+        day_col,
+        value_col,
+        "n_obs",
+        ma.alias("ma"),
+        sd.alias("sd"),
+        (ma + F.lit(float(k)) * sd).alias("upper"),
+        (ma - F.lit(float(k)) * sd).alias("lower"),
+    )
+
+
 def autocorr_lag(
     series: DataFrame,
     key_cols: list[str],
