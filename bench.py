@@ -190,6 +190,10 @@ HEADLINE = [
     "events_simpson",
     "events_bollinger",
     "events_benford",
+    "text_kn_bigram",
+    "docs_zorder",
+    "events_theilsen",
+    "sim_kcenter",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -55,23 +55,12 @@ def ngram_topk(
     )
 
 
-def bigram_lm(
-    docs: DataFrame, min_count: int = 5, text_col: str = "text"
-) -> DataFrame:
-    """Maximum-likelihood bigram next-token table: for every token w1 seen
-    at least `min_count` times as a non-final token, the most likely
-    successor w2 with its conditional probability c(w1 w2)/c(w1*).
-    Ties break lexicographically on w2 (total order — deterministic).
-    Output: (w1, w2_top, c1, c12, p).
-
-    c1 is the CONTINUATION count (occurrences of w1 followed by anything),
-    i.e. sum of c12 over w1 — so p is a true distribution over successors.
-    The per-w1 window sorts distinct successors only (vocab-bounded), not
-    corpus occurrences; the corpus-sized explode is absorbed by the
-    map-side partial of the (w1, w2) count.
-    """
+def bigram_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One (w1, w2) row per adjacent token pair occurrence (order-
+    sensitive, sub-2-token docs contribute nothing — the F.sequence(1, 0)
+    descending trap is guarded by the size filter)."""
     toks = tokens_col(text_col)
-    pairs = (
+    return (
         docs.where(F.size(toks) >= 2)
         .select(toks.alias("ts"))
         .select(
@@ -87,7 +76,80 @@ def bigram_lm(
         )
         .select("pr.w1", "pr.w2")
     )
-    big = pairs.groupBy("w1", "w2").agg(
+
+
+def kneser_ney_bigram(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    Ney 1995; Chen & Goodman 1998) with the textbook discount D = 0.75,
+    for the corpus' top-``k`` bigrams (count desc, then w1/w2 asc — a
+    deterministic total order):
+
+        p_KN(w2|w1) = (c(w1w2) − D)/c(w1·) + D·N₁₊(w1·)/c(w1·) · p_cont(w2)
+        p_cont(w2)  = N₁₊(·w2) / |distinct bigram types|
+
+    (for OBSERVED bigrams c ≥ 1 > D, so the max(·,0) clip never binds).
+    D = 3/4 is exact in quarters, so multiplying through by 4 makes the
+    whole expression ONE rational: p = ((4c−3)·T + 3·N₁₊(w1·)·N₁₊(·w2))
+    / (4·c(w1·)·T) — exact BIGINT numerator and denominator, one
+    closed-form division, structural cross-engine float parity.
+
+    Scale shape: the corpus-sized explode is absorbed by the map-side
+    partial of the (w1, w2) count; the type-count frames are
+    vocab-bounded; the pair-count frame is pinned (four consumers); the
+    top-k is TakeOrderedAndProject and the final joins attach
+    vocab-bounded aggregates to k rows. Output: (w1, w2, c12, c1,
+    n1fwd, ncont, n_types, p_kn) with p_kn unrounded.
+    """
+    big = (
+        bigram_pairs(docs, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    per1 = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fwd"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("ncont")
+    )
+    ntypes = big.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    top = big.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")).limit(int(k))
+    j = top.join(per1, "w1").join(cont, "w2").crossJoin(F.broadcast(ntypes))
+    num = (F.lit(4) * F.col("c12") - F.lit(3)) * F.col("n_types") + F.lit(
+        3
+    ) * F.col("n1fwd") * F.col("ncont")
+    den = F.lit(4) * F.col("c1") * F.col("n_types")
+    return j.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "n1fwd",
+        "ncont",
+        "n_types",
+        (num.cast("double") / den.cast("double")).alias("p_kn"),
+    )
+
+
+def bigram_lm(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Maximum-likelihood bigram next-token table: for every token w1 seen
+    at least `min_count` times as a non-final token, the most likely
+    successor w2 with its conditional probability c(w1 w2)/c(w1*).
+    Ties break lexicographically on w2 (total order — deterministic).
+    Output: (w1, w2_top, c1, c12, p).
+
+    c1 is the CONTINUATION count (occurrences of w1 followed by anything),
+    i.e. sum of c12 over w1 — so p is a true distribution over successors.
+    The per-w1 window sorts distinct successors only (vocab-bounded), not
+    corpus occurrences; the corpus-sized explode is absorbed by the
+    map-side partial of the (w1, w2) count.
+    """
+    big = bigram_pairs(docs, text_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )
     w_tot = Window.partitionBy("w1")

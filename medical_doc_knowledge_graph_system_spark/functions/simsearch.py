@@ -364,6 +364,89 @@ def rerank_score_filter_cap(
     )
 
 
+def kcenter_greedy(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985) — the farthest-point
+    coreset every diversity-aware data-pruning pipeline uses (Sener &
+    Savarese 2018 core-set active learning): seed with the minimum id,
+    then k−1 times pick the point FARTHEST from the selected set (max of
+    min squared-L2, ties to the smaller id). The returned ``radius2``
+    sequence is the classic 2-approximation coverage-radius certificate
+    (non-increasing; radius2 of selection i bounds how far any point is
+    from the first i−1 centers).
+
+    Float parity is structural: d² = (v·v − 2·v·c) + c·c from three
+    left-fold dot products in fixed operand order (identical on DuckDB
+    via list_dot_product), `least` and comparisons only tighten — no
+    accumulation across rows ever happens in floating point.
+
+    Scale shape: k sequential rounds, each ONE TakeOrdered(1) argmax job
+    plus one broadcast-single-row distance update; the min-distance
+    frame is re-pinned every round so lineage stays flat. Exact over the
+    full corpus — at 10^12 rows run it on a uniform pre-sample (the
+    standard coreset-of-a-sample construction); k is user-bounded.
+
+    Output: (sel_rank, id, radius2) — k rows, radius2 = 0.0 for the seed.
+    """
+    v = F.col(vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("__id"), v.alias("__v")
+    ).localCheckpoint(eager=True)
+
+    def d2(a, b):
+        return (
+            _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+        )
+
+    seed = e.orderBy("__id").limit(1)
+    picks = [seed.select("__id", "__v", F.lit(0.0).alias("__d2"))]
+    mind = (
+        e.crossJoin(
+            F.broadcast(
+                seed.select(
+                    F.col("__v").alias("__cv"),
+                )
+            )
+        )
+        .select("__id", "__v", d2(F.col("__v"), F.col("__cv")).alias("__d2"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(1, int(k)):
+        nxt = (
+            mind.orderBy(F.desc("__d2"), F.asc("__id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(nxt)
+        mind = (
+            mind.crossJoin(
+                F.broadcast(nxt.select(F.col("__v").alias("__cv")))
+            )
+            .select(
+                "__id",
+                "__v",
+                F.least(
+                    F.col("__d2"), d2(F.col("__v"), F.col("__cv"))
+                ).alias("__d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0].select(
+        F.lit(1).alias("sel_rank"), F.col("__id").alias(id_col), "__d2"
+    )
+    for i, p in enumerate(picks[1:], start=2):
+        out = out.union(
+            p.select(
+                F.lit(i).alias("sel_rank"), F.col("__id").alias(id_col), "__d2"
+            )
+        )
+    return out.select("sel_rank", id_col, F.col("__d2").alias("radius2"))
+
+
 def kmeans_lloyd_quantized(
     embeddings: DataFrame,
     k: int = 4,

@@ -152,6 +152,69 @@ def mann_kendall_s(
     )
 
 
+def theil_sen(
+    series: DataFrame,
+    key_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y_c",
+) -> DataFrame:
+    """Per-key Theil–Sen estimator: the MEDIAN of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i), x_i < x_j — the robust (29%-breakdown)
+    non-parametric twin of trend_ols, completing the trend triple
+    (OLS / Mann-Kendall / Theil-Sen).
+
+    Float parity is structural without quantization: each slope is ONE
+    division of exact BIGINTs (bit-identical on any engine), sorting
+    doubles is engine-independent, and the median is POSITIONAL — ranks
+    ⌈m/2⌉ and ⌊m/2⌋+1 of the slope-sorted multiset, averaged. Rank ties
+    among equal doubles are harmless (whichever row wins, the VALUE at a
+    sorted position is well-defined), and the odd case degenerates to
+    (a+a)/2 == a exactly in IEEE.
+
+    Scale shape: the pairwise join is per-key and calendar-bounded
+    (same contract as mann_kendall_s: daily grid ⇒ pairs ≤ span²); the
+    median window sorts per-key pair frames, never the corpus. Output:
+    (keys..., n_pairs, ts_slope) with ts_slope unrounded.
+    """
+    a = series.select(
+        *key_cols,
+        F.col(x_col).cast("long").alias("__x1"),
+        F.col(y_col).cast("long").alias("__y1"),
+    )
+    b = series.select(
+        *key_cols,
+        F.col(x_col).cast("long").alias("__x2"),
+        F.col(y_col).cast("long").alias("__y2"),
+    )
+    pairs = a.join(b, key_cols).where(F.col("__x1") < F.col("__x2"))
+    sl = pairs.select(
+        *key_cols,
+        (
+            (F.col("__y2") - F.col("__y1")).cast("double")
+            / (F.col("__x2") - F.col("__x1")).cast("double")
+        ).alias("__slope"),
+    )
+    w_rank = Window.partitionBy(*key_cols).orderBy("__slope")
+    w_cnt = Window.partitionBy(*key_cols)
+    r = sl.select(
+        *key_cols,
+        "__slope",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_cnt).cast("long").alias("__m"),
+    )
+    lo = (F.col("__m") + F.lit(1)) / F.lit(2)
+    hi = F.col("__m") / F.lit(2) + F.lit(1)
+    mid = r.where(
+        (F.col("__rn") == F.floor(lo)) | (F.col("__rn") == F.floor(hi))
+    )
+    return mid.groupBy(*key_cols).agg(
+        F.max("__m").alias("n_pairs"),
+        (F.sum("__slope") / F.count(F.lit(1)).cast("double")).alias(
+            "ts_slope"
+        ),
+    )
+
+
 def bollinger_bands(
     daily: DataFrame,
     key_cols: list[str],

@@ -175,3 +175,272 @@ def test_events_benford_one_scan(spark):
     q = entry.queries()
     p = physical_plan_string(q["events_benford"](spark, SF001))
     assert p.count("Scan parquet") == 1
+
+
+# ── morton_key / zorder_stats ────────────────────────────────────────────────
+
+
+def _py_morton(x, y, bits=10):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.operators.layout import (
+        morton_key,
+    )
+
+    rng = random.Random(3)
+    pts = [(rng.randrange(0, 1024), rng.randrange(0, 1024)) for _ in range(100)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select(
+        "x", "y", morton_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_morton(r["x"], r["y"])
+
+
+def test_zorder_boxes_tighter_than_single_column_sort(spark):
+    """The z-order property: file bounding boxes are small in BOTH dims.
+    Under an x-sort layout the y-range of every file is full-range; under
+    z-order each of the 64 files must cover < 1/2 of the y range."""
+    from medical_doc_knowledge_graph_system_spark.operators.layout import (
+        zorder_stats,
+    )
+
+    rng = random.Random(9)
+    pts = [(rng.randrange(0, 1024), rng.randrange(0, 1024)) for _ in range(20000)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = zorder_stats(df, "x", "y", bits=10, n_files=64).collect()
+    assert sum(r["n_rows"] for r in rows) == 20000
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 512
+        assert r["max_y"] - r["min_y"] <= 512
+
+
+def test_zorder_rejects_non_divisor_file_count(spark):
+    import pytest
+
+    from medical_doc_knowledge_graph_system_spark.operators.layout import (
+        zorder_stats,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    with pytest.raises(ValueError):
+        zorder_stats(df, "x", "y", bits=10, n_files=3)
+
+
+# ── kneser_ney_bigram ────────────────────────────────────────────────────────
+
+
+def test_kneser_ney_matches_direct_python(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        kneser_ney_bigram,
+    )
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigram(df, k=50).collect()
+    }
+    # direct python KN with D = 0.75
+    pairs = []
+    for t in docs:
+        ws = t.split(" ")
+        pairs += list(zip(ws, ws[1:]))
+    from collections import Counter
+
+    c12 = Counter(pairs)
+    c1 = Counter(w1 for w1, _ in pairs)
+    n1fwd = Counter(w1 for w1, _ in set(pairs))
+    ncont = Counter(w2 for _, w2 in set(pairs))
+    T = len(set(pairs))
+    for (w1, w2), c in c12.items():
+        expect = (c - 0.75) / c1[w1] + 0.75 * n1fwd[w1] / c1[w1] * (
+            ncont[w2] / T
+        )
+        r = got[(w1, w2)]
+        assert r["c12"] == c and r["c1"] == c1[w1]
+        assert r["n1fwd"] == n1fwd[w1] and r["ncont"] == ncont[w2]
+        assert r["n_types"] == T
+        assert abs(r["p_kn"] - expect) < 1e-9
+
+
+def test_kneser_ney_discount_reserves_mass(spark):
+    """For every observed bigram, p_KN < p_ML (the discount reserves mass
+    for the continuation back-off) and p_KN > 0."""
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        kneser_ney_bigram,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "b c b a")], "doc_id long, text string"
+    )
+    for r in kneser_ney_bigram(df, k=50).collect():
+        p_ml = r["c12"] / r["c1"]
+        assert 0.0 < r["p_kn"] < p_ml + 0.75 * r["n1fwd"] / r["c1"]
+
+
+# ── stream_funnel ────────────────────────────────────────────────────────────
+
+
+def test_stream_funnel_equals_batch_funnel(spark):
+    q = entry.queries()
+    batch = {
+        r["user_id"]: (r["stage"], r["sec_to_click"], r["sec_to_purchase"])
+        for r in q["events_funnel"](spark, SF001).collect()
+    }
+    streamed = {
+        r["user_id"]: (r["stage"], r["sec_to_click"], r["sec_to_purchase"])
+        for r in q["stream_funnel"](spark, SF001).collect()
+    }
+    assert batch == streamed and len(batch) > 0
+
+
+def test_text_kn_bigram_rooted_in_pinned_pairs(spark):
+    """All four moment consumers read the PINNED pair-count frame — zero
+    parquet scans in the final plan; top-20 is TakeOrderedAndProject."""
+    q = entry.queries()
+    p = physical_plan_string(q["text_kn_bigram"](spark, SF001))
+    assert p.count("Scan parquet") == 0
+    assert "TakeOrderedAndProject" in p
+
+
+def test_docs_zorder_one_scan_no_shuffle_beyond_agg(spark):
+    q = entry.queries()
+    p = physical_plan_string(q["docs_zorder"](spark, SF001))
+    assert p.count("Scan parquet") == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+# ── theil_sen ────────────────────────────────────────────────────────────────
+
+
+def test_theil_sen_exact_line_and_outlier_robust(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        theil_sen,
+    )
+
+    rows = [("line", x, 5 * x + 3) for x in range(10)]
+    # a line with one wild outlier: TS stays 2, OLS would not
+    rows += [("rob", x, 2 * x if x != 5 else 10**6) for x in range(11)]
+    df = spark.createDataFrame(rows, "k string, x int, y_c long")
+    out = {r["k"]: r for r in theil_sen(df, ["k"]).collect()}
+    assert out["line"]["ts_slope"] == 5.0
+    assert out["line"]["n_pairs"] == 45
+    assert out["rob"]["ts_slope"] == 2.0
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        theil_sen,
+    )
+
+    rng = random.Random(23)
+    pts = [(x, rng.randrange(-1000, 1000)) for x in range(20)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "k string, x int, y_c long"
+    )
+    got = theil_sen(df, ["k"]).collect()[0]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    ]
+    assert got["n_pairs"] == len(slopes)
+    assert abs(got["ts_slope"] - float(np.median(slopes))) < 1e-12
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        theil_sen,
+    )
+
+    # 4 points -> 6 pairs (even): slopes sorted, median = (s3 + s4)/2
+    pts = [(0, 0), (1, 10), (2, 14), (3, 30)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "k string, x int, y_c long"
+    )
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    expect = (slopes[2] + slopes[3]) / 2
+    got = theil_sen(df, ["k"]).collect()[0]
+    assert got["n_pairs"] == 6 and abs(got["ts_slope"] - expect) < 1e-12
+
+
+# ── kcenter_greedy ───────────────────────────────────────────────────────────
+
+
+def _py_kcenter(pts, k):
+    ids = sorted(pts)
+    seed = ids[0]
+    sel = [(seed, 0.0)]
+    d2 = {
+        i: sum((a - b) ** 2 for a, b in zip(pts[i], pts[seed])) for i in pts
+    }
+    for _ in range(1, k):
+        nxt = max(d2, key=lambda i: (d2[i], -i))
+        sel.append((nxt, d2[nxt]))
+        for i in pts:
+            nd = sum((a - b) ** 2 for a, b in zip(pts[i], pts[nxt]))
+            d2[i] = min(d2[i], nd)
+    return sel
+
+
+def test_kcenter_matches_python_greedy(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        kcenter_greedy,
+    )
+
+    rng = random.Random(11)
+    pts = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["vec_id"], r["radius2"])
+        for r in kcenter_greedy(df, k=5)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    expect = _py_kcenter(pts, 5)
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gi, gd), (ei, ed) in zip(got, expect):
+        assert abs(gd - ed) < 1e-9
+
+
+def test_kcenter_radius_sequence_non_increasing(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        kcenter_greedy,
+    )
+
+    rng = random.Random(31)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(0, 10) for _ in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_greedy(df, k=6).orderBy("sel_rank").collect()
+    radii = [r["radius2"] for r in rows[1:]]  # seed is 0.0 by convention
+    assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))
+    assert len({r["vec_id"] for r in rows}) == 6  # all distinct picks
+
+
+def test_events_theilsen_rooted_in_pinned_daily(spark):
+    q = entry.queries()
+    p = physical_plan_string(q["events_theilsen"](spark, SF001))
+    assert p.count("Scan parquet") == 0
