@@ -194,6 +194,9 @@ HEADLINE = [
     "docs_zorder",
     "events_theilsen",
     "sim_kcenter",
+    "kg_coloring",
+    "events_anova",
+    "sample_systematic",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

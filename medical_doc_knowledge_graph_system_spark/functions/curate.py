@@ -213,6 +213,52 @@ def pack_sequences(
     )
 
 
+def sample_systematic(
+    docs: DataFrame,
+    step: int,
+    start: int | None = None,
+    text_col: str = "text",
+    prefix_len: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling over the
+    token stream (Madow 1949 — the survey-sampling PPS workhorse): lay
+    the corpus out as the deterministic md5(doc_id)-ordered token line
+    (the same distributed prefix sum as sample_to_token_budget), place
+    hit points at start, start+step, start+2·step, … and select every
+    document whose token interval (cum−len, cum] contains a hit.
+    Selection probability is proportional to token_count (capped at 1),
+    documents longer than ``step`` are hit multiple times — ``n_hits``
+    is the with-replacement multiplicity an unbiased estimator weights
+    by. Deterministic: ``start`` defaults to (step+1)//2 (the midpoint
+    rule) instead of a random draw.
+
+    Pure integer arithmetic: hits(x) = (x + step − start) div step for
+    x ≥ 0 (all operands non-negative, so truncating div == floor div on
+    any engine), selected iff hits(cum) > hits(cum − len).
+
+    Scale shape: the prefix sum's cost (see with_cum_tokens) plus one
+    per-row projection — no additional shuffle. Output: (doc_id,
+    token_count, cum_tokens, n_hits) for selected documents.
+    """
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    s0 = (step + 1) // 2 if start is None else int(start)
+    if not (1 <= s0 <= step):
+        raise ValueError("start must be in [1, step]")
+    c = with_cum_tokens(docs, text_col, prefix_len)
+    shift = step - s0
+
+    def hits(x):
+        return F.expr(f"({x} + {shift}) div {step}")
+
+    n_hits = (
+        hits("cum_tokens") - hits("cum_tokens - token_count")
+    ).cast("long")
+    return c.select(
+        "doc_id", "token_count", "cum_tokens", n_hits.alias("n_hits")
+    ).where(F.col("n_hits") >= 1)
+
+
 # weight quantization for sample_temperature: sqrt weights are scaled by
 # 2^20 and floored to BIGINT, so every downstream step is integer-exact
 # (order-free sums, floor division) — cross-engine bit parity without

@@ -161,6 +161,84 @@ def benford_firstdigit(
     )
 
 
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA over an INTEGER-quantized value column: the k-group
+    generalization of the pairwise Welch gate — between/within sums of
+    squares and the F statistic, from exact per-group BIGINT moments
+    (nᵢ, Σc, Σc²).
+
+    Float parity follows the events_chisq convention: each group's
+    between term nᵢ(mᵢ−m)² and within correction Sᵢ²/nᵢ is ONE
+    closed-form double from exact BIGINTs, quantized to BIGINT
+    micro-units BEFORE the cross-group sum (double sums are addition-
+    order-sensitive; BIGINT sums are not); Σc² stays exact BIGINT
+    throughout. F = (SSB/(k−1)) / (SSW/(n−k)) as two fixed-order
+    divisions. Callers quantize coarsely enough that Σc² · 10⁶ fits
+    int64 (|c| ≲ 3·10⁴ at 10⁷ rows; rescale beyond).
+
+    Scale shape: ONE scan, one k-row hash aggregate (map-side partials
+    absorb group skew), then constant-size (k-row) windows. Output: one
+    row (k, n, ssb, ssw, f_stat), floats unrounded.
+    """
+    c = F.col(value_col).cast("long")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(c).cast("long").alias("s_i"),
+        F.sum(c * c).cast("long").alias("q_i"),
+    )
+    w_all = Window.partitionBy()
+    t = g.select(
+        "n_i",
+        "s_i",
+        "q_i",
+        F.sum("n_i").over(w_all).cast("long").alias("n"),
+        F.sum("s_i").over(w_all).cast("long").alias("s"),
+        F.sum("q_i").over(w_all).cast("long").alias("q"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+    )
+    m_i = F.col("s_i").cast("double") / F.col("n_i").cast("double")
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    bu = F.floor(
+        F.col("n_i").cast("double") * (m_i - m) * (m_i - m) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    wu = F.floor(
+        (F.col("s_i") * F.col("s_i")).cast("double")
+        / F.col("n_i").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    u = t.select(
+        "n",
+        "q",
+        "k",
+        bu.alias("__bu"),
+        wu.alias("__wu"),
+    )
+    agg = u.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum("__bu").cast("long").alias("__ssb_u"),
+        (F.max("q") * F.lit(1000000) - F.sum("__wu")).cast("long").alias(
+            "__ssw_u"
+        ),
+    )
+    f = (F.col("__ssb_u") / (F.col("k") - F.lit(1)).cast("double")) / (
+        F.col("__ssw_u") / (F.col("n") - F.col("k")).cast("double")
+    )
+    return agg.select(
+        "k",
+        "n",
+        (F.col("__ssb_u") / F.lit(1000000.0)).alias("ssb"),
+        (F.col("__ssw_u") / F.lit(1000000.0)).alias("ssw"),
+        f.alias("f_stat"),
+    )
+
+
 def check_suite(
     df: DataFrame,
     checks: list[tuple[str, "F.Column", "F.Column"]],

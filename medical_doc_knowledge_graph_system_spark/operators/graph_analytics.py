@@ -342,6 +342,62 @@ def link_prediction(
     )
 
 
+def greedy_coloring(
+    edges: DataFrame, rounds: int = 4, num_partitions: int = 8
+) -> DataFrame:
+    """Deterministic distributed greedy coloring (Jones–Plassmann 1993
+    with node ids as priorities): round r colors every still-uncolored
+    node whose id exceeds ALL its uncolored neighbors' ids (or that has
+    no uncolored neighbor left), then removes colored nodes and their
+    edges. Ids as priorities make the schedule deterministic — exactly
+    oracle-able by unrolling — where classic JP randomizes. The result
+    is a proper coloring of whatever is colored: two adjacent nodes can
+    never be colored in the same round (one's id exceeds the other's).
+
+    ``rounds`` fixes the budget (uncolored nodes after the budget are
+    simply not emitted — the fixed-iteration convention of kcore/
+    pagerank); the fixpoint round count is the longest monotone-id path,
+    O(log n) w.h.p. on random orders.
+
+    Scale shape: per round ONE max-neighbor aggregate (algebraic —
+    map-side partials absorb hub skew) and LEFT SEMI edge filters
+    against the shrinking uncolored set (semi keeps Catalyst's size
+    estimate at the left side — the ktruss stats-explosion lesson);
+    node and edge frames re-pinned each round so lineage stays flat.
+
+    Output: (name, color) for every node colored within the budget,
+    color in [1, rounds].
+    """
+    e = edges.select("a", "b").localCheckpoint()
+    nodes = (
+        _mirrored(e)
+        .select(F.col("x").alias("v"))
+        .distinct()
+        .repartition(num_partitions, "v")
+        .localCheckpoint()
+    )
+    out = None
+    for r in range(1, int(rounds) + 1):
+        nbmax = (
+            _mirrored(e)
+            .groupBy(F.col("x").alias("v"))
+            .agg(F.max("y").alias("__mx"))
+        )
+        j = nodes.join(nbmax, "v", "left").localCheckpoint(eager=True)
+        is_local_max = F.col("__mx").isNull() | (F.col("v") > F.col("__mx"))
+        colored = j.where(is_local_max).select(
+            "v", F.lit(r).cast("int").alias("color")
+        )
+        out = colored if out is None else out.union(colored)
+        nodes = j.where(~is_local_max).select("v").localCheckpoint()
+        e = (
+            e.join(nodes.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(nodes.select(F.col("v").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return out.select(F.col("v").alias("name"), "color")
+
+
 def kcore(
     edges: DataFrame, k: int = 2, rounds: int | None = 8, num_partitions: int = 8
 ) -> DataFrame:

@@ -444,3 +444,166 @@ def test_events_theilsen_rooted_in_pinned_daily(spark):
     q = entry.queries()
     p = physical_plan_string(q["events_theilsen"](spark, SF001))
     assert p.count("Scan parquet") == 0
+
+
+# ── greedy_coloring ──────────────────────────────────────────────────────────
+
+
+def _py_jp_coloring(edges, rounds=4):
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    colors = {}
+    uncolored = set(nodes)
+    for r in range(1, rounds + 1):
+        take = {
+            v
+            for v in uncolored
+            if all(w not in uncolored or v > w for w in adj[v])
+        }
+        for v in take:
+            colors[v] = r
+        uncolored -= take
+    return colors
+
+
+def test_coloring_matches_python_and_is_proper(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        greedy_coloring,
+    )
+
+    rng = random.Random(19)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(200)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["name"]: r["color"] for r in greedy_coloring(df, rounds=4).collect()}
+    expect = _py_jp_coloring(edges, rounds=4)
+    assert got == expect
+    # properness: no colored edge endpoint pair shares a color
+    for a, b in edges:
+        if a in got and b in got:
+            assert got[a] != got[b]
+
+
+def test_coloring_path_graph_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        greedy_coloring,
+    )
+
+    # path 1-2-3-4-5: round 1 colors {5}, round 2 {4}, round 3 {3}, ...
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "a long, b long"
+    )
+    got = {r["name"]: r["color"] for r in greedy_coloring(df, rounds=4).collect()}
+    assert got == {5: 1, 4: 2, 3: 3, 2: 4}  # node 1 left uncolored by budget
+
+
+# ── anova_oneway ─────────────────────────────────────────────────────────────
+
+
+def test_anova_matches_numpy_f(spark):
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+        anova_oneway,
+    )
+
+    rng = random.Random(37)
+    groups = {g: [rng.randrange(0, 300) for _ in range(50 + 13 * i)] for i, g in enumerate("abc")}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, c long")
+    got = anova_oneway(df, "g", "c").collect()[0]
+    all_v = np.array([v for vs in groups.values() for v in vs], float)
+    n, k = len(all_v), len(groups)
+    m = all_v.mean()
+    ssb = sum(len(vs) * (np.mean(vs) - m) ** 2 for vs in groups.values())
+    ssw = sum(((np.array(vs, float) - np.mean(vs)) ** 2).sum() for vs in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["ssb"] - ssb) < 1e-4
+    assert abs(got["ssw"] - ssw) < 1e-4
+    assert abs(got["f_stat"] - f) < 1e-6
+
+
+def test_anova_identical_groups_f_zero(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+        anova_oneway,
+    )
+
+    rows = [(g, v) for g in "ab" for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "g string, c long")
+    got = anova_oneway(df, "g", "c").collect()[0]
+    assert got["ssb"] == 0.0 and got["f_stat"] == 0.0
+
+
+# ── sample_systematic ────────────────────────────────────────────────────────
+
+
+def test_systematic_matches_python_hit_walk(spark):
+    import hashlib
+
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        sample_systematic,
+    )
+
+    rng = random.Random(43)
+    docs = [(i, " ".join("w" for _ in range(rng.randrange(1, 400)))) for i in range(80)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    step, start = 256, (256 + 1) // 2
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["n_hits"])
+        for r in sample_systematic(df, step=step).collect()
+    }
+    # python walk in md5 order
+    order = sorted(docs, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+    cum, expect = 0, {}
+    for doc_id, text in order:
+        w = len(text.split(" "))
+        hits = (cum + w + step - start) // step - (cum + step - start) // step
+        cum += w
+        if hits >= 1:
+            expect[doc_id] = (cum, hits)
+    assert got == expect
+    # total multiplicity == number of hit points inside (0, total]
+    assert sum(h for _, h in got.values()) == (cum + step - start) // step
+
+
+def test_systematic_long_doc_multi_hit_and_validation(spark):
+    import pytest
+
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        sample_systematic,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join("w" for _ in range(1000)))], "doc_id long, text string"
+    )
+    got = sample_systematic(df, step=100).collect()
+    assert got[0]["n_hits"] == 10  # 1000-token doc spans 10 hit points
+    with pytest.raises(ValueError):
+        sample_systematic(df, step=0)
+    with pytest.raises(ValueError):
+        sample_systematic(df, step=10, start=11)
+
+
+def test_events_anova_one_scan(spark):
+    q = entry.queries()
+    p = physical_plan_string(q["events_anova"](spark, SF001))
+    assert p.count("Scan parquet") == 1
+
+
+def test_kg_coloring_zero_scans(spark):
+    """Edge + node frames are pinned per round — the final union plan
+    reads no parquet at all."""
+    q = entry.queries()
+    p = physical_plan_string(q["kg_coloring"](spark, SF001))
+    assert p.count("Scan parquet") == 0
