@@ -5342,6 +5342,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_systematic"] = sample_systematic
 
+    # Two-step Markov transition matrix P² — the matrix-square primitive
+    # (multi-step reachability probabilities) as ONE self-join on the
+    # middle state: each one-step probability is micro-quantized to
+    # BIGINT ((c·10⁶) div row-total, truncating div == floor div on
+    # non-negative operands), so the Σ_b q(a,b)·q(b,c) inner product is
+    # exact integer arithmetic — order-free — and only the final /10¹²
+    # is float. Transition counts pinned (both join sides).
+    def events_markov2(s, d):
+        ev = _t(s, d, "events")
+        w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = ev.select(
+            "event_type", F.lead("event_type").over(w_u).alias("next_type")
+        ).where(F.col("next_type").isNotNull())
+        cnt = pairs.groupBy(
+            F.col("event_type").alias("a"), F.col("next_type").alias("b")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w_tot = Window.partitionBy("a")
+        qm = (
+            cnt.withColumn("tot", F.sum("c").over(w_tot).cast("long"))
+            .select("a", "b", F.expr("(c * 1000000) div tot").alias("qv"))
+            .localCheckpoint(eager=True)
+        )
+        x, y = qm.alias("x"), qm.alias("y")
+        j = (
+            x.join(y, F.col("x.b") == F.col("y.a"))
+            .groupBy(
+                F.col("x.a").alias("src"), F.col("y.b").alias("dst")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_mid"),
+                F.sum(F.col("x.qv") * F.col("y.qv")).cast("long").alias(
+                    "__p2u"
+                ),
+            )
+        )
+        return j.select(
+            "src",
+            "dst",
+            "n_mid",
+            F.round(F.col("__p2u") / F.lit(1000000000000.0), 4).alias("p2"),
+        )
+
+    q["events_markov2"] = events_markov2
+
+    # Chi-square collocation extraction (Manning & Schütze ch. 5) — the
+    # log-free collocation test (t-score and LLR need ln): χ² of each
+    # bigram's 2×2 contingency collapses to N·(N·c12 − c1·c2)² /
+    # (c1·c2·(N−c1)·(N−c2)); every product stays inside BIGINT, the
+    # statistic is ONE fixed-order double expression (identical on both
+    # engines), and the top-20 ranks on that double with (w1, w2)
+    # tie-breaks. min-count 5 prunes the hapax tail before the joins.
+    def text_colloc_chi2(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            bigram_pairs,
+        )
+
+        docs = _t(s, d, "documents")
+        big = (
+            bigram_pairs(docs)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+            .localCheckpoint(eager=True)
+        )
+        per1 = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+        per2 = big.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+        nn = big.agg(F.sum("c12").cast("long").alias("n"))
+        j = (
+            big.where(F.col("c12") >= 5)
+            .join(per1, "w1")
+            .join(per2, "w2")
+            .crossJoin(F.broadcast(nn))
+        )
+        dlt = (
+            F.col("n") * F.col("c12") - F.col("c1") * F.col("c2")
+        ).cast("double")
+        den = (F.col("c1") * F.col("c2")).cast("double") * (
+            (F.col("n") - F.col("c1")) * (F.col("n") - F.col("c2"))
+        ).cast("double")
+        chi2 = F.col("n").cast("double") * dlt * dlt / den
+        return (
+            j.select(
+                "w1",
+                "w2",
+                "c12",
+                "c1",
+                "c2",
+                "n",
+                F.round(chi2, 4).alias("chi2"),
+            )
+            .orderBy(F.desc("chi2"), F.asc("w1"), F.asc("w2"))
+            .limit(20)
+        )
+
+    q["text_colloc_chi2"] = text_colloc_chi2
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -9678,5 +9773,56 @@ s AS (
   FROM c
 )
 SELECT doc_id, token_count, cum_tokens, n_hits FROM s WHERE n_hits >= 1"""
+
+    o["events_markov2"] = """
+WITH pr AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS c
+  FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+q AS MATERIALIZED (
+  SELECT a, b,
+         (c * 1000000)
+           // CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS qv
+  FROM cnt
+)
+SELECT x.a AS src, y.b AS dst, CAST(count(*) AS BIGINT) AS n_mid,
+       round(CAST(sum(x.qv * y.qv) AS BIGINT) / 1000000000000.0, 4) AS p2
+FROM q x JOIN q y ON x.b = y.a
+GROUP BY 1, 2"""
+
+    o["text_colloc_chi2"] = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+pr AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i+1])) AS w2
+  FROM toks
+),
+big AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2
+),
+per1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+per2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY 1),
+nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM big),
+sc AS (
+  SELECT b.w1, b.w2, b.c12, p1.c1, p2.c2, nn.n,
+         round(CAST(nn.n AS DOUBLE)
+               * CAST(nn.n * b.c12 - p1.c1 * p2.c2 AS DOUBLE)
+               * CAST(nn.n * b.c12 - p1.c1 * p2.c2 AS DOUBLE)
+               / (CAST(p1.c1 * p2.c2 AS DOUBLE)
+                  * CAST((nn.n - p1.c1) * (nn.n - p2.c2) AS DOUBLE)), 4)
+           AS chi2
+  FROM big b JOIN per1 p1 USING (w1) JOIN per2 p2 USING (w2) CROSS JOIN nn
+  WHERE b.c12 >= 5
+)
+SELECT w1, w2, c12, c1, c2, n, chi2
+FROM sc ORDER BY chi2 DESC, w1, w2 LIMIT 20"""
 
     return o

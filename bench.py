@@ -197,6 +197,8 @@ HEADLINE = [
     "kg_coloring",
     "events_anova",
     "sample_systematic",
+    "events_markov2",
+    "text_colloc_chi2",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
