@@ -5437,6 +5437,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_colloc_chi2"] = text_colloc_chi2
 
+    # Streaming ANOVA: the per-group moment triple (n, Σc, Σc²) as a
+    # NATIVE update-mode streaming aggregation — with c ≥ 0 (floor of a
+    # positive value column) every moment is monotone non-decreasing
+    # across update emissions, so the drained per-group max IS the final
+    # moment, fed to the single-sourced anova_from_moments closed form.
+    # Oracle shared verbatim with events_anova.
+    def stream_anova(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+            anova_from_moments,
+        )
+
+        tag = _h.md5(("anova" + d).encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_anova_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "event_id",
+                "event_type",
+                F.floor(F.col("value")).cast("long").alias("c"),
+            )
+            ev.where(F.col("event_id") % 2 == 0).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                s.readStream.schema(
+                    "event_id long, event_type string, c long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = stream.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_i"),
+                F.sum("c").cast("long").alias("s_i"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("q_i"),
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(f"sanova_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        moments = (
+            s.table(f"sanova_{tag}")
+            .groupBy("event_type")
+            .agg(
+                F.max("n_i").cast("long").alias("n_i"),
+                F.max("s_i").cast("long").alias("s_i"),
+                F.max("q_i").cast("long").alias("q_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        g = anova_from_moments(moments)
+        return g.select(
+            "k",
+            "n",
+            F.round("ssb", 4).alias("ssb"),
+            F.round("ssw", 4).alias("ssw"),
+            F.round("f_stat", 4).alias("f_stat"),
+        )
+
+    q["stream_anova"] = stream_anova
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -9824,5 +9899,8 @@ sc AS (
 )
 SELECT w1, w2, c12, c1, c2, n, chi2
 FROM sc ORDER BY chi2 DESC, w1, w2 LIMIT 20"""
+
+    # drained streaming moments == batch moments (monotone fold)
+    o["stream_anova"] = o["events_anova"]
 
     return o

@@ -190,6 +190,14 @@ def anova_oneway(
         F.sum(c).cast("long").alias("s_i"),
         F.sum(c * c).cast("long").alias("q_i"),
     )
+    return anova_from_moments(g)
+
+
+def anova_from_moments(g: DataFrame) -> DataFrame:
+    """The ANOVA statistic from a per-group moment frame (n_i, s_i, q_i)
+    — factored out so the streaming gate can drain the SAME closed form
+    from fold state (each moment is a monotone non-decreasing streaming
+    aggregate, so the drained per-group max IS the final moment)."""
     w_all = Window.partitionBy()
     t = g.select(
         "n_i",

@@ -687,3 +687,10 @@ def test_events_markov2_row_stochastic_within_quantization(spark):
         per_src[r["src"]] += r["p2"]
     for src, tot in per_src.items():
         assert abs(tot - 1.0) < 1e-3, (src, tot)
+
+
+def test_stream_anova_equals_batch(spark):
+    q = entry.queries()
+    b = q["events_anova"](spark, SF001).collect()[0]
+    s = q["stream_anova"](spark, SF001).collect()[0]
+    assert b.asDict() == s.asDict()
