@@ -5512,6 +5512,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_anova"] = stream_anova
 
+    # RAKE keyword extraction (Rose 2010): stopword-delimited candidate
+    # phrases, word score deg/freq quantized to BIGINT nano-units, phrase
+    # score an order-free BIGINT sum ranked as the BIGINT — the /10⁹ at
+    # the end is the only float. Top-20, phrase tie-break.
+    def text_rake(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            rake_keywords,
+        )
+
+        docs = _t(s, d, "documents")
+        g = rake_keywords(docs, k=20)
+        return g.select(
+            "phrase",
+            "n_words",
+            "n_occur",
+            F.round("score", 4).alias("score"),
+        )
+
+    q["text_rake"] = text_rake
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -9902,5 +9922,55 @@ FROM sc ORDER BY chi2 DESC, w1, w2 LIMIT 20"""
 
     # drained streaming moments == batch moments (monotone fold)
     o["stream_anova"] = o["events_anova"]
+
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        _EN_STOPWORDS as _SW,
+    )
+
+    _sw_list = ", ".join(f"'{w}'" for w in _SW)
+    o["text_rake"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t))) AS pos,
+         unnest(t) AS tok
+  FROM toks
+),
+ns AS (
+  SELECT doc_id, pos, tok FROM ex
+  WHERE tok <> '' AND tok NOT IN ({_sw_list})
+),
+pw AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM ns
+),
+pl AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+  FROM pw
+),
+ws AS (
+  SELECT tok,
+         (CAST(sum(plen) AS BIGINT) * 1000000000)
+           // CAST(count(*) AS BIGINT) AS ws_q
+  FROM pl GROUP BY 1
+),
+pp AS (
+  SELECT p.doc_id, p.grp,
+         string_agg(p.tok, ' ' ORDER BY p.pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(w.ws_q) AS BIGINT) AS score_q
+  FROM pw p JOIN ws w USING (tok)
+  GROUP BY 1, 2
+),
+ag AS (
+  SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occur,
+         CAST(max(score_q) AS BIGINT) AS score_q
+  FROM pp GROUP BY 1
+)
+SELECT phrase, n_words, n_occur,
+       round(score_q / 1000000000.0, 4) AS score
+FROM ag ORDER BY score_q DESC, phrase LIMIT 20"""
 
     return o

@@ -199,6 +199,7 @@ HEADLINE = [
     "sample_systematic",
     "events_markov2",
     "text_colloc_chi2",
+    "text_rake",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

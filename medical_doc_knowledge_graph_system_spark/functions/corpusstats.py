@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textfns import _ngrams_col, tokens_col
+from .textfns import _EN_STOPWORDS, _ngrams_col, tokens_col
 from ..operators.skew import topk_per_group
 
 
@@ -131,6 +131,88 @@ def kneser_ney_bigram(
         "ncont",
         "n_types",
         (num.cast("double") / den.cast("double")).alias("p_kn"),
+    )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal runs of non-stopword tokens, each word scores
+    deg(w)/freq(w) (deg = Σ length of phrases containing w — words that
+    live in long phrases carry more context), and a phrase scores the
+    sum of its words' scores. Top-``k`` phrases by score, ties broken on
+    the phrase string.
+
+    Float parity by construction: word scores are quantized to BIGINT
+    nano-units ((deg·10⁹) div freq — non-negative operands, truncating
+    div == floor div anywhere), phrase scores are BIGINT sums of those
+    (order-free), ranking happens on the BIGINT, and the single /10⁹ at
+    the end is the only float.
+
+    Scale shape: one posexplode (the corpus pass), gaps-and-islands
+    phrase ids from a per-doc window (pos − row_number — bounded by doc
+    length), phrase assembly via array_sort(collect_list(struct)) (never
+    a window sort), the vocab-bounded word-score table broadcast back,
+    and TakeOrderedAndProject for the top-k. The phrase-word frame is
+    pinned once (word stats + phrase assembly both read it).
+
+    Output: (phrase, n_words, n_occur, score) with score unrounded.
+    """
+    sw = list(stopwords) if stopwords is not None else list(_EN_STOPWORDS)
+    toks = tokens_col(text_col)
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    ns = ex.where((~F.col("tok").isin(sw)) & (F.col("tok") != ""))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pw = ns.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.col("pos") - F.row_number().over(w_doc)).alias("grp"),
+    ).localCheckpoint(eager=True)
+    w_ph = Window.partitionBy("doc_id", "grp")
+    pl = pw.withColumn(
+        "plen", F.count(F.lit(1)).over(w_ph).cast("long")
+    )
+    ws = (
+        pl.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "tok", F.expr("(deg * 1000000000) div freq").alias("ws_q")
+        )
+    )
+    pp = (
+        pw.join(F.broadcast(ws), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, tok))), s -> s.tok), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ws_q").cast("long").alias("score_q"),
+        )
+    )
+    ag = pp.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+        F.max("score_q").cast("long").alias("score_q"),
+    )
+    return (
+        ag.orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(int(k))
+        .select(
+            "phrase",
+            "n_words",
+            "n_occur",
+            (F.col("score_q") / F.lit(1000000000.0)).alias("score"),
+        )
     )
 
 

@@ -694,3 +694,71 @@ def test_stream_anova_equals_batch(spark):
     b = q["events_anova"](spark, SF001).collect()[0]
     s = q["stream_anova"](spark, SF001).collect()[0]
     assert b.asDict() == s.asDict()
+
+
+# ── rake_keywords ────────────────────────────────────────────────────────────
+
+
+def _py_rake(texts, stops, k=20):
+    from collections import Counter, defaultdict
+
+    phrases = []
+    for t in texts:
+        run = []
+        for tok in t.strip().lower().split(" "):
+            if tok == "" or tok in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            phrases.append(tuple(run))
+    freq, deg = Counter(), Counter()
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    wsq = {w: (deg[w] * 10**9) // freq[w] for w in freq}
+    agg = defaultdict(lambda: [0, 0, 0])
+    for ph in phrases:
+        key = " ".join(ph)
+        agg[key][0] = len(ph)
+        agg[key][1] += 1
+        agg[key][2] = sum(wsq[w] for w in ph)
+    rows = sorted(
+        ((k_, v[0], v[1], v[2]) for k_, v in agg.items()),
+        key=lambda r: (-r[3], r[0]),
+    )[:k]
+    return [(p, nw, no, sq / 1e9) for p, nw, no, sq in rows]
+
+
+def test_rake_matches_python_reference(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        rake_keywords,
+    )
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        _EN_STOPWORDS,
+    )
+
+    texts = [
+        "the quick brown fox jumps over a lazy dog",
+        "deep learning of neural networks is the core of modern ai",
+        "neural networks and deep learning drive modern ai research",
+        "a lazy dog sleeps in the sun",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["phrase"], r["n_words"], r["n_occur"], r["score"])
+        for r in rake_keywords(df, k=20).collect()
+    ]
+    expect = _py_rake(texts, set(_EN_STOPWORDS), k=20)
+    assert [(p, nw, no) for p, nw, no, _ in got] == [
+        (p, nw, no) for p, nw, no, _ in expect
+    ]
+    for (_, _, _, gs), (_, _, _, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-9
+    # multi-word phrases outrank single fillers (the RAKE property)
+    assert got[0][1] >= 2
