@@ -5532,6 +5532,289 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_rake"] = text_rake
 
+    # Two-sample Kolmogorov-Smirnov D for every event-type pair over the
+    # raw value column: the distribution-drift screen between cohorts.
+    # The cumulative walk runs over distinct-value CELLS, and the max is
+    # taken on the exact BIGINT numerator |c1*n2 - c2*n1| (common
+    # denominator n1*n2) — ONE final division.
+    def events_ks(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            ks_2samp_pairs,
+        )
+
+        ev = _t(s, d, "events")
+        g = ks_2samp_pairs(ev, "event_type", "value")
+        return g.select(
+            F.col("g1").alias("t1"),
+            F.col("g2").alias("t2"),
+            "n1",
+            "n2",
+            "d_num",
+            F.round("ks_d", 4).alias("ks_d"),
+        )
+
+    q["events_ks"] = events_ks
+
+    # Kendall tau-b between daily event count and daily revenue per type:
+    # concordant/discordant/tie counts are exact BIGINTs off the pairwise
+    # day join; tau_b = (C-D)/sqrt((n0-n1)(n0-n2)) under the bit-exact
+    # IEEE sqrt. Daily frame pinned — the self-join reads it twice.
+    def events_kendall(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            kendall_tau_b,
+        )
+
+        ev = _t(s, d, "events")
+        daily = (
+            ev.groupBy(
+                "event_type",
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_ev"),
+                F.sum(
+                    F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("rev_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        g = kendall_tau_b(daily, ["event_type"], "day", "n_ev", "rev_c")
+        return g.select(
+            "event_type",
+            "n_pairs",
+            "conc",
+            "disc",
+            F.round("tau_b", 4).alias("tau_b"),
+        )
+
+    q["events_kendall"] = events_kendall
+
+    # Spearman rank correlation (average ranks for ties) between the same
+    # daily count/revenue series: ranks carried as 2*avg_rank — exact
+    # BIGINTs even at .5 mid-ranks — so all five Pearson moments are
+    # exact; rho is ONE closed form.
+    def events_spearman(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            spearman_rho,
+        )
+
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        g = spearman_rho(daily, ["event_type"], "n_ev", "rev_c")
+        return g.select("event_type", "n", F.round("rho", 4).alias("rho"))
+
+    q["events_spearman"] = events_spearman
+
+    # Kruskal-Wallis H (tie-corrected) of the value distribution across
+    # event types within each user cohort — the k-group nonparametric
+    # ANOVA twin. Ranks from distinct-cent cells (one cumulative window
+    # over the support, never per-row); each group's between-term is
+    # micro-quantized to BIGINT before the cross-group sum (the
+    # events_anova convention); tie term Σ(t³-t) exact BIGINT.
+    def events_kruskal(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            kruskal_wallis,
+        )
+
+        ev = _t(s, d, "events")
+        ev2 = ev.select(
+            (F.col("user_id") % 8).alias("bucket"),
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        g = kruskal_wallis(ev2, ["bucket"], "event_type", "cents")
+        return g.select(
+            "bucket",
+            "k",
+            "n",
+            F.round("h_stat", 4).alias("h_stat"),
+            F.round("h_adj", 4).alias("h_adj"),
+        )
+
+    q["events_kruskal"] = events_kruskal
+
+    # 10% two-sided trimmed mean of value cents per event type — the
+    # outlier-robust location estimate curation uses for score columns.
+    # Boundary ties need no tiebreak (equal values are interchangeable in
+    # the kept multiset); sum exact BIGINT, mean ONE division.
+    def events_trimmed(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            trimmed_mean,
+        )
+
+        ev = _t(s, d, "events")
+        ev2 = ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        g = trimmed_mean(ev2, ["event_type"], "cents", 1)
+        return g.select(
+            "event_type",
+            "n",
+            "n_kept",
+            "sum_kept",
+            F.round("trimmed_mean", 4).alias("tmean_c"),
+        )
+
+    q["events_trimmed"] = events_trimmed
+
+    # Median absolute deviation of value per event type: both medians
+    # POSITIONAL (the theilsen convention — no quantization; the picked
+    # doubles are bit-identical and |x - med| subtracts identical
+    # doubles, so every intermediate matches cross-engine).
+    def events_mad(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            median_abs_deviation,
+        )
+
+        ev = _t(s, d, "events")
+        g = median_abs_deviation(ev, ["event_type"], "value")
+        return g.select(
+            "event_type",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+
+    q["events_mad"] = events_mad
+
+    # Wald-Wolfowitz runs test for randomness of the daily revenue series
+    # around its positional median: run/side counts exact BIGINTs off one
+    # lag window; z = (R - mu)/sigma one closed form under the bit-exact
+    # sqrt. Revenue (not count) is the series — counts tie too often and
+    # tied-at-median days are dropped by definition.
+    def events_runs(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            runs_test,
+        )
+
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        ).agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            )
+            .cast("double")
+            .alias("rev"),
+        ).localCheckpoint(eager=True)
+        g = runs_test(daily, ["event_type"], "day", "rev")
+        return g.select(
+            "event_type",
+            "n1",
+            "n2",
+            "runs",
+            F.round("z_runs", 4).alias("z_runs"),
+        )
+
+    q["events_runs"] = events_runs
+
+    # ARI + Coleman-Liau readability per document — the two LOG-FREE
+    # character-level readability formulas (no syllable heuristic).
+    # Counts exact BIGINTs, each score ONE closed-form double from
+    # round-tripping decimal literals. Pure projection: no shuffle.
+    def text_ari(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            with_ari_cli,
+        )
+
+        return with_ari_cli(_t(s, d, "documents"))
+
+    q["text_ari"] = text_ari
+
+    # TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank over
+    # the word co-occurrence graph (window 2, stopwords dropped) — the
+    # graph-ranking counterpart of RAKE, reusing the kg_pagerank_weighted
+    # recurrence (and its unrolled-CTE oracle); only the edge build is
+    # new. Top-30 on the ROUNDED rank with word tiebreak.
+    def text_textrank(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            textrank_keywords,
+        )
+
+        return textrank_keywords(_t(s, d, "documents"), k=30)
+
+    q["text_textrank"] = text_textrank
+
+    # Holland-Leinhardt dyad census per predicate over the directed
+    # triple graph: mutual/asymmetric unordered pairs + the reciprocity
+    # ratio 2M/(2M+A) — separates symmetric relations from inherently
+    # directed ones. Pure BIGINT counts, ONE division.
+    def kg_reciprocity(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+            dyad_census,
+        )
+
+        t = webkg.doc_triples(_t(s, d, "documents"))
+        g = dyad_census(t, src="subj", dst="obj", keys=["pred"])
+        return g.select(
+            "pred",
+            "mutual",
+            "asym",
+            F.round("reciprocity", 4).alias("reciprocity"),
+        )
+
+    q["kg_reciprocity"] = kg_reciprocity
+
+    # Explicit GROUPING SETS (the third grouping surface next to cube /
+    # rollup): the custom set list {(type,dow), (type), (dow)} — NOT a
+    # cube — with both GROUPING flags emitted so downstream readers can
+    # tell a real NULL from a rolled-up row. Counts + revenue exact
+    # BIGINTs; dow from pure epoch arithmetic (the events_chisq idiom).
+    def events_groupsets(s, d):
+        ev = _t(s, d, "events")
+        base = ev.select(
+            "event_type",
+            (
+                F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+                % F.lit(7)
+            ).alias("dow"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        g = base.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"]],
+            "event_type",
+            "dow",
+        ).agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("dow").cast("long").alias("g_dow"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("rev_c"),
+        )
+        return g.select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("(all)")).alias(
+                "dow"
+            ),
+            "g_type",
+            "g_dow",
+            "n",
+            "rev_c",
+        )
+
+    q["events_groupsets"] = events_groupsets
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -9972,5 +10255,327 @@ ag AS (
 SELECT phrase, n_words, n_occur,
        round(score_q / 1000000000.0, 4) AS score
 FROM ag ORDER BY score_q DESC, phrase LIMIT 20"""
+
+    o["events_ks"] = """
+WITH cells AS MATERIALIZED (
+  SELECT event_type AS g, value AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+pairs AS (
+  SELECT a.g AS g1, a.n AS n1, b.g AS g2, b.n AS n2
+  FROM totals a JOIN totals b ON a.g < b.g
+),
+merged AS (
+  SELECT p.g1, p.g2, p.n1, p.n2, c.v,
+         CAST(sum(CASE WHEN c.g = p.g1 THEN c.c ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN c.g = p.g2 THEN c.c ELSE 0 END) AS BIGINT) AS d2
+  FROM pairs p JOIN cells c ON c.g = p.g1 OR c.g = p.g2
+  GROUP BY 1, 2, 3, 4, 5
+),
+walked AS (
+  SELECT g1, g2, n1, n2,
+         CAST(sum(d1) OVER w AS BIGINT) AS cum1,
+         CAST(sum(d2) OVER w AS BIGINT) AS cum2
+  FROM merged
+  WINDOW w AS (PARTITION BY g1, g2 ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT g1 AS t1, g2 AS t2, n1, n2,
+       CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE), 4) AS ks_d
+FROM walked GROUP BY 1, 2, 3, 4"""
+
+    _daily_nr = """
+daily AS MATERIALIZED (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM events GROUP BY 1, 2
+)"""
+
+    o["events_kendall"] = f"""
+WITH {_daily_nr},
+pr AS (
+  SELECT a.event_type,
+         sign(CAST(b.n_ev - a.n_ev AS DOUBLE)) AS sx,
+         sign(CAST(b.rev_c - a.rev_c AS DOUBLE)) AS sy
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+         CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+  FROM pr GROUP BY 1
+)
+SELECT event_type, n_pairs, conc, disc,
+       round(CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST(n_pairs - tie_x AS DOUBLE)
+                    * CAST(n_pairs - tie_y AS DOUBLE)), 4) AS tau_b
+FROM agg"""
+
+    o["events_spearman"] = f"""
+WITH {_daily_nr},
+r AS (
+  SELECT event_type,
+         CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY n_ev)
+              + count(*) OVER (PARTITION BY event_type, n_ev) - 1
+              AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY rev_c)
+              + count(*) OVER (PARTITION BY event_type, rev_c) - 1
+              AS BIGINT) AS ry
+  FROM daily
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM r GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS rho
+FROM agg"""
+
+    o["events_kruskal"] = """
+WITH cells AS MATERIALIZED (
+  SELECT user_id % 8 AS bucket,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+         event_type AS g, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+vtot AS MATERIALIZED (
+  SELECT bucket, v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket, v, t,
+         CAST(2 * sum(t) OVER (PARTITION BY bucket ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - t + 1 AS BIGINT) AS r2
+  FROM vtot
+),
+per_g AS (
+  SELECT c.bucket, c.g, CAST(sum(c.c) AS BIGINT) AS n_g,
+         CAST(sum(c.c * r.r2) AS BIGINT) AS s2_g
+  FROM cells c JOIN ranked r ON c.bucket = r.bucket AND c.v = r.v
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT bucket, n_g, s2_g,
+         CAST(sum(n_g) OVER (PARTITION BY bucket) AS BIGINT) AS n,
+         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS k
+  FROM per_g
+),
+terms AS (
+  SELECT bucket, n, k, n_g,
+         CAST(s2_g AS DOUBLE) / CAST(2 * n_g AS DOUBLE)
+           - CAST(n + 1 AS DOUBLE) / 2.0 AS dg
+  FROM tot
+),
+between_t AS (
+  SELECT bucket, CAST(max(k) AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CAST(n_g AS DOUBLE) * dg * dg * 1000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS b_u
+  FROM terms GROUP BY 1
+),
+ties AS (
+  SELECT bucket, CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM vtot GROUP BY 1
+)
+SELECT b.bucket, b.k, b.n,
+       round(12.0 * (CAST(b.b_u AS DOUBLE) / 1000.0)
+             / CAST(b.n * (b.n + 1) AS DOUBLE), 4) AS h_stat,
+       round((12.0 * (CAST(b.b_u AS DOUBLE) / 1000.0)
+              / CAST(b.n * (b.n + 1) AS DOUBLE))
+             / (1.0 - CAST(t.tie3 AS DOUBLE)
+                      / CAST(b.n * b.n * b.n - b.n AS DOUBLE)), 4) AS h_adj
+FROM between_t b JOIN ties t USING (bucket)"""
+
+    o["events_trimmed"] = """
+WITH r AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM (SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events) z
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(v) AS BIGINT) AS sum_kept,
+       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS tmean_c
+FROM r
+WHERE rn > floor(n * 1 / 10) AND rn <= n - floor(n * 1 / 10)
+GROUP BY 1"""
+
+    o["events_mad"] = """
+WITH r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM events
+),
+med AS MATERIALIZED (
+  SELECT event_type, sum(value) / count(*) AS med,
+         CAST(max(m) AS BIGINT) AS n
+  FROM r1 WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+  GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, m.n, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, med, n, adev,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM dev
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n, round(max(med), 4) AS med,
+       round(sum(adev) / count(*), 4) AS mad
+FROM r2 WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+GROUP BY 1"""
+
+    o["events_runs"] = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS rev
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT event_type, rev,
+         row_number() OVER (PARTITION BY event_type ORDER BY rev) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM daily
+),
+med AS MATERIALIZED (
+  SELECT event_type, sum(rev) / count(*) AS med
+  FROM r1 WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+  GROUP BY 1
+),
+sided AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN d.rev > m.med THEN 1 ELSE 0 END AS side
+  FROM daily d JOIN med m USING (event_type)
+  WHERE d.rev <> m.med
+),
+marked AS (
+  SELECT event_type, side,
+         CASE WHEN lag(side) OVER w IS NULL
+                OR lag(side) OVER w <> side THEN 1 ELSE 0 END AS new_run
+  FROM sided WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+agg AS (
+  SELECT event_type, CAST(sum(side) AS BIGINT) AS n1,
+         CAST(sum(1 - side) AS BIGINT) AS n2,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM marked GROUP BY 1
+)
+SELECT event_type, n1, n2, runs,
+       round((CAST(runs AS DOUBLE)
+              - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                       / CAST(n1 + n2 AS DOUBLE)))
+             / sqrt(CAST((2 * n1 * n2) * ((2 * n1 * n2) - (n1 + n2))
+                         AS DOUBLE)
+                    / CAST((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)
+                           AS DOUBLE)), 4) AS z_runs
+FROM agg"""
+
+    o["text_ari"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT)
+           AS n_alnum,
+         CAST(len({_TOKS}) AS BIGINT) AS word_count,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_alnum, word_count, n_sentences,
+       floor((4.71 * (n_alnum * 1.0 / word_count)
+              + 0.5 * (word_count * 1.0 / n_sentences) - 21.43)
+             * 10000.0 + 0.5) / 10000.0 AS ari,
+       floor((0.0588 * (n_alnum * 100.0 / word_count)
+              - 0.296 * (n_sentences * 100.0 / word_count) - 15.8)
+             * 10000.0 + 0.5) / 10000.0 AS cli
+FROM base"""
+
+    o["text_textrank"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t))) AS pos,
+         unnest(t) AS tok
+  FROM toks
+),
+ns AS MATERIALIZED (
+  SELECT doc_id, pos, tok FROM ex
+  WHERE tok <> '' AND tok NOT IN ({_sw_list})
+),
+e AS (
+  SELECT least(a.tok, b.tok) AS a, greatest(a.tok, b.tok) AS b,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM ns a JOIN ns b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+   AND a.tok <> b.tok
+  GROUP BY 1, 2
+),
+und AS (SELECT a AS x, b AS y, wt FROM e
+        UNION ALL SELECT b AS x, a AS y, wt FROM e),
+deg AS (SELECT x, CAST(SUM(wt) AS BIGINT) AS deg FROM und GROUP BY x),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT x AS name, 1.0 / (SELECT n FROM nn) AS rank FROM deg){_wpr_iters}
+SELECT name AS word, round(rank * (SELECT n FROM nn), 4) AS rank_norm
+FROM r8
+ORDER BY rank_norm DESC, word LIMIT 30"""
+
+    o["kg_reciprocity"] = f"""
+WITH {_triples_cte()},
+e AS (
+  SELECT DISTINCT pred, subj AS s, obj AS d FROM triples WHERE subj <> obj
+),
+pair AS (
+  SELECT pred, least(s, d) AS lo, greatest(s, d) AS hi,
+         CAST(count(*) AS BIGINT) AS n_dir
+  FROM e GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT pred,
+         CAST(sum(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS mutual,
+         CAST(sum(CASE WHEN n_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asym
+  FROM pair GROUP BY 1
+)
+SELECT pred, mutual, asym,
+       round(CAST(2 * mutual AS DOUBLE)
+             / CAST(2 * mutual + asym AS DOUBLE), 4) AS reciprocity
+FROM g"""
+
+    o["events_groupsets"] = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(dow AS VARCHAR), '(all)') AS dow,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(dow) AS BIGINT) AS g_dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_c
+FROM (SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+             value
+      FROM events) z
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))"""
 
     return o

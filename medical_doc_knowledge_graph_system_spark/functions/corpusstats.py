@@ -825,3 +825,62 @@ def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 30,
+    window: int = 2,
+    iterations: int = 8,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-ranking counterpart of RAKE: non-stopword tokens are nodes,
+    co-occurrence within ``window`` positions is an (undirected, count-
+    weighted) edge, and keywords are the top-``k`` words by weighted
+    PageRank over that graph.
+
+    Reuses the fixed-iteration weighted ``pagerank`` operator (salted
+    two-phase contribution sums, localCheckpoint per round, count-free
+    loop), so the recurrence — and its unrolled DuckDB oracle — is the
+    kg_pagerank_weighted one; only the edge construction is new. Ranking
+    happens on the 4dp-ROUNDED rank_norm (token tiebreak) so both
+    engines share the selection order.
+
+    Scale shape: one posexplode corpus pass, a per-doc positional range
+    self-join whose fan-out is bounded by ``window`` (never a cross
+    join), one vocab-bounded edge aggregate, then the pagerank loop on a
+    graph no larger than the vocabulary. The filtered token frame is
+    pinned — both halves of the positional join read it.
+    """
+    from ..operators.graph_analytics import pagerank
+
+    sw = list(stopwords) if stopwords is not None else list(_EN_STOPWORDS)
+    toks = tokens_col(text_col)
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    ns = ex.where(
+        (~F.col("tok").isin(sw)) & (F.col("tok") != "")
+    ).localCheckpoint(eager=True)
+    a = ns.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("ta"))
+    b = ns.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+        F.col("tok").alias("tb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("pb") > F.col("pa"))
+        & (F.col("pb") <= F.col("pa") + F.lit(int(window)))
+        & (F.col("ta") != F.col("tb")),
+    )
+    we = pairs.groupBy(
+        F.least("ta", "tb").alias("a"), F.greatest("ta", "tb").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    pr = pagerank(we, iterations=int(iterations), weight_col="wt")
+    return (
+        pr.orderBy(F.desc("rank_norm"), F.asc("name"))
+        .limit(int(k))
+        .select(F.col("name").alias("word"), "rank_norm")
+    )

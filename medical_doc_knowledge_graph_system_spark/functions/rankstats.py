@@ -1,0 +1,395 @@
+"""Distribution-free (rank-based) statistics over grouped data: two-sample
+Kolmogorov-Smirnov, Kendall tau-b, Spearman rho, Kruskal-Wallis H, trimmed
+means, median absolute deviation, and the Wald-Wolfowitz runs test — the
+nonparametric drift/correlation screens a corpus-curation pipeline runs when
+it cannot assume normality (reference runs these on extraction-quality score
+distributions; cf. reference app/evaluation 'distribution comparison' notes).
+
+Float-parity design (the repo convention): every statistic is derived from
+EXACT BIGINT rank/count moments; the only floating-point work is a final
+closed-form expression (divisions, one sqrt — sqrt is IEEE-correctly-rounded
+on both Spark and DuckDB, so it is bit-exact cross-engine). Where a
+cross-group float sum is unavoidable (Kruskal-Wallis between-term), each
+group's term is micro-quantized to BIGINT BEFORE the sum (the events_anova
+convention) so addition order cannot matter.
+
+Scale shape: all operators are one scan + hash aggregates + bounded windows.
+Rank windows partition by the caller's keys, never globally, except where the
+statistic is itself per-group (KS cumulative walk: one window per group
+pair over the distinct-value cells, not the raw rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_2samp_pairs(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D for every unordered pair of groups.
+
+    D = max_x |F_a(x) - F_b(x)| over the pooled support. Computed on the
+    distinct-value CELLS (value -> per-group count), so the cumulative walk
+    is one window per pair over |support| rows, not |rows|. The max is taken
+    over the exact BIGINT numerator |c_a*n_b - c_b*n_a| (common denominator
+    n_a*n_b), so parity is structural; ONE final division.
+
+    Scale: cells are one hash aggregate off the scan; each cell is
+    replicated (k-1) times for k groups — fine for enum-like group columns.
+    """
+    cells = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        totals.select(F.col("g").alias("g1"), F.col("n").alias("n1"))
+        .join(
+            totals.select(F.col("g").alias("g2"), F.col("n").alias("n2")),
+            F.col("g1") < F.col("g2"),
+        )
+    )
+    sided = pairs.join(
+        cells, (cells["g"] == pairs["g1"]) | (cells["g"] == pairs["g2"])
+    ).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        "v",
+        F.when(F.col("g") == F.col("g1"), F.col("c")).otherwise(F.lit(0)).alias("c1"),
+        F.when(F.col("g") == F.col("g2"), F.col("c")).otherwise(F.lit(0)).alias("c2"),
+    )
+    merged = sided.groupBy("g1", "g2", "n1", "n2", "v").agg(
+        F.sum("c1").cast("long").alias("d1"),
+        F.sum("c2").cast("long").alias("d2"),
+    )
+    w = (
+        Window.partitionBy("g1", "g2")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = merged.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.sum("d1").over(w).cast("long").alias("cum1"),
+        F.sum("d2").over(w).cast("long").alias("cum2"),
+    )
+    num = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return (
+        walked.groupBy("g1", "g2", "n1", "n2")
+        .agg(F.max(num).cast("long").alias("d_num"))
+        .select(
+            "g1",
+            "g2",
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame, keys: list[str], id_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall tau-b between two INTEGER columns within each key group.
+
+    Pairwise self-join on id_col (a.id < b.id enumerates each unordered
+    pair once); concordant/discordant/tie counts are exact BIGINTs;
+    tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) is one closed form whose
+    sqrt is bit-exact cross-engine. Intended for bounded per-key series
+    (daily aggregates): pairs are n(n-1)/2 per key.
+    """
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("ia"),
+        F.col(x_col).cast("long").alias("xa"),
+        F.col(y_col).cast("long").alias("ya"),
+    )
+    b = df.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col(id_col).alias("ib"),
+        F.col(x_col).cast("long").alias("xb"),
+        F.col(y_col).cast("long").alias("yb"),
+    )
+    cond = F.col("ia") < F.col("ib")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    pr = a.join(b, cond)
+    sx = F.signum((F.col("xb") - F.col("xa")).cast("double"))
+    sy = F.signum((F.col("yb") - F.col("ya")).cast("double"))
+    agg = pr.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).cast("long").alias("tie_x"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).cast("long").alias("tie_y"),
+    )
+    denom = F.sqrt(
+        ((F.col("n_pairs") - F.col("tie_x")).cast("double"))
+        * ((F.col("n_pairs") - F.col("tie_y")).cast("double"))
+    )
+    return agg.select(
+        *keys,
+        "n_pairs",
+        "conc",
+        "disc",
+        ((F.col("conc") - F.col("disc")).cast("double") / denom).alias("tau_b"),
+    )
+
+
+def _avg_rank2(keys: list[str], col: str) -> F.Column:
+    """Twice the average (mid) rank of `col` within keys — an exact BIGINT:
+    2*avg_rank = first_rank + last_rank = 2*rank() + (tie_count - 1)."""
+    wr = Window.partitionBy(*keys).orderBy(col)
+    wt = Window.partitionBy(*keys, col)
+    return (
+        F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+    ).cast("long")
+
+
+def spearman_rho(
+    df: DataFrame, keys: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation (with average ranks for ties) within each
+    key group. Ranks are carried as 2*avg_rank — exact BIGINTs even for
+    .5 mid-ranks — so all five Pearson moments are exact; rho is ONE
+    closed form (the sqrt factors are cast to double BEFORE the multiply
+    so the product cannot overflow int64)."""
+    r = df.select(
+        *keys,
+        _avg_rank2(keys, x_col).alias("rx"),
+        _avg_rank2(keys, y_col).alias("ry"),
+    )
+    agg = r.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    fx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return agg.select(
+        *keys, "n", (num / F.sqrt(fx * fy)).alias("rho")
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, keys: list[str], group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H (with tie correction) across `group_col` within each
+    key group, over an INTEGER-quantized value column.
+
+    Ranks come from distinct-value cells (value -> count), never a per-row
+    window: 2*mid_rank(v) = 2*cum(t) - t + 1 off one cumulative window over
+    the support. Each group's between-term n_g*(r̄_g - (N+1)/2)² is ONE
+    closed-form double from exact BIGINTs, micro-quantized (×1000) BEFORE
+    the cross-group sum (the anova_from_moments convention). The tie term
+    Σ(t³ - t) stays exact BIGINT.
+    """
+    v = F.col(value_col).cast("long")
+    cells = (
+        df.groupBy(*keys, v.alias("v"), F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vtot = cells.groupBy(*keys, "v").agg(F.sum("c").cast("long").alias("t"))
+    wv = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vtot.select(
+        *keys,
+        "v",
+        "t",
+        (F.lit(2) * F.sum("t").over(wv) - F.col("t") + F.lit(1))
+        .cast("long")
+        .alias("r2"),
+    )
+    per_g = (
+        cells.join(ranked, [*keys, "v"])
+        .groupBy(*keys, "g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("s2_g"),
+        )
+    )
+    wk = Window.partitionBy(*keys)
+    tot = per_g.select(
+        *keys,
+        "n_g",
+        "s2_g",
+        F.sum("n_g").over(wk).cast("long").alias("n"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("k"),
+    )
+    d_g = F.col("s2_g").cast("double") / (F.lit(2) * F.col("n_g")).cast(
+        "double"
+    ) - (F.col("n") + F.lit(1)).cast("double") / F.lit(2.0)
+    term_u = F.floor(
+        F.col("n_g").cast("double") * d_g * d_g * F.lit(1000.0) + F.lit(0.5)
+    ).cast("long")
+    between = tot.groupBy(*keys).agg(
+        F.max("k").cast("long").alias("k"),
+        F.max("n").cast("long").alias("n"),
+        F.sum(term_u).cast("long").alias("b_u"),
+    )
+    ties = vtot.groupBy(*keys).agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3")
+    )
+    j = between.join(ties, keys)
+    h = (
+        F.lit(12.0)
+        * (F.col("b_u").cast("double") / F.lit(1000.0))
+        / (F.col("n") * (F.col("n") + F.lit(1))).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    ).cast("double")
+    return j.select(*keys, "k", "n", h.alias("h_stat"), (h / corr).alias("h_adj"))
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    trim_tenths: int = 1,
+) -> DataFrame:
+    """Two-sided trimmed mean of an INTEGER-quantized value column: drop the
+    lowest and highest floor(n * trim_tenths / 10) rows per key group, then
+    average the exact BIGINT sum of what remains (ONE division).
+
+    Ties at the trim boundary need no tiebreak: rows tied in value are
+    interchangeable under any rank order, so the kept multiset — and the
+    sum — is order-invariant.
+    """
+    v = F.col(value_col).cast("long")
+    wr = Window.partitionBy(*keys).orderBy(value_col)
+    wk = Window.partitionBy(*keys)
+    r = df.select(
+        *keys,
+        v.alias("v"),
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+    )
+    cut = F.floor(F.col("n") * F.lit(int(trim_tenths)) / F.lit(10)).cast("long")
+    kept = r.where((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy(*keys).agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("v").cast("long").alias("sum_kept"),
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+def _positional_median(
+    df: DataFrame, keys: list[str], col: str, out: str
+) -> DataFrame:
+    """POSITIONAL median (the theilsen convention): average of the values at
+    ranks floor((m+1)/2) and floor(m/2)+1. No quantization — the two picked
+    doubles are bit-identical on both engines and IEEE (a+b)/2 of identical
+    operands is deterministic ((a+a)/2 == a for the odd case)."""
+    wr = Window.partitionBy(*keys).orderBy(col)
+    wk = Window.partitionBy(*keys)
+    r = df.select(
+        *keys,
+        F.col(col).alias("__v"),
+        F.row_number().over(wr).cast("long").alias("__rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("__m"),
+    )
+    sel = r.where(
+        (F.col("__rn") == F.floor((F.col("__m") + 1) / 2))
+        | (F.col("__rn") == F.floor(F.col("__m") / 2) + 1)
+    )
+    return sel.groupBy(*keys).agg(
+        (F.sum("__v") / F.count(F.lit(1))).alias(out),
+        F.max("__m").cast("long").alias(f"{out}_n"),
+    )
+
+
+def median_abs_deviation(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """MAD per key group: positional median of |x - positional median(x)|.
+    Both medians are positional (see _positional_median); the deviation
+    |x - med| subtracts identical doubles, so every intermediate is
+    bit-identical cross-engine."""
+    med = _positional_median(df, keys, value_col, "med")
+    dev = df.join(F.broadcast(med), keys).select(
+        *keys,
+        "med",
+        F.col("med_n").alias("n"),
+        F.abs(F.col(value_col) - F.col("med")).alias("adev"),
+    )
+    mad = _positional_median(dev, keys, "adev", "mad")
+    return (
+        med.join(mad.select(*keys, "mad"), keys)
+        .select(*keys, F.col("med_n").alias("n"), "med", "mad")
+    )
+
+
+def runs_test(
+    df: DataFrame, keys: list[str], order_col: str, value_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a per-key series around
+    its own (positional) median: rows equal to the median are dropped, the
+    rest dichotomized, runs counted with ONE lag window, and
+    z = (R - mu) / sigma with mu = 1 + 2*n1*n2/n and
+    sigma² = 2*n1*n2*(2*n1*n2 - n) / (n²(n-1)) — every moment an exact
+    BIGINT, z one closed form under the bit-exact sqrt."""
+    med = _positional_median(df, keys, value_col, "med")
+    sided = (
+        df.join(F.broadcast(med.select(*keys, "med")), keys)
+        .where(F.col(value_col) != F.col("med"))
+        .select(
+            *keys,
+            F.col(order_col).alias("o"),
+            F.when(F.col(value_col) > F.col("med"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("side"),
+        )
+    )
+    wo = Window.partitionBy(*keys).orderBy("o")
+    marked = sided.select(
+        *keys,
+        "side",
+        F.when(
+            F.lag("side").over(wo).isNull()
+            | (F.lag("side").over(wo) != F.col("side")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = marked.groupBy(*keys).agg(
+        F.sum("side").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("side")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast("long")
+    two = (F.lit(2) * F.col("n1") * F.col("n2")).cast("long")
+    mu = F.lit(1.0) + two.cast("double") / n.cast("double")
+    s2 = (two * (two - n)).cast("double") / (n * n * (n - F.lit(1))).cast(
+        "double"
+    )
+    return agg.select(
+        *keys,
+        "n1",
+        "n2",
+        "runs",
+        ((F.col("runs").cast("double") - mu) / F.sqrt(s2)).alias("z_runs"),
+    )

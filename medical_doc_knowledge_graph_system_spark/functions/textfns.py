@@ -381,6 +381,68 @@ def with_flesch(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_ari_cli(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Automated Readability Index + Coleman-Liau Index per document — the
+    two LOG-FREE character-level readability formulas (Flesch's syllable
+    approximation is the noisy part; ARI/CLI need only character, word and
+    sentence counts, which is why curation pipelines prefer them at scale).
+
+      ARI = 4.71*(chars/words) + 0.5*(words/sentences) - 21.43
+      CLI = 0.0588*L - 0.296*S - 15.8   (L = chars/words*100,
+                                          S = sentences/words*100)
+
+    chars counts alphanumerics only ([a-z0-9] over the lowered text —
+    shared verbatim with the oracle); words/sentences follow the
+    with_flesch conventions. All counts exact BIGINTs; each score is ONE
+    closed-form double whose decimal literals round-trip identically on
+    both engines. Embarrassingly parallel scan: no shuffle, no UDFs."""
+    toks = tokens_col(text_col)
+    w = F.size(toks).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    ch = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]"), F.lit(0))
+    ).cast("long")
+    base = df.select(
+        "doc_id",
+        ch.alias("n_alnum"),
+        w.alias("word_count"),
+        s.alias("n_sentences"),
+    )
+    ari = (
+        F.lit(4.71) * (F.col("n_alnum") * F.lit(1.0) / F.col("word_count"))
+        + F.lit(0.5) * (F.col("word_count") * F.lit(1.0) / F.col("n_sentences"))
+        - F.lit(21.43)
+    )
+    cli = (
+        F.lit(0.0588)
+        * (F.col("n_alnum") * F.lit(100.0) / F.col("word_count"))
+        - F.lit(0.296)
+        * (F.col("n_sentences") * F.lit(100.0) / F.col("word_count"))
+        - F.lit(15.8)
+    )
+    # floor-quantize to 4dp instead of round(): round() half-boundary
+    # behavior differs across engines on values like 28.3537499...;
+    # floor(x*1e4 + 0.5) is the SAME double expression on both, so the
+    # quantized value is bit-identical by construction.
+    return base.select(
+        "doc_id",
+        "n_alnum",
+        "word_count",
+        "n_sentences",
+        (F.floor(ari * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "ari"
+        ),
+        (F.floor(cli * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "cli"
+        ),
+    )
+
+
 def token_entropy(
     df: DataFrame, text_col: str = "text", scale: int = 100000
 ) -> DataFrame:

@@ -1370,3 +1370,47 @@ def butterflies(
         )
     )
     return per.where(F.col("n_bfly") > 0)
+
+
+def dyad_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Holland-Leinhardt dyad census of a DIRECTED edge list, per key group:
+    mutual pairs (both directions present), asymmetric pairs (exactly one),
+    and the reciprocity ratio 2M / (2M + A) — the fraction of directed
+    edges whose reverse also exists. In the KG the per-predicate census
+    separates symmetric relations (related_to) from inherently directed
+    ones (causes, treats) — the same signal kg_rel_cardinality reads from
+    cardinality, read from edge mirroring instead.
+
+    Shape: distinct directed edges (self-loops dropped), canonicalized to
+    an unordered pair via least/greatest, one count per pair (1 or 2),
+    one k-row aggregate. All counts exact BIGINTs; reciprocity is ONE
+    closed-form division.
+    """
+    keys = list(keys or [])
+    e = (
+        edges.select(*keys, F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    pair = e.groupBy(
+        *keys,
+        F.least("s", "d").alias("lo"),
+        F.greatest("s", "d").alias("hi"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_dir"))
+    g = pair.groupBy(*keys).agg(
+        F.sum(F.when(F.col("n_dir") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("mutual"),
+        F.sum(F.when(F.col("n_dir") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("asym"),
+    )
+    recip = (F.lit(2) * F.col("mutual")).cast("double") / (
+        F.lit(2) * F.col("mutual") + F.col("asym")
+    ).cast("double")
+    return g.select(*keys, "mutual", "asym", recip.alias("reciprocity"))

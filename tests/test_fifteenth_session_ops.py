@@ -1,0 +1,155 @@
+"""Fifteenth-session r5 operators (batch B): ARI/Coleman-Liau readability,
+TextRank keywords, dyad census — known-answer and brute-force parity."""
+
+from __future__ import annotations
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ── with_ari_cli ─────────────────────────────────────────────────────────────
+
+
+def test_ari_cli_known_answer(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_ari_cli,
+    )
+
+    text = "The cat sat on the mat. It was happy!"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = with_ari_cli(df).collect()[0]
+    # 9 words, 2 sentences, alnum chars of the lowered text
+    chars = sum(ch.isalnum() for ch in text.lower())
+    assert r["word_count"] == 9
+    assert r["n_sentences"] == 2
+    assert r["n_alnum"] == chars
+    ari = 4.71 * (chars / 9) + 0.5 * (9 / 2) - 21.43
+    cli = 0.0588 * (chars / 9 * 100) - 0.296 * (2 / 9 * 100) - 15.8
+    assert abs(r["ari"] - ari) < 1e-3
+    assert abs(r["cli"] - cli) < 1e-3
+
+
+def test_ari_no_punctuation_floor_one_sentence(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_ari_cli,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "just words no stops here")], "doc_id long, text string"
+    )
+    r = with_ari_cli(df).collect()[0]
+    assert r["n_sentences"] == 1 and r["word_count"] == 5
+
+
+# ── textrank_keywords ────────────────────────────────────────────────────────
+
+
+def _py_textrank(docs, window=2, iters=8, d=0.85, stop=()):
+    from collections import defaultdict
+
+    wt = defaultdict(int)
+    for text in docs:
+        toks = text.lower().strip().split(" ")
+        pos = [(i, t) for i, t in enumerate(toks) if t and t not in stop]
+        for i in range(len(pos)):
+            for j in range(i + 1, len(pos)):
+                if pos[j][0] - pos[i][0] > window:
+                    break
+                a, b = pos[i][1], pos[j][1]
+                if a != b:
+                    wt[(min(a, b), max(a, b))] += 1
+    nodes = sorted({x for p in wt for x in p})
+    W = {v: 0.0 for v in nodes}
+    for (a, b), w in wt.items():
+        W[a] += w
+        W[b] += w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nr = {}
+        for v in nodes:
+            s = 0.0
+            for (a, b), w in wt.items():
+                if v == a:
+                    s += r[b] / W[b] * w
+                elif v == b:
+                    s += r[a] / W[a] * w
+            nr[v] = (1 - d) / n + d * s
+        r = nr
+    return {v: r[v] * n for v in nodes}
+
+
+def test_textrank_matches_python_power_method(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        textrank_keywords,
+    )
+
+    docs = [
+        "graph ranking keeps important words central",
+        "important words appear near other important words",
+        "central words rank high in the graph",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: r["rank_norm"]
+        for r in textrank_keywords(df, k=50, stopwords=["in", "the"]).collect()
+    }
+    exp = _py_textrank(docs, stop={"in", "the"})
+    assert set(got) == set(exp)
+    for w, v in exp.items():
+        assert abs(got[w] - v) < 1e-3, (w, got[w], v)
+    # hubs outrank leaves
+    assert got["words"] == max(got.values())
+
+
+def test_textrank_isolated_token_excluded(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        textrank_keywords,
+    )
+
+    # single-token doc creates no edges -> the token is not a node
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "lonely")], "doc_id long, text string"
+    )
+    words = {
+        r["word"] for r in textrank_keywords(df, k=10, stopwords=[]).collect()
+    }
+    assert words == {"alpha", "beta"}
+
+
+# ── dyad_census ──────────────────────────────────────────────────────────────
+
+
+def test_dyad_census_counts(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        dyad_census,
+    )
+
+    edges = [
+        ("p", "a", "b"),
+        ("p", "b", "a"),  # mutual
+        ("p", "a", "c"),  # asym
+        ("p", "c", "c"),  # self loop dropped
+        ("p", "a", "b"),  # duplicate dropped
+        ("q", "x", "y"),  # asym
+    ]
+    df = spark.createDataFrame(edges, "pred string, subj string, obj string")
+    out = {
+        r["pred"]: r
+        for r in dyad_census(df, "subj", "obj", ["pred"]).collect()
+    }
+    assert out["p"]["mutual"] == 1 and out["p"]["asym"] == 1
+    assert abs(out["p"]["reciprocity"] - 2 / 3) < 1e-12
+    assert out["q"]["mutual"] == 0 and out["q"]["reciprocity"] == 0.0
+
+
+def test_dyad_census_fully_mutual(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        dyad_census,
+    )
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    r = dyad_census(df, "subj", "obj").collect()[0]
+    assert r["mutual"] == 2 and r["asym"] == 0 and r["reciprocity"] == 1.0
