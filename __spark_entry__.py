@@ -5815,6 +5815,234 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_groupsets"] = events_groupsets
 
+    # Streaming Benford census: per-digit counts as a NATIVE update-mode
+    # streaming aggregation (state: <= 9 cells forever). Counts are
+    # monotone, so the drained per-digit max == the final count, fed to
+    # the single-sourced benford_from_obs closed form. Oracle shared
+    # verbatim with events_benford.
+    def stream_benford(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+            benford_from_obs,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_benford_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                F.floor(F.col("value") * F.lit(100.0))
+                .cast("long")
+                .alias("cents"),
+                "event_id",
+            )
+            ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema("cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            digits = (
+                stream.where(F.col("cents") >= 1)
+                .groupBy(
+                    F.substring(F.col("cents").cast("string"), 1, 1)
+                    .cast("int")
+                    .alias("digit")
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                digits.writeStream.format("memory")
+                .queryName(f"sbenford_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        obs = (
+            s.table(f"sbenford_{tag}")
+            .groupBy("digit")
+            .agg(F.max("c").cast("long").alias("n_obs"))
+            .localCheckpoint(eager=True)
+        )
+        b = benford_from_obs(obs)
+        return b.select(
+            "digit",
+            "n_obs",
+            F.round("expected", 4).alias("expected"),
+            F.round("chi2", 4).alias("chi2"),
+        )
+
+    q["stream_benford"] = stream_benford
+
+    # Streaming Simpson diversity: the (cohort, item) cell counts as a
+    # NATIVE update-mode streaming aggregation; drained per-cell max ==
+    # final cell (monotone), fed to the single-sourced simpson_from_cells
+    # closed form. Oracle shared verbatim with events_simpson.
+    def stream_simpson(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.functions.profiling import (
+            simpson_from_cells,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_simpson_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                (F.col("user_id") % 101).alias("bucket"),
+                "event_type",
+                "event_id",
+            )
+            ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema("bucket long, event_type string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            cells = stream.groupBy("bucket", "event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                cells.writeStream.format("memory")
+                .queryName(f"ssimpson_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        drained = (
+            s.table(f"ssimpson_{tag}")
+            .groupBy("bucket", "event_type")
+            .agg(F.max("c").cast("long").alias("__c"))
+            .localCheckpoint(eager=True)
+        )
+        g = simpson_from_cells(drained, ["bucket"])
+        return g.select(
+            "bucket", "n_items", "n", F.round("simpson", 4).alias("simpson")
+        )
+
+    q["stream_simpson"] = stream_simpson
+
+    # Single best mean-shift changepoint per type over the daily-revenue
+    # series (binary segmentation step 1): gain(k) maximized over the
+    # prefix-sum candidates; squares exact BIGINT, gain micro-quantized
+    # before the argmax, output means BIGINT floor divisions — no float
+    # output column at all.
+    def events_changepoint(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+            best_changepoint,
+        )
+
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        ).agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+        return best_changepoint(daily, ["event_type"], "day", "rev_c")
+
+    q["events_changepoint"] = events_changepoint
+
+    # Phi coefficient (2×2 Matthews correlation) between event types'
+    # daily presence, for every type pair: all four cells exact BIGINTs,
+    # phi one closed form under the bit-exact sqrt. The co-occurrence
+    # structure screen over enum columns.
+    def events_phi(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            phi_pairs,
+        )
+
+        ev = _t(s, d, "events")
+        units = ev.select(
+            "event_type",
+            (
+                F.col("user_id") * F.lit(1000000)
+                + F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            ).cast("long").alias("ud"),
+        )
+        g = phi_pairs(units, "event_type", "ud")
+        return g.select(
+            F.col("g1").alias("t1"),
+            F.col("g2").alias("t2"),
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            F.round("phi", 4).alias("phi"),
+        )
+
+    q["events_phi"] = events_phi
+
+    # Corpus lexical census per language: vocabulary size, token count,
+    # hapax/dis legomena, type-token ratio and hapax share — the Heaps/
+    # Zipf-adjacent curation dashboard numbers. Two hash aggregates; all
+    # counts exact BIGINTs, the two ratios single divisions.
+    def text_lexical(s, d):
+        docs = _t(s, d, "documents")
+        toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+        tf = (
+            docs.select("lang", F.explode(toks).alias("tok"))
+            .where(F.col("tok") != "")
+            .groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        g = tf.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dis"),
+        )
+        return g.select(
+            "lang",
+            "vocab",
+            "n_tokens",
+            "hapax",
+            "dis",
+            F.round(
+                F.col("vocab").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("ttr"),
+            F.round(
+                F.col("hapax").cast("double") / F.col("vocab").cast("double"), 4
+            ).alias("hapax_share"),
+        )
+
+    q["text_lexical"] = text_lexical
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -10577,5 +10805,102 @@ FROM (SELECT event_type,
              value
       FROM events) z
 GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))"""
+
+    o["stream_benford"] = o["events_benford"]
+    o["stream_simpson"] = o["events_simpson"]
+
+    o["events_changepoint"] = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day AS o,
+         CAST(row_number() OVER wd AS BIGINT) AS rn,
+         CAST(sum(rev_c) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(rev_c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM daily
+  WINDOW wd AS (PARTITION BY event_type ORDER BY day)
+),
+scored AS (
+  SELECT event_type, o, rn, cum, n, s,
+         CAST(floor((CAST(cum * cum AS DOUBLE) / CAST(rn AS DOUBLE)
+                     + CAST((s - cum) * (s - cum) AS DOUBLE)
+                       / CAST(n - rn AS DOUBLE)
+                     - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000.0 + 0.5) AS BIGINT) AS gain_milli
+  FROM seq WHERE rn < n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY gain_milli DESC, rn ASC) AS rk
+  FROM scored
+)
+SELECT event_type, n, o AS split_at, rn AS n_before,
+       CAST(n - rn AS BIGINT) AS n_after,
+       CAST(cum // rn AS BIGINT) AS mean_before,
+       CAST((s - cum) // (n - rn) AS BIGINT) AS mean_after,
+       gain_milli
+FROM best WHERE rk = 1"""
+
+    o["events_phi"] = """
+WITH cells AS MATERIALIZED (
+  SELECT DISTINCT event_type AS g,
+         CAST(user_id * 1000000
+              + datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS u
+  FROM events
+),
+nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units FROM cells),
+marg AS (SELECT g, CAST(count(*) AS BIGINT) AS m FROM cells GROUP BY 1),
+ovl AS (
+  SELECT l.g AS g1, r.g AS g2, CAST(count(*) AS BIGINT) AS n11
+  FROM cells l JOIN cells r ON l.u = r.u AND l.g < r.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g AS g1, b.g AS g2, a.m AS m1, b.m AS m2,
+         CAST(coalesce(ovl.n11, 0) AS BIGINT) AS n11,
+         (SELECT n_units FROM nu) AS n_units
+  FROM marg a JOIN marg b ON a.g < b.g
+  LEFT JOIN ovl ON ovl.g1 = a.g AND ovl.g2 = b.g
+)
+SELECT g1 AS t1, g2 AS t2, n11,
+       CAST(m1 - n11 AS BIGINT) AS n10,
+       CAST(m2 - n11 AS BIGINT) AS n01,
+       CAST(n_units - m1 - m2 + n11 AS BIGINT) AS n00,
+       round(CASE WHEN m1 > 0 AND m1 < n_units AND m2 > 0 AND m2 < n_units
+             THEN CAST(n11 * (n_units - m1 - m2 + n11)
+                       - (m1 - n11) * (m2 - n11) AS DOUBLE)
+                  / sqrt(CAST(m1 * (n_units - m1) AS DOUBLE)
+                         * CAST(m2 * (n_units - m2) AS DOUBLE))
+             ELSE 0.0 END, 4) AS phi
+FROM pairs"""
+
+    o["text_lexical"] = f"""
+WITH tf AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents) z
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+  FROM tf GROUP BY 1
+)
+SELECT lang, vocab, n_tokens, hapax, dis,
+       round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+       round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 4)
+         AS hapax_share
+FROM g"""
 
     return o

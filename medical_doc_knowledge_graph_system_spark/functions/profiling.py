@@ -85,6 +85,15 @@ def simpson_diversity(
     cells = df.groupBy(*key_cols, item_col).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    return simpson_from_cells(cells, key_cols)
+
+
+def simpson_from_cells(cells: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Simpson D from a per-(key, item) count frame (``__c`` column) —
+    factored out so the streaming gate can drain the SAME closed form from
+    fold state (each cell count is a monotone non-decreasing streaming
+    aggregate, so the drained per-cell max IS the final cell — the
+    hist_estimate single-sourcing convention)."""
     c = F.col("__c")
     g = cells.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
@@ -129,7 +138,6 @@ def benford_firstdigit(
     (digit, n_obs, expected, chi2) with expected/chi2 unrounded doubles
     and chi2 identical on every row.
     """
-    spark = df.sparkSession
     obs = (
         df.where(F.col(cents_col) >= 1)
         .groupBy(
@@ -139,6 +147,15 @@ def benford_firstdigit(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
+    return benford_from_obs(obs)
+
+
+def benford_from_obs(obs: DataFrame) -> DataFrame:
+    """The Benford census + χ² from a (digit, n_obs) frame — factored out
+    so the streaming gate can drain the SAME closed form from fold state
+    (digit counts are monotone streaming aggregates; drained per-digit max
+    == final count)."""
+    spark = obs.sparkSession
     dims = spark.createDataFrame(
         [(d, float(p)) for d, p in BENFORD_P.items()], "digit int, p double"
     )

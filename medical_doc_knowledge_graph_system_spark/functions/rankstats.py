@@ -393,3 +393,82 @@ def runs_test(
         "runs",
         ((F.col("runs").cast("double") - mu) / F.sqrt(s2)).alias("z_runs"),
     )
+
+
+def phi_pairs(df: DataFrame, group_col: str, unit_col: str) -> DataFrame:
+    """Phi coefficient (Matthews correlation of the 2×2 presence table)
+    for every unordered pair of groups, over shared observation units:
+    unit u "has" group g if at least one (g, u) row exists. For pair
+    (a, b): n11 = units with both, margins from the per-group presence
+    counts, n00 from the global unit count, and
+
+        phi = (n11*n00 − n10*n01) / sqrt((n11+n10)(n01+n00)(n11+n01)(n10+n00))
+
+    — every cell an exact BIGINT, the 4-way product cast to double only
+    under the bit-exact sqrt. The co-occurrence screen a curation
+    pipeline runs between event/label types per day or per document.
+
+    Scale shape: one distinct-cell aggregate off the scan (pinned: the
+    pair join reads it twice + the margins once), a presence-set
+    self-join on the unit, one k²-row aggregate.
+    """
+    cells = (
+        df.select(F.col(group_col).alias("g"), F.col(unit_col).alias("u"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_units = cells.select("u").distinct().count()
+    marg = cells.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    both = (
+        cells.alias("l")
+        .join(
+            cells.alias("r"),
+            (F.col("l.u") == F.col("r.u")) & (F.col("l.g") < F.col("r.g")),
+        )
+        .groupBy(F.col("l.g").alias("g1"), F.col("r.g").alias("g2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n11"))
+    )
+    # pair frame over ALL group pairs (zero-overlap pairs included)
+    pairs = (
+        marg.select(F.col("g").alias("g1"), F.col("m").alias("m1"))
+        .join(
+            marg.select(F.col("g").alias("g2"), F.col("m").alias("m2")),
+            F.col("g1") < F.col("g2"),
+        )
+        .join(both, ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            "m1",
+            "m2",
+            F.coalesce("n11", F.lit(0)).cast("long").alias("n11"),
+        )
+    )
+    n10 = (F.col("m1") - F.col("n11")).cast("long")
+    n01 = (F.col("m2") - F.col("n11")).cast("long")
+    n00 = (
+        F.lit(int(n_units)) - F.col("m1") - F.col("m2") + F.col("n11")
+    ).cast("long")
+    num = (F.col("n11") * n00 - n10 * n01).cast("double")
+    den = F.sqrt(
+        (F.col("m1") * (F.lit(int(n_units)) - F.col("m1"))).cast("double")
+        * (F.col("m2") * (F.lit(int(n_units)) - F.col("m2"))).cast("double")
+    )
+    # degenerate margins (a group present in ALL units or none) have no
+    # defined phi — the 2x2 table has an empty row/column; emit 0.0 (the
+    # integer condition keeps the guard engine-exact, never a float == 0)
+    ok = (
+        (F.col("m1") > 0)
+        & (F.col("m1") < F.lit(int(n_units)))
+        & (F.col("m2") > 0)
+        & (F.col("m2") < F.lit(int(n_units)))
+    )
+    return pairs.select(
+        "g1",
+        "g2",
+        "n11",
+        n10.alias("n10"),
+        n01.alias("n01"),
+        n00.alias("n00"),
+        F.when(ok, num / den).otherwise(F.lit(0.0)).alias("phi"),
+    )

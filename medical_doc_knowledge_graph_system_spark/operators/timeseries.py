@@ -321,3 +321,81 @@ def autocorr_lag(
         F.col("m").alias("n_pairs"),
         (num / (F.sqrt(da) * F.sqrt(db))).alias("acf"),
     )
+
+
+def best_changepoint(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single best mean-shift changepoint per key series (the first step of
+    binary segmentation / PELT): the split k that minimizes two-segment SSE,
+    i.e. maximizes the explained gain
+
+        gain(k) = S1²/k + (S-S1)²/(n-k) − S²/n
+
+    over an INTEGER-quantized value column. Prefix sums S1 come from ONE
+    cumulative window per key; every square stays exact BIGINT (cast to
+    double only at the final three divisions, in identical operand order
+    cross-engine); the gain is micro-quantized (×1000) to BIGINT and the
+    argmax ranks (gain_q DESC, k ASC) so tie-breaks are exact. Output
+    means are BIGINT floor divisions (`div` == DuckDB //) — no float
+    output at all.
+
+    Returns one row per key: (keys..., n, split_at = order value of the
+    last point in segment 1, n_before, n_after, mean_before, mean_after,
+    gain_milli).
+    """
+    wo = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("long")
+    seq = df.select(
+        *keys,
+        F.col(order_col).alias("o"),
+        F.row_number()
+        .over(Window.partitionBy(*keys).orderBy(order_col))
+        .cast("long")
+        .alias("rn"),
+        F.sum(v).over(wo).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+        F.sum(v).over(wk).cast("long").alias("s"),
+    )
+    cand = seq.where(F.col("rn") < F.col("n"))
+    a = (F.col("cum") * F.col("cum")).cast("double") / F.col("rn").cast(
+        "double"
+    ) + ((F.col("s") - F.col("cum")) * (F.col("s") - F.col("cum"))).cast(
+        "double"
+    ) / (F.col("n") - F.col("rn")).cast("double")
+    base = (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    scored = cand.select(
+        *keys,
+        "o",
+        "rn",
+        "cum",
+        "n",
+        "s",
+        F.floor((a - base) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("gain_milli"),
+    )
+    wr = Window.partitionBy(*keys).orderBy(
+        F.desc("gain_milli"), F.asc("rn")
+    )
+    best = scored.withColumn("__rk", F.row_number().over(wr)).where(
+        F.col("__rk") == 1
+    )
+    return best.select(
+        *keys,
+        "n",
+        F.col("o").alias("split_at"),
+        F.col("rn").alias("n_before"),
+        (F.col("n") - F.col("rn")).cast("long").alias("n_after"),
+        F.expr("cum div rn").alias("mean_before"),
+        F.expr("(s - cum) div (n - rn)").alias("mean_after"),
+        "gain_milli",
+    )

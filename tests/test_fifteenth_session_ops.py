@@ -153,3 +153,126 @@ def test_dyad_census_fully_mutual(spark):
     df = spark.createDataFrame(edges, "subj string, obj string")
     r = dyad_census(df, "subj", "obj").collect()[0]
     assert r["mutual"] == 2 and r["asym"] == 0 and r["reciprocity"] == 1.0
+
+
+# ── best_changepoint ─────────────────────────────────────────────────────────
+
+
+def test_changepoint_finds_mean_shift(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        best_changepoint,
+    )
+
+    # level 100 for 12 points, then 500 for 8 — split after point 12
+    ys = [100] * 12 + [500] * 8
+    df = spark.createDataFrame(
+        [("g", i, y) for i, y in enumerate(ys)], "k string, o int, v long"
+    )
+    r = best_changepoint(df, ["k"], "o", "v").collect()[0]
+    assert r["n_before"] == 12 and r["n_after"] == 8
+    assert r["split_at"] == 11
+    assert r["mean_before"] == 100 and r["mean_after"] == 500
+
+
+def test_changepoint_matches_bruteforce_sse(spark):
+    import random as _r
+
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        best_changepoint,
+    )
+
+    rng = _r.Random(29)
+    ys = [rng.randrange(0, 100) for _ in range(15)] + [
+        rng.randrange(200, 300) for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        [("g", i, y) for i, y in enumerate(ys)], "k string, o int, v long"
+    )
+    r = best_changepoint(df, ["k"], "o", "v").collect()[0]
+    n, s = len(ys), sum(ys)
+    best_k, best_gain = None, None
+    cum = 0
+    for k in range(1, n):
+        cum += ys[k - 1]
+        gain = cum * cum / k + (s - cum) ** 2 / (n - k) - s * s / n
+        if best_gain is None or gain > best_gain + 1e-9:
+            best_k, best_gain = k, gain
+    assert r["n_before"] == best_k
+    assert abs(r["gain_milli"] / 1000.0 - best_gain) < 1e-2
+
+
+def test_changepoint_flat_series_zero_gain(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        best_changepoint,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 50) for i in range(10)], "k string, o int, v long"
+    )
+    r = best_changepoint(df, ["k"], "o", "v").collect()[0]
+    assert r["gain_milli"] == 0
+    assert r["n_before"] == 1  # tie-break: smallest split
+
+
+# ── phi_pairs ────────────────────────────────────────────────────────────────
+
+
+def test_phi_matches_bruteforce(spark):
+    import math as _m
+    import random as _r
+
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        phi_pairs,
+    )
+
+    rng = _r.Random(31)
+    rows = []
+    present = {"a": set(), "b": set()}
+    for u in range(50):
+        if rng.random() < 0.5:
+            rows.append(("a", u))
+            present["a"].add(u)
+        if rng.random() < 0.4 or u in present["a"] and rng.random() < 0.5:
+            rows.append(("b", u))
+            present["b"].add(u)
+        if not rows or rows[-1][1] != u:
+            rows.append(("c", u))  # ensure every unit exists somewhere
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {(r["g1"], r["g2"]): r for r in phi_pairs(df, "g", "u").collect()}
+    units = {u for _, u in rows}
+    n = len(units)
+    n11 = len(present["a"] & present["b"])
+    m1, m2 = len(present["a"]), len(present["b"])
+    n10, n01 = m1 - n11, m2 - n11
+    n00 = n - m1 - m2 + n11
+    r = out[("a", "b")]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
+    exp = (n11 * n00 - n10 * n01) / _m.sqrt(
+        m1 * (n - m1) * m2 * (n - m2)
+    )
+    assert abs(r["phi"] - exp) < 1e-12
+
+
+def test_phi_perfect_association(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        phi_pairs,
+    )
+
+    rows = [("a", u) for u in range(5)] + [("b", u) for u in range(5)]
+    rows += [("c", u) for u in range(5, 10)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {(r["g1"], r["g2"]): r["phi"] for r in phi_pairs(df, "g", "u").collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+
+
+def test_phi_degenerate_margin_zero(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        phi_pairs,
+    )
+
+    # 'a' present in EVERY unit -> phi undefined -> guarded to 0.0
+    rows = [("a", u) for u in range(6)] + [("b", u) for u in range(3)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    r = phi_pairs(df, "g", "u").collect()[0]
+    assert r["phi"] == 0.0
