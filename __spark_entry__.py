@@ -6043,6 +6043,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lexical"] = text_lexical
 
+    # Ranking-window census: ntile / percent_rank / cume_dist over a
+    # FULLY deterministic total order (cents, event_id — ntile splits
+    # ties by row position, so the tiebreak is load-bearing), folded to
+    # per-decile stats. pr/cd are exact rationals floor-quantized to 4dp.
+    def events_rank_fns(s, d):
+        ev = _t(s, d, "events")
+        base = ev.select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+        r = base.select(
+            "event_type",
+            "cents",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        g = r.groupBy("event_type", "decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").cast("long").alias("min_c"),
+            F.max("cents").cast("long").alias("max_c"),
+            F.sum("cents").cast("long").alias("sum_c"),
+            F.max("pr").alias("pr_hi"),
+            F.max("cd").alias("cd_hi"),
+        )
+        q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+            10000.0
+        )
+        return g.select(
+            "event_type",
+            "decile",
+            "n",
+            "min_c",
+            "max_c",
+            "sum_c",
+            q4(F.col("pr_hi")).alias("pr_hi"),
+            q4(F.col("cd_hi")).alias("cd_hi"),
+        )
+
+    q["events_rank_fns"] = events_rank_fns
+
+    # Seasonal-naive backtest (forecast(t) = value(t-7), the quality
+    # floor every forecaster must beat): calendar-aligned join on the
+    # day VALUE, errors exact BIGINTs, MAE one floor-quantized division.
+    def events_snaive(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+            snaive_backtest,
+        )
+
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+        return snaive_backtest(daily, ["event_type"], "day", "n_ev", season=7)
+
+    q["events_snaive"] = events_snaive
+
+    # SAX symbolization of the daily-count series (Lin 2003): z-scores
+    # from exact BIGINT moments binned at the ±0.6745 Gaussian quartile
+    # literals into a 4-letter word per series — the discretization step
+    # of time-series motif mining. Word assembly via
+    # array_sort(collect_list(struct)), never a window sort.
+    def events_sax(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+            sax_symbolize,
+        )
+
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+        return sax_symbolize(daily, ["event_type"], "day", "n_ev")
+
+    q["events_sax"] = events_sax
+
+    # Union-of-intervals coverage per type (events padded to 5-minute
+    # activity windows): the uptime/billing sweep — running-max window,
+    # every contribution an exact BIGINT second count, islands counted
+    # where a gap opens. No floats anywhere.
+    def events_intervals(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.rangejoin import (
+            interval_union,
+        )
+
+        ev = _t(s, d, "events")
+        iv = ev.select(
+            "event_type",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("st"),
+            (F.unix_timestamp("ts") + F.lit(300)).cast("long").alias("en"),
+        )
+        return interval_union(iv, ["event_type"], "st", "en", "event_id")
+
+    q["events_intervals"] = events_intervals
+
+    # Corpus keyness χ² (log-free Dunning twin): terms most associated
+    # with the English slice vs the rest — 2×2 χ² per term, ranked on
+    # the ×1000-quantized BIGINT, direction by pure integer
+    # cross-multiplication. The 'what characterizes this slice' screen.
+    def text_keyness(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            keyness_chi2,
+        )
+
+        docs = _t(s, d, "documents")
+        return keyness_chi2(docs, F.col("lang") == "en", k=20)
+
+    q["text_keyness"] = text_keyness
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -10902,5 +11017,123 @@ SELECT lang, vocab, n_tokens, hapax, dis,
        round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 4)
          AS hapax_share
 FROM g"""
+
+    o["events_rank_fns"] = """
+WITH r AS (
+  SELECT event_type, cents,
+         CAST(ntile(10) OVER w AS BIGINT) AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM (SELECT event_type, event_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events) z
+  WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
+)
+SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_c,
+       CAST(max(cents) AS BIGINT) AS max_c,
+       CAST(sum(cents) AS BIGINT) AS sum_c,
+       floor(max(pr) * 10000.0 + 0.5) / 10000.0 AS pr_hi,
+       floor(max(cd) * 10000.0 + 0.5) / 10000.0 AS cd_hi
+FROM r GROUP BY 1, 2"""
+
+    o["events_snaive"] = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT cur.event_type, abs(cur.n_ev - prev.n_ev) AS err
+  FROM daily cur JOIN daily prev
+    ON cur.event_type = prev.event_type AND cur.day = prev.day + 7
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtest,
+       CAST(sum(err) AS BIGINT) AS total_abs_err,
+       floor(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS mae
+FROM j GROUP BY 1"""
+
+    o["events_sax"] = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, day, n_ev AS y,
+         CAST(count(*) OVER wk AS BIGINT) AS cnt,
+         CAST(sum(n_ev) OVER wk AS BIGINT) AS s,
+         CAST(sum(n_ev * n_ev) OVER wk AS BIGINT) AS ss
+  FROM daily WINDOW wk AS (PARTITION BY event_type)
+),
+sy AS (
+  SELECT event_type, day,
+         CASE WHEN cnt * ss - s * s = 0 THEN 'b'
+              WHEN z < -0.6745 THEN 'a'
+              WHEN z < 0.0 THEN 'b'
+              WHEN z < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM (SELECT *,
+               (CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+               / sqrt(CAST(cnt * ss - s * s AS DOUBLE)
+                      / CAST(cnt * (cnt - 1) AS DOUBLE)) AS z
+        FROM m WHERE cnt >= 2) t
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       coalesce(string_agg(sym, '' ORDER BY day), '') AS sax
+FROM sy GROUP BY 1"""
+
+    o["events_intervals"] = """
+WITH iv AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS st,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS en
+  FROM events
+),
+m AS (
+  SELECT event_type, st, en,
+         max(en) OVER (PARTITION BY event_type ORDER BY st, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(CASE WHEN prev_max IS NULL OR st > prev_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+       CAST(sum(greatest(0, en - greatest(st, coalesce(prev_max, st))))
+            AS BIGINT) AS covered
+FROM m GROUP BY 1"""
+
+    o["text_keyness"] = f"""
+WITH tf AS MATERIALIZED (
+  SELECT tok,
+         CAST(sum(f) AS BIGINT) AS a,
+         CAST(sum(1 - f) AS BIGINT) AS b
+  FROM (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f,
+               unnest({_TOKS}) AS tok
+        FROM documents) z
+  WHERE tok <> ''
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        FROM tf),
+scored AS (
+  SELECT tok, a, b,
+         CASE WHEN a * nb > b * na THEN 'focus' ELSE 'reference' END
+           AS enriched,
+         CAST(floor(CAST(na + nb AS DOUBLE)
+               * (CAST(a * (nb - b) - b * (na - a) AS DOUBLE)
+                  * CAST(a * (nb - b) - b * (na - a) AS DOUBLE))
+               / ((CAST(a + b AS DOUBLE)
+                   * CAST((na - a) + (nb - b) AS DOUBLE))
+                  * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+               * 1000.0 + 0.5) AS BIGINT) AS chi2_q
+  FROM tf, tot
+)
+SELECT tok, a, b, enriched, chi2_q / 1000.0 AS chi2
+FROM scored ORDER BY chi2_q DESC, tok LIMIT 20"""
 
     return o

@@ -884,3 +884,76 @@ def textrank_keywords(
         .limit(int(k))
         .select(F.col("name").alias("word"), "rank_norm")
     )
+
+
+def keyness_chi2(
+    docs: DataFrame,
+    is_focus: Column,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-keyness χ² (the log-free twin of Dunning log-likelihood
+    keyness): for every term, the 2×2 association between term occurrence
+    and corpus half (focus vs reference, split by ``is_focus``), ranked by
+    χ² — the 'what words characterize THIS slice' curation screen.
+
+        χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    where a = term count in focus, b = in reference, c/d the remaining
+    token masses. All counts exact BIGINTs; (ad − bc) stays BIGINT and
+    is cast to double before squaring (its square can exceed int64); the
+    4-factor denominator multiplies as doubles pairwise in fixed order.
+    The ranking happens on the ×1000-quantized BIGINT (term tiebreak),
+    so top-k selection is engine-exact; enrichment direction is a pure
+    integer cross-multiplication a·N_ref vs b·N_focus.
+
+    Scale shape: one token explode + one vocab-bounded aggregate, a
+    2-row totals broadcast, TakeOrderedAndProject for the top-k.
+    """
+    toks = tokens_col(text_col)
+    tf = (
+        docs.select(is_focus.cast("int").alias("f"), F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.sum("f").cast("long").alias("a"),
+            F.sum(F.lit(1) - F.col("f")).cast("long").alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = tf.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    j = tf.crossJoin(F.broadcast(tot))
+    c = (F.col("na") - F.col("a")).cast("long")
+    d = (F.col("nb") - F.col("b")).cast("long")
+    num0 = (F.col("a") * d - F.col("b") * c).cast("double")
+    nn = (F.col("na") + F.col("nb")).cast("double")
+    den = (
+        ((F.col("a") + F.col("b")).cast("double") * (c + d).cast("double"))
+        * (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    chi2 = nn * (num0 * num0) / den
+    scored = j.select(
+        "tok",
+        "a",
+        "b",
+        F.when(
+            F.col("a") * F.col("nb") > F.col("b") * F.col("na"),
+            F.lit("focus"),
+        )
+        .otherwise(F.lit("reference"))
+        .alias("enriched"),
+        F.floor(chi2 * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("chi2_q"),
+    )
+    return (
+        scored.orderBy(F.desc("chi2_q"), F.asc("tok"))
+        .limit(int(k))
+        .select(
+            "tok",
+            "a",
+            "b",
+            "enriched",
+            (F.col("chi2_q") / F.lit(1000.0)).alias("chi2"),
+        )
+    )

@@ -25,7 +25,7 @@ skew mitigation for long-running hot keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,4 +96,54 @@ def interval_point_count(
     return intervals.join(counts, interval_id, "left").select(
         *intervals.columns,
         F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+    )
+
+
+def interval_union(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key group — the uptime/billing
+    sweep: total covered length, interval count, and the number of
+    disjoint islands after merging overlaps.
+
+    One window pass (the classic sweep): prev_max = running max of end
+    over the (start, tiebreak) order excluding the current row; a row
+    contributes max(0, end − max(start, prev_max)) and starts a new
+    island when start > prev_max. START/END MUST BE INTEGERS (epoch
+    seconds): every contribution is an exact BIGINT, so the total is
+    order-free and engine-exact.
+
+    Scale shape: one shuffle (the per-key window sort); state per key is
+    one running max. Skewed keys inherit the window's sort cost — split
+    upstream if a single key dominates.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(start_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = F.col(start_col).cast("long")
+    en = F.col(end_col).cast("long")
+    m = df.select(
+        *keys,
+        st.alias("st"),
+        en.alias("en"),
+        F.max(en).over(w).alias("prev_max"),
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("en") - F.greatest(F.col("st"), F.coalesce("prev_max", F.col("st"))),
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("st") > F.col("prev_max")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return m.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(new_island).cast("long").alias("n_islands"),
+        F.sum(contrib).cast("long").alias("covered"),
     )

@@ -399,3 +399,103 @@ def best_changepoint(
         F.expr("(s - cum) div (n - rn)").alias("mean_after"),
         "gain_milli",
     )
+
+
+def sax_symbolize(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003) of a per-key INTEGER series:
+    z-normalize against the key's own mean/Bessel-sd and bin into the
+    4-symbol alphabet at the Gaussian quartile breakpoints ±0.6745 / 0 —
+    the discretization step of classic time-series motif/anomaly mining.
+
+    Parity: moments (n, Σy, Σy²) exact BIGINTs; z is one fixed-order
+    closed form under the bit-exact sqrt; breakpoints are exact decimal
+    literals; symbol choice is comparisons only. A zero-variance series
+    (integer-exact guard on n·Σy²−(Σy)², never a float == 0) maps to all
+    'b'. The word is assembled via array_sort(collect_list(struct)) —
+    never a window sort.
+    """
+    wk = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("long")
+    m = df.select(
+        *keys,
+        F.col(order_col).alias("o"),
+        v.alias("y"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("cnt"),
+        F.sum(v).over(wk).cast("long").alias("s"),
+        F.sum(v * v).over(wk).cast("long").alias("ss"),
+    )
+    var_num = (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "long"
+    )
+    mu = F.col("s").cast("double") / F.col("cnt").cast("double")
+    sd = F.sqrt(
+        var_num.cast("double")
+        / (F.col("cnt") * (F.col("cnt") - F.lit(1))).cast("double")
+    )
+    z = (F.col("y").cast("double") - mu) / sd
+    sym = F.when(var_num == 0, F.lit("b")).otherwise(
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    marked = m.where(F.col("cnt") >= 2).select(*keys, "o", sym.alias("sym"))
+    return marked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(o, sym))),"
+            " s -> s.sym), '')"
+        ).alias("sax"),
+    )
+
+
+def snaive_backtest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: forecast(t) = value(t − season),
+    scored by MAE over every point with an observed seasonal ancestor —
+    the standard forecast-quality floor every real model must beat.
+    Matches on the ORDER VALUE (t − season), not row offset, so calendar
+    gaps don't misalign the season. Errors are exact BIGINTs; MAE is ONE
+    division (floor-quantized to 4dp — engine round() differs at half
+    boundaries)."""
+    cur = df.select(
+        *keys,
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    past = df.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        (F.col(order_col) + F.lit(int(season))).alias("__o"),
+        F.col(value_col).cast("long").alias("__yhat"),
+    )
+    cond = F.col("o") == F.col("__o")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    j = cur.join(past, cond)
+    g = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_backtest"),
+        F.sum(F.abs(F.col("y") - F.col("__yhat"))).cast("long").alias(
+            "total_abs_err"
+        ),
+    )
+    mae = F.col("total_abs_err").cast("double") / F.col("n_backtest").cast(
+        "double"
+    )
+    return g.select(
+        *keys,
+        "n_backtest",
+        "total_abs_err",
+        (F.floor(mae * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "mae"
+        ),
+    )

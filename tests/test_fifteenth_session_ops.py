@@ -276,3 +276,181 @@ def test_phi_degenerate_margin_zero(spark):
     df = spark.createDataFrame(rows, "g string, u long")
     r = phi_pairs(df, "g", "u").collect()[0]
     assert r["phi"] == 0.0
+
+
+# ── sax_symbolize ────────────────────────────────────────────────────────────
+
+
+def test_sax_known_word(spark):
+    import math as _m
+
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        sax_symbolize,
+    )
+
+    ys = [10, 20, 30, 40, 50]
+    df = spark.createDataFrame(
+        [("g", i, y) for i, y in enumerate(ys)], "k string, o int, v long"
+    )
+    r = sax_symbolize(df, ["k"], "o", "v").collect()[0]
+    mu = sum(ys) / len(ys)
+    sd = _m.sqrt(sum((y - mu) ** 2 for y in ys) / (len(ys) - 1))
+    exp = ""
+    for y in ys:
+        z = (y - mu) / sd
+        exp += "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+    assert r["n"] == 5 and r["sax"] == exp
+
+
+def test_sax_constant_series_all_b(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        sax_symbolize,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 7) for i in range(6)], "k string, o int, v long"
+    )
+    r = sax_symbolize(df, ["k"], "o", "v").collect()[0]
+    assert r["sax"] == "bbbbbb"
+
+
+# ── snaive_backtest ──────────────────────────────────────────────────────────
+
+
+def test_snaive_exact_season_zero_mae(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        snaive_backtest,
+    )
+
+    # perfectly weekly series -> every backtest error 0
+    ys = [(i, 100 + (i % 7) * 10) for i in range(21)]
+    df = spark.createDataFrame(
+        [("g", i, y) for i, y in ys], "k string, o int, v long"
+    )
+    r = snaive_backtest(df, ["k"], "o", "v").collect()[0]
+    assert r["n_backtest"] == 14 and r["total_abs_err"] == 0 and r["mae"] == 0.0
+
+
+def test_snaive_respects_calendar_gaps(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        snaive_backtest,
+    )
+
+    # day 8 missing: day 15 still matches day 8? no — matches on VALUE,
+    # so day 15 has no ancestor and is excluded
+    days = [0, 1, 7, 8, 14, 16]
+    vals = {0: 5, 1: 6, 7: 9, 8: 2, 14: 19, 16: 30}
+    df = spark.createDataFrame(
+        [("g", d, vals[d]) for d in days], "k string, o int, v long"
+    )
+    r = snaive_backtest(df, ["k"], "o", "v").collect()[0]
+    # matched: 7<-0 (|9-5|=4), 8<-1 (|2-6|=4), 14<-7 (|19-9|=10); 16 has no 9
+    assert r["n_backtest"] == 3
+    assert r["total_abs_err"] == 18
+    assert r["mae"] == 6.0
+
+
+# ── interval_union ───────────────────────────────────────────────────────────
+
+
+def _py_union(intervals):
+    ivs = sorted(intervals)
+    total = 0
+    islands = 0
+    cur_end = None
+    for st, en in ivs:
+        if cur_end is None or st > cur_end:
+            islands += 1
+            total += en - st
+            cur_end = en
+        else:
+            total += max(0, en - cur_end)
+            cur_end = max(cur_end, en)
+    return islands, total
+
+
+def test_interval_union_matches_sweep(spark):
+    import random as _r
+
+    from medical_doc_knowledge_graph_system_spark.operators.rangejoin import (
+        interval_union,
+    )
+
+    rng = _r.Random(37)
+    ivs = []
+    for i in range(60):
+        st = rng.randrange(0, 1000)
+        ivs.append((st, st + rng.randrange(1, 80)))
+    df = spark.createDataFrame(
+        [("g", i, st, en) for i, (st, en) in enumerate(ivs)],
+        "k string, i int, st long, en long",
+    )
+    r = interval_union(df, ["k"], "st", "en", "i").collect()[0]
+    islands, total = _py_union(ivs)
+    assert r["n_intervals"] == 60
+    assert r["n_islands"] == islands
+    assert r["covered"] == total
+
+
+def test_interval_union_contained_interval(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.rangejoin import (
+        interval_union,
+    )
+
+    # second interval fully inside the first: contributes 0, no new island
+    df = spark.createDataFrame(
+        [("g", 1, 0, 100), ("g", 2, 10, 20), ("g", 3, 150, 160)],
+        "k string, i int, st long, en long",
+    )
+    r = interval_union(df, ["k"], "st", "en", "i").collect()[0]
+    assert r["n_islands"] == 2 and r["covered"] == 110
+
+
+# ── keyness_chi2 ─────────────────────────────────────────────────────────────
+
+
+def test_keyness_flags_slice_specific_terms(spark):
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        keyness_chi2,
+    )
+
+    rows = [(i, "alpha shared words here", "en") for i in range(10)]
+    rows += [(100 + i, "beta shared words here", "fr") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["tok"]: r
+        for r in keyness_chi2(df, F.col("lang") == "en", k=10).collect()
+    }
+    assert out["alpha"]["enriched"] == "focus"
+    assert out["beta"]["enriched"] == "reference"
+    # slice-exclusive terms outrank shared ones
+    assert out["alpha"]["chi2"] > out["shared"]["chi2"]
+    assert out["alpha"]["a"] == 10 and out["alpha"]["b"] == 0
+
+
+def test_keyness_chi2_matches_formula(spark):
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        keyness_chi2,
+    )
+
+    rows = [(1, "x x y z", "en"), (2, "y z z w", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["tok"]: r["chi2"]
+        for r in keyness_chi2(df, F.col("lang") == "en", k=10).collect()
+    }
+    na, nb = 4, 4
+
+    def chi2(a, b):
+        c, d = na - a, nb - b
+        n = na + nb
+        return n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * na * nb)
+
+    assert abs(out["x"] - chi2(2, 0)) < 2e-3
+    assert abs(out["z"] - chi2(1, 2)) < 2e-3
