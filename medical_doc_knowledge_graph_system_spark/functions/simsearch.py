@@ -708,3 +708,42 @@ def topk_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def topk_mips(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Maximum-inner-product top-k per query — the retrieval scoring used
+    when vectors are NOT length-normalized (recommendation / learned
+    sparse retrieval), distinct from topk_cosine. Returns
+    (query_id, vec_id, dot_q, rank).
+
+    The ranking happens on the ×1e9-quantized BIGINT dot (vec_id
+    tiebreak), so top-k selection is engine-exact; the dot itself is the
+    fixed-order left-fold (bit-identical to DuckDB list_dot_product).
+
+    Scale note: exact MIPS is one broadcast + scan. The ANN path uses the
+    Bachrach 2014 reduction — augment x with sqrt(M² − |x|²) so every
+    row has norm M, making MIPS order == cosine order — and then any
+    cosine LSH (neardup_pairs_signblock) buckets it; for exact top-k the
+    augmentation is a constant rescale, so we rank the raw dot directly.
+    """
+    scored = embeddings.join(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dq = F.floor(
+        _dot(F.col("q_embedding"), F.col("embedding")) * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = scored.select("query_id", "vec_id", dq.alias("dot_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("dot_q") / F.lit(1000000000.0)).alias("dot"),
+            "rank",
+        )
+    )

@@ -1414,3 +1414,125 @@ def dyad_census(
         F.lit(2) * F.col("mutual") + F.col("asym")
     ).cast("double")
     return g.select(*keys, "mutual", "asym", recip.alias("reciprocity"))
+
+
+def scc_by_closure(
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list via
+    forward-closure signatures: two nodes are in the same SCC iff their
+    reflexive forward-closure SETS are equal (u ∈ R(u) always, so
+    R(u) = R(v) ⟹ v ∈ R(u) and u ∈ R(v) — mutual reachability; the
+    converse holds because same-SCC nodes reach exactly the same set).
+    The signature is md5 of the sorted closure members, grouped to assign
+    scc_id = min member name per signature.
+
+    ``rounds`` bounds reachability at `rounds` hops — exact whenever the
+    graph's directed diameter fits (the gazetteer-bounded entity graph
+    sits around 4). Closure state is O(V · avg-reach) pairs — this is the
+    bounded-vocabulary SCC (entity/term graphs), not a web-graph SCC;
+    for billions of nodes use iterative FW-BW trimming instead.
+
+    Scale shape: per round ONE join against the pinned edge frame +
+    union + distinct (additive lineage — no self-join of a frame with
+    its own derivative, so no stats explosion), localCheckpoint per
+    round. Returns (name, scc_id, scc_size).
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("x").alias("v"))
+        .union(e.select(F.col("y").alias("v")))
+        .distinct()
+    )
+    reach = nodes.select("v", F.col("v").alias("w")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(int(rounds)):
+        step = reach.join(e, reach["w"] == e["x"]).select(
+            reach["v"], e["y"].alias("w")
+        )
+        reach = reach.union(step).distinct().localCheckpoint(eager=True)
+    sigs = reach.groupBy("v").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("w")), "|")).alias(
+            "sig"
+        )
+    )
+    wsig = Window.partitionBy("sig")
+    return sigs.select(
+        F.col("v").alias("name"),
+        F.min("v").over(wsig).alias("scc_id"),
+        F.count(F.lit(1)).over(wsig).cast("long").alias("scc_size"),
+    )
+
+
+def degree_discount_seeds(
+    edges: DataFrame, k: int = 4
+) -> DataFrame:
+    """Influence-maximization seed selection by degree discount (the
+    p→0 limit of Chen et al. 2009 DegreeDiscountIC): greedily pick the
+    node maximizing  dd(v) = deg(v) − 2·t(v)  (t = already-selected
+    neighbors), name tiebreak — the 'pick hubs, but not adjacent hubs'
+    heuristic that beats plain top-degree seeding.
+
+    Pure integer state (deg, t), so the k TakeOrdered(1) rounds unroll
+    exactly (the kcenter pattern); each round is one 1-row broadcast
+    join to bump t on the picked node's neighbors. Undirected (a, b)
+    edge list. Returns (sel_rank, name, dd) — dd at selection time.
+    """
+    e0 = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    adj = _mirrored(e0).localCheckpoint(eager=True)
+    state = (
+        adj.groupBy(F.col("x").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select("name", "deg", F.lit(0).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    picks = None
+    for i in range(1, int(k) + 1):
+        dd = (F.col("deg") - F.lit(2) * F.col("t")).cast("long")
+        pick = (
+            state.select("name", dd.alias("dd"))
+            .orderBy(F.desc("dd"), F.asc("name"))
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("sel_rank"),
+                F.col("name"),
+                "dd",
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks = pick if picks is None else picks.union(pick)
+        nbrs = adj.join(
+            F.broadcast(pick.select(F.col("name").alias("__p"))),
+            F.col("x") == F.col("__p"),
+        ).select(F.col("y").alias("__n"))
+        state = (
+            state.join(
+                F.broadcast(pick.select(F.col("name").alias("__p"))),
+                state["name"] == F.col("__p"),
+                "left_anti",
+            )
+            .join(
+                F.broadcast(nbrs.distinct()),
+                state["name"] == F.col("__n"),
+                "left",
+            )
+            .select(
+                "name",
+                "deg",
+                (
+                    F.col("t")
+                    + F.when(F.col("__n").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return picks

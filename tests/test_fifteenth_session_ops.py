@@ -454,3 +454,149 @@ def test_keyness_chi2_matches_formula(spark):
 
     assert abs(out["x"] - chi2(2, 0)) < 2e-3
     assert abs(out["z"] - chi2(1, 2)) < 2e-3
+
+
+# ── scc_by_closure ───────────────────────────────────────────────────────────
+
+
+def test_scc_cycles_and_chain(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        scc_by_closure,
+    )
+
+    # cycle {a,b,c}, cycle {d,e}, chain f->g; a->d bridges the cycles
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "e"), ("e", "d"),
+        ("a", "d"), ("f", "g"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["name"]: r for r in scc_by_closure(df, rounds=6).collect()}
+    assert out["a"]["scc_id"] == out["b"]["scc_id"] == out["c"]["scc_id"] == "a"
+    assert out["a"]["scc_size"] == 3
+    assert out["d"]["scc_id"] == out["e"]["scc_id"] == "d"
+    assert out["d"]["scc_size"] == 2
+    assert out["f"]["scc_size"] == 1 and out["g"]["scc_size"] == 1
+    # the bridge must NOT merge the two cycles
+    assert out["a"]["scc_id"] != out["d"]["scc_id"]
+
+
+def test_scc_matches_python_tarjan_on_random_digraph(spark):
+    import random as _r
+
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        scc_by_closure,
+    )
+
+    rng = _r.Random(43)
+    nodes = [f"n{i:02d}" for i in range(15)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(40)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["name"]: r["scc_id"] for r in scc_by_closure(df, rounds=15).collect()}
+
+    # reference: Tarjan via iterative Kosaraju
+    from collections import defaultdict
+
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    ns = set()
+    for a, b in edges:
+        fwd[a].append(b)
+        bwd[b].append(a)
+        ns |= {a, b}
+
+    def reach(start, adj):
+        seen, stack = {start}, [start]
+        while stack:
+            for w in adj[stack.pop()]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    exp = {}
+    for v in ns:
+        scc = reach(v, fwd) & reach(v, bwd)
+        exp[v] = min(scc)
+    assert got == exp
+
+
+# ── degree_discount_seeds ────────────────────────────────────────────────────
+
+
+def test_degree_discount_avoids_adjacent_hubs(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        degree_discount_seeds,
+    )
+
+    # star around h1 (deg 5) adjacent to h2 (deg 4, shares leaves);
+    # far clique {x,y,z}. After picking h1, h2's dd = 4 - 2 = 2, ties x/y/z
+    edges = [("h1", f"l{i}") for i in range(4)] + [("h1", "h2")]
+    edges += [("h2", f"l{i}") for i in range(3)]
+    edges += [("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    out = {r["sel_rank"]: r for r in degree_discount_seeds(df, k=3).collect()}
+    assert out[1]["name"] == "h1" and out[1]["dd"] == 5
+    # h2 raw deg 4 but one selected neighbor -> dd = 2; ties with x/y/z
+    # and 'h2' < 'x' so h2 still picked second at dd=2
+    assert out[2]["dd"] == 2
+    assert out[2]["name"] == "h2"
+    # leaves have dd = 2 - 2*2 = -2; clique members keep dd = 2 -> 'x'
+    assert out[3]["name"] == "x" and out[3]["dd"] == 2
+    # verify via exhaustive recompute
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    picked, t = [], defaultdict(int)
+    for _ in range(3):
+        cand = sorted(
+            ((len(adj[v]) - 2 * t[v], v) for v in adj if v not in picked),
+            key=lambda p: (-p[0], p[1]),
+        )[0]
+        picked.append(cand[1])
+        for u in adj[cand[1]]:
+            t[u] += 1
+    assert [out[i]["name"] for i in (1, 2, 3)] == picked
+
+
+# ── topk_mips ────────────────────────────────────────────────────────────────
+
+
+def test_topk_mips_matches_numpy(spark):
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        topk_mips,
+    )
+
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(30, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        "query_id long, q_embedding array<double>",
+    )
+    got = topk_mips(emb, qs, k=4).collect()
+    for q in range(3):
+        dots = vecs @ vecs[q]
+        order = sorted(
+            (i for i in range(30) if i != q),
+            key=lambda i: (-round(dots[i] * 1e9), i),
+        )[:4]
+        rows = sorted(
+            ((r["rank"], r["vec_id"], r["dot"]) for r in got if r["query_id"] == q)
+        )
+        assert [v for _, v, _ in rows] == order
+        for rk, v, dotv in rows:
+            assert abs(dotv - dots[v]) < 1e-4
