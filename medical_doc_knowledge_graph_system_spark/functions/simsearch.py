@@ -747,3 +747,58 @@ def topk_mips(
             "rank",
         )
     )
+
+
+def label_centroid_cosines(
+    embeddings: DataFrame, label_col: str = "label", q: float = 10000.0
+) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    embedding-drift / cluster-separation screen (two labels whose
+    centroids collapse toward cosine 1 are not separable).
+
+    Mean-of-many-doubles is addition-order-sensitive, so the centroid is
+    computed in INTEGER space: each coordinate is quantized to BIGINT
+    (floor(v*q + 0.5)) at the row level, per-(label, dim) sums are exact
+    BIGINT hash aggregates off a posexplode (the columnar trick — never a
+    driver collect), and the pairwise cosine is ONE closed form over the
+    exact integer dot/norm moments (products cast to double before the
+    cross-dim sum would be wrong — they stay BIGINT; size q so
+    n_rows·(q·|v|)² per dim fits int64).
+
+    Returns (l1, l2, n1, n2, cos_c) for every unordered label pair.
+    """
+    cells = (
+        embeddings.select(
+            F.col(label_col).alias("l"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .groupBy("l", "dim")
+        .agg(
+            F.sum(F.floor(F.col("v") * F.lit(float(q)) + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        embeddings.groupBy(F.col(label_col).alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(F.col("l").alias("l1"), "dim", F.col("s").alias("s1"))
+    b = cells.select(F.col("l").alias("l2"), F.col("dim").alias("dim2"), F.col("s").alias("s2"))
+    pr = a.join(b, (F.col("dim") == F.col("dim2")) & (F.col("l1") < F.col("l2")))
+    mom = pr.groupBy("l1", "l2").agg(
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("sxy"),
+        F.sum(F.col("s1") * F.col("s1")).cast("long").alias("sxx"),
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("syy"),
+    )
+    n1 = counts.select(F.col("l").alias("l1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("l").alias("l2"), F.col("n").alias("n2"))
+    out = mom.join(F.broadcast(n1), "l1").join(F.broadcast(n2), "l2")
+    # centroid scale factors 1/n cancel in the cosine, so the integer
+    # SUM moments give the centroid cosine directly
+    cos = F.col("sxy").cast("double") / (
+        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
+    )
+    return out.select("l1", "l2", "n1", "n2", cos.alias("cos_c"))

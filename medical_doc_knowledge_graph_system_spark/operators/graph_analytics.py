@@ -1536,3 +1536,58 @@ def degree_discount_seeds(
             .localCheckpoint(eager=True)
         )
     return picks
+
+
+def count_4cliques(edges: DataFrame) -> DataFrame:
+    """Global 4-clique count over the undirected (a, b) edge list, by
+    degree-ordered orientation (Chiba-Nishizeki): orient every edge from
+    the lexicographically smaller (deg, name) endpoint, enumerate oriented
+    triangles (fan-out bounded by the SMALLER endpoint degree — the shape
+    that survives Zipf hubs), then extend each triangle (v, w, x) by the
+    apexes u with u→v, u→w, u→x. Every 4-clique is counted exactly once
+    (its orientation order is unique). Pure integer counting.
+
+    Returns one row: (n_edges, n_triangles, n_cliques4).
+    """
+    e0 = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    deg = (
+        _mirrored(e0)
+        .groupBy(F.col("x").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("dg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("dg").alias("db"))
+    ed = e0.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    eo = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"),
+    ).localCheckpoint(eager=True)
+    # oriented triangles u -> v -> w (u -> w closes the wedge)
+    w1 = eo.select(F.col("x").alias("u"), F.col("y").alias("v"))
+    w2 = eo.select(F.col("x").alias("v2"), F.col("y").alias("w"))
+    wedge = w1.join(w2, F.col("v") == F.col("v2")).select("u", "v", "w")
+    closer = eo.select(F.col("x").alias("u2"), F.col("y").alias("w2"))
+    tri = wedge.join(
+        closer, (F.col("u") == F.col("u2")) & (F.col("w") == F.col("w2"))
+    ).select("u", "v", "w")
+    n_tri = tri.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # extend: apex p with p -> u, p -> v, p -> w completes a 4-clique
+    j1 = tri.join(
+        eo.select(F.col("x").alias("p"), F.col("y").alias("tu")),
+        F.col("u") == F.col("tu"),
+    ).select("p", "u", "v", "w")
+    j2 = j1.join(
+        eo.select(F.col("x").alias("p2"), F.col("y").alias("tv")),
+        (F.col("p") == F.col("p2")) & (F.col("v") == F.col("tv")),
+    ).select("p", "u", "v", "w")
+    j3 = j2.join(
+        eo.select(F.col("x").alias("p3"), F.col("y").alias("tw")),
+        (F.col("p") == F.col("p3")) & (F.col("w") == F.col("tw")),
+    )
+    n_c4 = j3.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cliques4"))
+    n_e = e0.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_e.crossJoin(n_tri).crossJoin(n_c4)

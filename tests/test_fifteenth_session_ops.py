@@ -600,3 +600,94 @@ def test_topk_mips_matches_numpy(spark):
         assert [v for _, v, _ in rows] == order
         for rk, v, dotv in rows:
             assert abs(dotv - dots[v]) < 1e-4
+
+
+# ── count_4cliques ───────────────────────────────────────────────────────────
+
+
+def _py_count4(edges):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    tri = c4 = 0
+    for t in combinations(nodes, 3):
+        if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]:
+            tri += 1
+    for q in combinations(nodes, 4):
+        if all(y in adj[x] for x, y in combinations(q, 2)):
+            c4 += 1
+    return tri, c4
+
+
+def test_count4_known_graphs(spark):
+    from itertools import combinations
+
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        count_4cliques,
+    )
+
+    # K5 has C(5,3)=10 triangles and C(5,4)=5 four-cliques
+    k5 = list(combinations("abcde", 2))
+    df = spark.createDataFrame(k5, "a string, b string")
+    r = count_4cliques(df).collect()[0]
+    assert (r["n_edges"], r["n_triangles"], r["n_cliques4"]) == (10, 10, 5)
+
+
+def test_count4_matches_bruteforce_random(spark):
+    import random as _r
+
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        count_4cliques,
+    )
+
+    rng = _r.Random(53)
+    nodes = [f"n{i:02d}" for i in range(12)]
+    edges = sorted(
+        {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(45)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "a string, b string")
+    r = count_4cliques(df).collect()[0]
+    tri, c4 = _py_count4(edges)
+    assert (r["n_triangles"], r["n_cliques4"]) == (tri, c4)
+
+
+# ── label_centroid_cosines ───────────────────────────────────────────────────
+
+
+def test_centroid_cosines_match_numpy(spark):
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        label_centroid_cosines,
+    )
+
+    rng = np.random.RandomState(59)
+    rows = []
+    for lbl in range(3):
+        base = rng.randn(6)
+        for i in range(20):
+            v = base + rng.randn(6) * 0.1
+            rows.append((lbl, [float(round(x, 4)) for x in v]))
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {
+        (r["l1"], r["l2"]): r
+        for r in label_centroid_cosines(df, "label").collect()
+    }
+    cents = {}
+    for lbl in range(3):
+        vs = np.array([v for l, v in rows if l == lbl])
+        # mirror the integer quantization: centroid of quantized coords
+        cents[lbl] = np.floor(vs * 10000.0 + 0.5).sum(axis=0)
+    for (a, b), r in got.items():
+        ca, cb = cents[a], cents[b]
+        exp = ca @ cb / (np.sqrt(ca @ ca) * np.sqrt(cb @ cb))
+        assert abs(r["cos_c"] - exp) < 1e-9
+        assert r["n1"] == 20 and r["n2"] == 20
