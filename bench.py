@@ -200,6 +200,33 @@ HEADLINE = [
     "events_markov2",
     "text_colloc_chi2",
     "text_rake",
+    # fifteenth-session ops (stream gates excluded: their wall is staging)
+    "events_ks",
+    "events_kendall",
+    "events_spearman",
+    "events_kruskal",
+    "events_trimmed",
+    "events_mad",
+    "events_runs",
+    "events_groupsets",
+    "events_changepoint",
+    "events_phi",
+    "events_rank_fns",
+    "events_snaive",
+    "events_sax",
+    "events_intervals",
+    "events_peaks",
+    "events_realized_var",
+    "text_ari",
+    "text_textrank",
+    "text_lexical",
+    "text_keyness",
+    "kg_reciprocity",
+    "kg_scc",
+    "kg_influence",
+    "kg_cliques4",
+    "sim_mips",
+    "sim_centroids",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -327,8 +327,12 @@ def median_abs_deviation(
     """MAD per key group: positional median of |x - positional median(x)|.
     Both medians are positional (see _positional_median); the deviation
     |x - med| subtracts identical doubles, so every intermediate is
-    bit-identical cross-engine."""
-    med = _positional_median(df, keys, value_col, "med")
+    bit-identical cross-engine. The k-row median frame is pinned — the
+    deviation join AND the final readout both consume it (1 source scan
+    total instead of 3)."""
+    med = _positional_median(df, keys, value_col, "med").localCheckpoint(
+        eager=True
+    )
     dev = df.join(F.broadcast(med), keys).select(
         *keys,
         "med",

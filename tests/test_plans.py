@@ -371,6 +371,42 @@ def test_gate_query_scan_budget(spark):
         # (nation twice — two roles)
         ("tpch_forecast_revenue", 1),
         ("tpch_market_share", 8),
+        # fifteenth-session: KS roots everything (totals, the pair dim,
+        # both walk sides) in the pinned cells frame; kruskal likewise in
+        # its pinned cells; phi in the pinned presence cells; kendall's
+        # self-join reads the pinned daily frame; scc/influence/cliques4/
+        # textrank root in pinned edge/token frames (per-round
+        # checkpoints); centroids in the pinned per-dim sums + counts
+        ("events_ks", 0),
+        ("events_kruskal", 0),
+        ("events_phi", 0),
+        ("events_kendall", 0),
+        ("kg_scc", 0),
+        ("kg_influence", 0),
+        ("kg_cliques4", 0),
+        ("text_textrank", 0),
+        ("sim_centroids", 0),
+        # single-pass column pipelines: one corpus/event scan each
+        ("text_ari", 1),
+        ("text_lexical", 1),
+        ("events_trimmed", 1),
+        ("events_sax", 1),
+        ("events_intervals", 1),
+        ("events_rank_fns", 1),
+        ("events_peaks", 1),
+        ("events_realized_var", 1),
+        ("events_groupsets", 1),
+        # keyness pins tf; only the 2-row totals' build side re-derives
+        # from the pin (0 scans); snaive joins two branches of one
+        # un-pinned daily aggregate (2 scans BY DESIGN — pinning a
+        # 365-row frame saves nothing at 100 TB, decontam convention);
+        # mad/runs read the source twice (median frame + deviation side)
+        ("text_keyness", 0),
+        ("events_snaive", 2),
+        ("events_mad", 1),
+        ("events_runs", 0),
+        ("events_changepoint", 1),
+        ("sim_mips", 2),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
