@@ -957,3 +957,49 @@ def keyness_chi2(
             (F.col("chi2_q") / F.lit(1000.0)).alias("chi2"),
         )
     )
+
+
+def term_burstiness(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Term burstiness (Church & Gale): the Fano factor var/mean of a
+    term's per-document count, over ALL documents (zeros included) — a
+    bursty term (names, topics) clumps into few documents; a function
+    word spreads evenly (Fano ≈ dispersion 1). The content-word screen
+    that needs no stopword list.
+
+    With D docs, total t = Σc and sq = Σc² (exact BIGINTs over the
+    term's observed cells — zero cells contribute zero to both):
+    Fano = population-var/mean = (D·sq − t²) / (D·t), ONE floor-
+    quantized division of exact BIGINTs. Top-``k`` terms by document
+    frequency (df DESC, term ASC — an integer-deterministic selection).
+    """
+    toks = tokens_col(text_col)
+    n_docs = docs.count()
+    cells = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = cells.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    dd = F.lit(int(n_docs)).cast("long")
+    fano = (dd * F.col("sq") - F.col("total") * F.col("total")).cast(
+        "double"
+    ) / (dd * F.col("total")).cast("double")
+    return (
+        g.orderBy(F.desc("df"), F.asc("tok"))
+        .limit(int(k))
+        .select(
+            "tok",
+            "df",
+            "total",
+            (
+                F.floor(fano * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("fano"),
+        )
+    )

@@ -802,3 +802,74 @@ def label_centroid_cosines(
         F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
     )
     return out.select("l1", "l2", "n1", "n2", cos.alias("cos_c"))
+
+
+def knn_loo_accuracy(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    k: int = 5,
+    sample_mod: int = 17,
+) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy per label — the
+    label-agreement probe of embedding quality (an embedding whose
+    neighbors don't share labels won't drive semantic dedup either).
+    Queries are the deterministic vec_id % sample_mod == 0 sample (the
+    kg_closeness sampling convention: exact on the sample, SF-scaling);
+    each query's k nearest OTHER vectors vote, majority with
+    (count DESC, label ASC) tiebreak.
+
+    Ranking happens on the ×1e9-quantized BIGINT cosine (vec_id
+    tiebreak) so neighbor selection is engine-exact; accuracy is ONE
+    floor-quantized division.
+    """
+    qs = embeddings.where(
+        F.col("vec_id") % F.lit(int(sample_mod)) == 0
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col(label_col).alias("true_label"),
+    )
+    scored = embeddings.join(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sq = F.floor(
+        cosine_col(F.col("q_embedding"), F.col("embedding"))
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = scored.select(
+        "query_id", "true_label", F.col(label_col).alias("nbr_label"),
+        "vec_id", sq.alias("score_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("vec_id")
+    )
+    nbrs = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= int(k)
+    )
+    votes = nbrs.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("nbr_label")
+    )
+    pred = votes.withColumn("vr", F.row_number().over(wv)).where(
+        F.col("vr") == 1
+    )
+    g = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            F.when(F.col("nbr_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n_queries").cast("double")
+    return g.select(
+        "label",
+        "n_queries",
+        "n_correct",
+        (F.floor(acc * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "acc"
+        ),
+    )

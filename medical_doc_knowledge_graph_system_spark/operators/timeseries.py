@@ -499,3 +499,66 @@ def snaive_backtest(
             "mae"
         ),
     )
+
+
+def seasonal_indices(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal indices (the classical-decomposition seasonal
+    step): detrend by a CENTERED period-width moving average (edge rows
+    without a full window are dropped), then average the detrended values
+    per phase (order mod period).
+
+    Parity: the trend is a frame-bounded average of `period` exact
+    BIGINTs (order-free in a double — the ma7 precedent); the detrended
+    residual subtracts identical doubles; each residual is micro-
+    quantized (×1e6) to BIGINT BEFORE the per-phase mean (cross-row
+    double sums are addition-order-sensitive); the mean is two fixed
+    divisions, floor-quantized to 4dp on output.
+
+    Scale: one window sort per key + one hash aggregate. Output:
+    (keys..., phase, n_obs, seasonal).
+    """
+    half = int(period) // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-half, half)
+    )
+    v = F.col(value_col).cast("long")
+    m = df.select(
+        *keys,
+        F.col(order_col).alias("o"),
+        v.alias("y"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_w"),
+        F.sum(v).over(w).cast("long").alias("s_w"),
+    ).where(F.col("n_w") == int(period))
+    detr = F.col("y").cast("double") - F.col("s_w").cast("double") / F.lit(
+        float(period)
+    )
+    cells = m.select(
+        *keys,
+        F.pmod(F.col("o"), F.lit(int(period))).cast("long").alias("phase"),
+        F.floor(detr * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("dq"),
+    )
+    g = cells.groupBy(*keys, "phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("dq").cast("long").alias("sq"),
+    )
+    seasonal = (
+        F.col("sq").cast("double")
+        / F.col("n_obs").cast("double")
+        / F.lit(1000000.0)
+    )
+    return g.select(
+        *keys,
+        "phase",
+        "n_obs",
+        (
+            F.floor(seasonal * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+        ).alias("seasonal"),
+    )

@@ -691,3 +691,80 @@ def test_centroid_cosines_match_numpy(spark):
         exp = ca @ cb / (np.sqrt(ca @ ca) * np.sqrt(cb @ cb))
         assert abs(r["cos_c"] - exp) < 1e-9
         assert r["n1"] == 20 and r["n2"] == 20
+
+
+# ── seasonal_indices ─────────────────────────────────────────────────────────
+
+
+def test_seasonal_recovers_planted_dow_effect(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        seasonal_indices,
+    )
+
+    # flat level 100 + planted additive phase effect, 6 full weeks
+    effect = [0, 5, -3, 8, 0, -5, -5]
+    rows = [("g", d, 100 + effect[d % 7]) for d in range(42)]
+    df = spark.createDataFrame(rows, "k string, o int, v long")
+    out = {
+        r["phase"]: r for r in seasonal_indices(df, ["k"], "o", "v").collect()
+    }
+    # a strictly periodic series has a periodic MA too; indices recover
+    # the effect up to the (constant) weekly mean
+    mean_eff = sum(effect) / 7
+    for ph in range(7):
+        assert abs(out[ph]["seasonal"] - (effect[ph] - mean_eff)) < 0.01
+
+
+def test_seasonal_edges_dropped(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        seasonal_indices,
+    )
+
+    rows = [("g", d, d) for d in range(10)]
+    df = spark.createDataFrame(rows, "k string, o int, v long")
+    out = seasonal_indices(df, ["k"], "o", "v").collect()
+    # 10 points, centered 7-window full only for o in [3, 6] -> 4 cells
+    assert sum(r["n_obs"] for r in out) == 4
+
+
+# ── knn_loo_accuracy ─────────────────────────────────────────────────────────
+
+
+def test_knn_loo_perfect_clusters(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        knn_loo_accuracy,
+    )
+
+    # two tight orthogonal clusters -> LOO 5-NN is perfect
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [1.0, 0.001 * i, 0.0]))
+        rows.append((100 + i, 1, [0.0, 0.001 * i, 1.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r["label"]: r for r in knn_loo_accuracy(df, "label", k=5).collect()}
+    assert all(r["acc"] == 1.0 for r in out.values())
+    # sample: vec_id % 17 == 0 among 0..19 and 100..119
+    assert out[0]["n_queries"] == 2  # 0, 17
+    assert out[1]["n_queries"] == 2  # 102, 119
+
+
+# ── term_burstiness ──────────────────────────────────────────────────────────
+
+
+def test_burstiness_bursty_vs_uniform(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        term_burstiness,
+    )
+
+    # 'even' once per doc (Fano < 1: under-dispersed); 'burst' 5x in one doc
+    rows = [(i, "even " + ("burst " * 5 if i == 0 else "pad")) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["tok"]: r for r in term_burstiness(df, k=10).collect()}
+    d = 10
+    # even: c=1 in all 10 docs -> fano = (10*10 - 100)/(10*10) = 0
+    assert out["even"]["fano"] == 0.0
+    # burst: one doc c=5 -> (10*25 - 25)/(10*5) = 4.5
+    assert out["burst"]["fano"] == 4.5
+    assert out["even"]["df"] == 10 and out["burst"]["df"] == 1
