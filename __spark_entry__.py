@@ -6439,6 +6439,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_burstiness"] = text_burstiness
 
+    # U-shaped (40/20/40) position-based multi-touch attribution over
+    # converting (user, day) journeys: credit in exact integer
+    # micro-units (middles get 200000 div (n-2)); per-channel sums are
+    # order-free BIGINTs, the /1e6 at the end the only float.
+    def events_attrib_ushape(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.funnel import (
+            position_attribution,
+        )
+
+        g = position_attribution(_t(s, d, "events"))
+        return g.select(
+            "channel", "n_touches", F.round("credit", 4).alias("credit")
+        )
+
+    q["events_attrib_ushape"] = events_attrib_ushape
+
+    # Pareto concentration: the smallest top-spender prefix covering 80%
+    # of each type's revenue — pure integer threshold crossing
+    # (100·cum ≥ 80·total), order-invariant under spend ties. The
+    # who-carries-the-corpus concentration screen next to events_gini.
+    def events_pareto(s, d):
+        ev = _t(s, d, "events")
+        spend = ev.groupBy(
+            "event_type", "user_id"
+        ).agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        wt = Window.partitionBy("event_type")
+        wo = Window.partitionBy("event_type").orderBy(
+            F.desc("c"), F.asc("user_id")
+        )
+        m = spend.select(
+            "event_type",
+            "c",
+            F.row_number().over(wo).cast("long").alias("rn"),
+            F.sum("c")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long")
+            .alias("cum"),
+            F.sum("c").over(wt).cast("long").alias("total"),
+            F.count(F.lit(1)).over(wt).cast("long").alias("n_users"),
+        )
+        g = m.groupBy("event_type").agg(
+            F.max("n_users").cast("long").alias("n_users"),
+            F.max("total").cast("long").alias("total_c"),
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cum") >= F.lit(80) * F.col("total"),
+                    F.col("rn"),
+                )
+            )
+            .cast("long")
+            .alias("n_top80"),
+        )
+        share = F.col("n_top80").cast("double") / F.col("n_users").cast(
+            "double"
+        )
+        return g.select(
+            "event_type",
+            "n_users",
+            "total_c",
+            "n_top80",
+            (
+                F.floor(share * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("user_share80"),
+        )
+
+    q["events_pareto"] = events_pareto
+
+    # Code-vs-prose heuristic: regex census of code punctuation + digit
+    # density, weighted into an integer micro-unit score with an integer
+    # threshold — the curation router that keeps source code out of a
+    # prose corpus (and vice versa). No float comparison anywhere.
+    def text_code_detect(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            with_code_score,
+        )
+
+        return with_code_score(_t(s, d, "documents"))
+
+    q["text_code_detect"] = text_code_detect
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -11701,5 +11787,77 @@ SELECT tok, df, total,
        floor(CAST(d * sq - total * total AS DOUBLE)
              / CAST(d * total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS fano
 FROM g, dd ORDER BY df DESC, tok LIMIT 20"""
+
+    o["events_attrib_ushape"] = """
+WITH m AS (
+  SELECT event_type AS channel,
+         CAST(row_number() OVER wo AS BIGINT) AS rn,
+         CAST(count(*) OVER wj AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER wj AS BIGINT) AS n_conv
+  FROM events
+  WINDOW wj AS (PARTITION BY user_id, CAST(ts AS DATE)),
+         wo AS (PARTITION BY user_id, CAST(ts AS DATE)
+                ORDER BY ts, event_id)
+),
+c AS (
+  SELECT channel,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rn = 1 OR rn = n THEN 400000
+              ELSE 200000 // (n - 2) END AS credit_u
+  FROM m WHERE n_conv >= 1
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       round(CAST(sum(credit_u) AS BIGINT) / 1000000.0, 4) AS credit
+FROM c GROUP BY 1"""
+
+    o["events_pareto"] = """
+WITH spend AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, c,
+         CAST(row_number() OVER wo AS BIGINT) AS rn,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY c DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(c) OVER wt AS BIGINT) AS total,
+         CAST(count(*) OVER wt AS BIGINT) AS n_users
+  FROM spend
+  WINDOW wo AS (PARTITION BY event_type ORDER BY c DESC, user_id),
+         wt AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(max(n_users) AS BIGINT) AS n_users,
+       CAST(max(total) AS BIGINT) AS total_c,
+       CAST(min(CASE WHEN 100 * cum >= 80 * total THEN rn END) AS BIGINT)
+         AS n_top80,
+       floor(CAST(min(CASE WHEN 100 * cum >= 80 * total THEN rn END)
+                  AS DOUBLE) / CAST(max(n_users) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS user_share80
+FROM m GROUP BY 1"""
+
+    o["text_code_detect"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
+         CAST(len(regexp_extract_all(text, '[{}();=\\[\\]<>#]')) AS BIGINT)
+           AS n_sym,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM documents
+)
+SELECT doc_id, n_chars_ns, n_sym, n_digit,
+       CAST(floor((3.0 * (CAST(n_sym AS DOUBLE) / CAST(n_chars_ns AS DOUBLE))
+                   + 2.0 * (CAST(n_digit AS DOUBLE)
+                            / CAST(n_chars_ns AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS code_score_q,
+       CAST(floor((3.0 * (CAST(n_sym AS DOUBLE) / CAST(n_chars_ns AS DOUBLE))
+                   + 2.0 * (CAST(n_digit AS DOUBLE)
+                            / CAST(n_chars_ns AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) >= 150000 AS is_codelike
+FROM base WHERE n_chars_ns > 0"""
 
     return o

@@ -566,3 +566,50 @@ def with_gopher_rules(
         flag_stop.alias("flag_stop"),
         (flag_words & flag_len & flag_alpha & flag_symbol & flag_stop).alias("keep"),
     )
+
+
+def with_code_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose heuristic per document — the curation classifier that
+    routes source code out of a prose corpus. Signals are pure regex
+    census counts over the raw text (shared verbatim with the oracle):
+
+      sym_ratio   = code punctuation ({}();=[]<>#) / non-space chars
+      digit_ratio = digits / non-space chars
+
+    code_score = 1000000·(3·sym + 2·digit) in exact integer micro-units
+    via cross-multiplication-free quantization: each ratio is ONE double
+    division of exact BIGINTs, the weighted sum uses integer literal
+    weights, and is_code compares the floor-quantized score against the
+    integer threshold — no float comparison anywhere.
+    """
+    nonspace = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast(
+        "long"
+    )
+    syms = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit("[{}();=\\[\\]<>#]"), F.lit(0)
+        )
+    ).cast("long")
+    digits = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), F.lit(0))
+    ).cast("long")
+    base = df.select(
+        "doc_id",
+        nonspace.alias("n_chars_ns"),
+        syms.alias("n_sym"),
+        digits.alias("n_digit"),
+    ).where(F.col("n_chars_ns") > 0)
+    score = (
+        F.lit(3.0) * (F.col("n_sym").cast("double") / F.col("n_chars_ns").cast("double"))
+        + F.lit(2.0)
+        * (F.col("n_digit").cast("double") / F.col("n_chars_ns").cast("double"))
+    )
+    score_q = F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return base.select(
+        "doc_id",
+        "n_chars_ns",
+        "n_sym",
+        "n_digit",
+        score_q.alias("code_score_q"),
+        (score_q >= F.lit(150000)).alias("is_codelike"),
+    )

@@ -20,7 +20,7 @@ user key, so AQE reuses the exchange layout across steps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,4 +79,59 @@ def funnel(
         user_col,
         stage.cast("int").alias("stage"),
         *[f"t_{i}" for i in range(len(steps))],
+    )
+
+
+def position_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution: for
+    every converting (user, day) journey — the day contains at least one
+    `conversion` event — credit 0.4 to the first touch, 0.4 to the last,
+    and 0.2 split across the middles; single-touch journeys take 1.0,
+    two-touch 0.5/0.5.
+
+    Credit lives in exact integer micro-units: first/last get 400000,
+    each middle gets 200000 div (n−2) (truncating div == floor on
+    non-negative operands, both engines) — the per-channel sums are
+    order-free BIGINTs and the one /1e6 at the end is the only float.
+    Journey order is the deterministic (ts, event_id) total order.
+
+    Returns (channel, n_touches, credit) — credit unrounded.
+    """
+    day = F.to_date(ts_col)
+    wj = Window.partitionBy(user_col, day)
+    wo = wj.orderBy(ts_col, id_col)
+    m = df.select(
+        F.col(type_col).alias("channel"),
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wj).cast("long").alias("n"),
+        F.sum(F.when(F.col(type_col) == conversion, 1).otherwise(0))
+        .over(wj)
+        .cast("long")
+        .alias("n_conv"),
+    ).where(F.col("n_conv") >= 1)
+    credit_u = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400000))
+        .otherwise(F.expr("200000 div (n - 2)"))
+        .cast("long")
+    )
+    # n == 2 -> both rows are first-or-last at 400000: rescale to 500000
+    credit_u = F.when(F.col("n") == 2, F.lit(500000).cast("long")).otherwise(
+        credit_u
+    )
+    g = m.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(credit_u).cast("long").alias("credit_u"),
+    )
+    return g.select(
+        "channel",
+        "n_touches",
+        (F.col("credit_u") / F.lit(1000000.0)).alias("credit"),
     )

@@ -768,3 +768,92 @@ def test_burstiness_bursty_vs_uniform(spark):
     # burst: one doc c=5 -> (10*25 - 25)/(10*5) = 4.5
     assert out["burst"]["fano"] == 4.5
     assert out["even"]["df"] == 10 and out["burst"]["df"] == 1
+
+
+# ── position_attribution ─────────────────────────────────────────────────────
+
+
+def test_ushape_attribution_credit_conserved(spark):
+    import datetime as _dt
+
+    from medical_doc_knowledge_graph_system_spark.operators.funnel import (
+        position_attribution,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    # user 1: view, click, view, purchase (n=4): 0.4/0.2/0.4 split
+    for i, et in enumerate(["view", "click", "view", "purchase"]):
+        rows.append((i, t0 + _dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    # user 2: purchase only (n=1): full credit
+    rows.append((10, t0, 2, "purchase", 1.0, "{}"))
+    # user 3: view, purchase (n=2): 0.5 each
+    rows.append((20, t0, 3, "view", 1.0, "{}"))
+    rows.append((21, t0 + _dt.timedelta(minutes=1), 3, "purchase", 1.0, "{}"))
+    # user 4: views only, NO conversion -> excluded entirely
+    rows.append((30, t0, 4, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["channel"]: r for r in position_attribution(df).collect()}
+    # journey 1: view(first)=0.4, click(mid)=0.1, view(mid)=0.1, purchase(last)=0.4
+    # journey 2: purchase 1.0 ; journey 3: view 0.5, purchase 0.5
+    assert abs(out["view"]["credit"] - (0.4 + 0.1 + 0.5)) < 1e-6
+    assert abs(out["click"]["credit"] - 0.1) < 1e-6
+    assert abs(out["purchase"]["credit"] - (0.4 + 1.0 + 0.5)) < 1e-6
+    # total credit == number of converting journeys
+    assert abs(sum(r["credit"] for r in out.values()) - 3.0) < 1e-5
+    assert "4" not in out and out["view"]["n_touches"] == 3
+
+
+# ── with_code_score ──────────────────────────────────────────────────────────
+
+
+def test_code_score_separates_code_from_prose(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_code_score,
+    )
+
+    rows = [
+        (1, "def f(x): return {x: [1, 2]} # comment; y = x[0] < 3;"),
+        (2, "The quiet afternoon passed slowly as the rain continued."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_code_score(df).collect()}
+    assert out[1]["is_codelike"] and not out[2]["is_codelike"]
+    assert out[2]["n_sym"] == 0
+
+
+# ── events_pareto gate sanity ────────────────────────────────────────────────
+
+
+def test_pareto_concentrated_vs_uniform(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # reuse the gate logic on constructed spends via the oracle identity:
+    # one whale covering 80% -> n_top80 = 1
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE spend AS SELECT * FROM (VALUES"
+        " ('t', 1, 800), ('t', 2, 100), ('t', 3, 100))"
+        " s(event_type, user_id, c)"
+    )
+    r = con.execute(
+        """
+        WITH m AS (
+          SELECT event_type, c,
+                 row_number() OVER wo AS rn,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY c DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS total
+          FROM spend
+          WINDOW wo AS (PARTITION BY event_type ORDER BY c DESC, user_id)
+        )
+        SELECT min(CASE WHEN 100 * cum >= 80 * total THEN rn END) FROM m
+        """
+    ).fetchone()
+    assert r[0] == 1
