@@ -6525,6 +6525,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_code_detect"] = text_code_detect
 
+    # Weekly-frequency periodogram (one-frequency Goertzel): the
+    # day-of-week cycle detector. cos/sin live as repr()-literal doubles
+    # shared verbatim with the oracle (transcendentals are NOT correctly
+    # rounded cross-engine; literals are); products micro-quantized
+    # before the cross-row sums.
+    def events_periodogram(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+            periodogram_weekly,
+        )
+
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+        return periodogram_weekly(daily, ["event_type"], "day", "n_ev")
+
+    q["events_periodogram"] = events_periodogram
+
+    # Retrieval-quality eval: recall@5 and reciprocal rank of the IVF
+    # approximate search against the exact cosine top-5, per query — the
+    # ANN eval harness AS a gate query. recall is an exact rational;
+    # rr = 1000000 div approx_rank (0 when the exact top-1 is missed).
+    def sim_recall_eval(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+            topk_cosine,
+            topk_cosine_ivf,
+        )
+
+        emb = _dbl_emb(_t(s, d, "embeddings"))
+        qs = _queries_dim(s, d)
+        exact = topk_cosine(emb, qs, k=5).select(
+            "query_id", "vec_id", F.col("rank").alias("ex_rank")
+        )
+        approx = topk_cosine_ivf(emb, qs, k=5, n_cells=16).select(
+            "query_id", "vec_id", F.col("rank").alias("ap_rank")
+        )
+        j = exact.join(approx, ["query_id", "vec_id"], "left")
+        g = j.groupBy("query_id").agg(
+            F.sum(F.when(F.col("ap_rank").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.max(
+                F.when(F.col("ex_rank") == 1, F.coalesce("ap_rank", F.lit(0)))
+            )
+            .cast("long")
+            .alias("top1_ap_rank"),
+        )
+        rr = F.when(
+            F.col("top1_ap_rank") > 0,
+            F.expr("1000000 div top1_ap_rank"),
+        ).otherwise(F.lit(0)).cast("long")
+        return g.select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall5"),
+            (rr / F.lit(1000000.0)).alias("rr"),
+        )
+
+    q["sim_recall_eval"] = sim_recall_eval
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -11859,5 +11920,103 @@ SELECT doc_id, n_chars_ns, n_sym, n_digit,
                             / CAST(n_chars_ns AS DOUBLE)))
                   * 1000000.0 + 0.5) AS BIGINT) >= 150000 AS is_codelike
 FROM base WHERE n_chars_ns > 0"""
+
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        P7_COS,
+        P7_SIN,
+    )
+
+    _c_case = "CASE CAST(day % 7 AS INT) " + " ".join(
+        f"WHEN {k} THEN {P7_COS[k]}" for k in range(7)
+    ) + " ELSE 0.0 END"
+    _s_case = "CASE CAST(day % 7 AS INT) " + " ".join(
+        f"WHEN {k} THEN {P7_SIN[k]}" for k in range(7)
+    ) + " ELSE 0.0 END"
+    o["events_periodogram"] = f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CAST(n_ev AS DOUBLE) * ({_c_case})
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS a_q,
+         CAST(sum(CAST(floor(CAST(n_ev AS DOUBLE) * ({_s_case})
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS b_q
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n, a_q, b_q,
+       floor(((a_q / 1000000.0) * (a_q / 1000000.0)
+              + (b_q / 1000000.0) * (b_q / 1000000.0)) / CAST(n AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS p7
+FROM g"""
+
+    o["sim_recall_eval"] = f"""
+WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_embedding FROM e
+      WHERE vec_id < 5),
+ex_scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos("q.q_embedding", "e.embedding")}, 4) AS score
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, vec_id, ex_rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS ex_rank
+    FROM ex_scored
+  ) WHERE ex_rank <= 5
+),
+cents AS (SELECT vec_id AS cell, embedding AS c_emb FROM e
+          ORDER BY vec_id LIMIT 16),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, cents.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round({_cos("e.embedding", "cents.c_emb")}, 6) DESC,
+                     cents.cell ASC) AS rn
+  FROM e, cents
+),
+assigned AS (SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+q2 AS (
+  SELECT a.vec_id AS query_id, a.embedding AS q_embedding, a.cell AS q_cell
+  FROM assigned a WHERE a.vec_id < 5
+),
+ap_scored AS (
+  SELECT q2.query_id, a.vec_id,
+         round({_cos("q2.q_embedding", "a.embedding")}, 4) AS score
+  FROM assigned a JOIN q2 ON a.cell = q2.q_cell
+  WHERE a.vec_id <> q2.query_id
+),
+approx AS (
+  SELECT query_id, vec_id, ap_rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS ap_rank
+    FROM ap_scored
+  ) WHERE ap_rank <= 5
+),
+j AS (
+  SELECT exact.query_id, exact.ex_rank, approx.ap_rank
+  FROM exact LEFT JOIN approx
+    ON exact.query_id = approx.query_id AND exact.vec_id = approx.vec_id
+),
+g AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN ap_rank IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(max(CASE WHEN ex_rank = 1 THEN coalesce(ap_rank, 0) END)
+              AS BIGINT) AS top1_ap_rank
+  FROM j GROUP BY 1
+)
+SELECT query_id, n_hits,
+       CAST(n_hits AS DOUBLE) / 5.0 AS recall5,
+       (CASE WHEN top1_ap_rank > 0 THEN 1000000 // top1_ap_rank
+             ELSE 0 END) / 1000000.0 AS rr
+FROM g"""
 
     return o

@@ -562,3 +562,64 @@ def seasonal_indices(
             F.floor(seasonal * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
         ).alias("seasonal"),
     )
+
+
+#: repr() round-trips doubles exactly, so these literal strings parse to
+#: the identical IEEE double on Spark AND DuckDB (the BENFORD_P convention)
+#: — the trig table for the weekly-frequency periodogram. cos/sin
+#: themselves are NOT correctly-rounded cross-engine; literals are.
+import math as _math  # noqa: E402
+
+P7_COS = {k: repr(_math.cos(2.0 * _math.pi * k / 7.0)) for k in range(7)}
+P7_SIN = {k: repr(_math.sin(2.0 * _math.pi * k / 7.0)) for k in range(7)}
+
+
+def periodogram_weekly(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single-frequency periodogram power at the weekly (period-7)
+    frequency — the 'is there a day-of-week cycle' detector (the Goertzel
+    shape: one pass, no FFT). a = Σ y·cos(2πd/7), b = Σ y·sin(2πd/7),
+    P = (a² + b²)/n.
+
+    Parity: the 7 cos/sin values are repr()-literal doubles (see P7_COS —
+    transcendentals are not correctly rounded cross-engine, literals
+    are); each product y·c is quantized to BIGINT micro-units BEFORE the
+    cross-row sum; the power is one fixed-order closed form,
+    floor-quantized to 4dp.
+    """
+    ph = F.pmod(F.col(order_col), F.lit(7)).cast("int")
+    y = F.col(value_col).cast("long").cast("double")
+
+    def _lit_case(table: dict[int, str]) -> F.Column:
+        c = F.when(ph == 0, F.lit(float(table[0])))
+        for k in range(1, 7):
+            c = c.when(ph == k, F.lit(float(table[k])))
+        return c.otherwise(F.lit(0.0))
+
+    aq = F.floor(y * _lit_case(P7_COS) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    bq = F.floor(y * _lit_case(P7_SIN) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(aq).cast("long").alias("a_q"),
+        F.sum(bq).cast("long").alias("b_q"),
+    )
+    a = F.col("a_q").cast("double") / F.lit(1000000.0)
+    b = F.col("b_q").cast("double") / F.lit(1000000.0)
+    p = (a * a + b * b) / F.col("n").cast("double")
+    return g.select(
+        *keys,
+        "n",
+        "a_q",
+        "b_q",
+        (F.floor(p * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "p7"
+        ),
+    )

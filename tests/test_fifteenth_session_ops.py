@@ -857,3 +857,50 @@ def test_pareto_concentrated_vs_uniform(spark):
         """
     ).fetchone()
     assert r[0] == 1
+
+
+# ── periodogram_weekly ───────────────────────────────────────────────────────
+
+
+def test_periodogram_detects_weekly_cycle(spark):
+    import math as _m
+
+    from medical_doc_knowledge_graph_system_spark.operators.timeseries import (
+        periodogram_weekly,
+    )
+
+    # 8 full weeks: planted cos cycle vs flat series
+    rows = []
+    for d in range(56):
+        rows.append(("cyc", d, 100 + round(50 * _m.cos(2 * _m.pi * d / 7))))
+        rows.append(("flat", d, 100))
+    df = spark.createDataFrame(rows, "k string, o int, v long")
+    out = {r["k"]: r for r in periodogram_weekly(df, ["k"], "o", "v").collect()}
+    assert out["cyc"]["p7"] > 100 * out["flat"]["p7"] or out["flat"]["p7"] < 1.0
+    # analytic check: a ≈ sum over d of y_d cos(2πd/7)
+    a = sum(
+        (100 + round(50 * _m.cos(2 * _m.pi * d / 7)))
+        * _m.cos(2 * _m.pi * (d % 7) / 7)
+        for d in range(56)
+    )
+    b = sum(
+        (100 + round(50 * _m.cos(2 * _m.pi * d / 7)))
+        * _m.sin(2 * _m.pi * (d % 7) / 7)
+        for d in range(56)
+    )
+    exp = (a * a + b * b) / 56
+    assert abs(out["cyc"]["p7"] - exp) < 0.05
+
+
+# ── sim_recall_eval gate behavior ────────────────────────────────────────────
+
+
+def test_recall_eval_bounds(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["sim_recall_eval"](spark, SF001).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall5"] - r["n_hits"] / 5) < 1e-12
+        assert 0.0 <= r["rr"] <= 1.0
