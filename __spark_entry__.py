@@ -6586,6 +6586,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_recall_eval"] = sim_recall_eval
 
+    # Mann-Whitney rank-sum U + tie-corrected z for every event-type
+    # pair over value cents — the significance twin of events_ks.
+    # Pooled mid-ranks as exact 2×BIGINTs off distinct-value cells;
+    # U doubled to stay integral; z one closed form under sqrt.
+    def events_mannwhitney(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            mann_whitney_pairs,
+        )
+
+        ev = _t(s, d, "events")
+        ev2 = ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        g = mann_whitney_pairs(ev2, "event_type", "cents")
+        return g.select(
+            F.col("g1").alias("t1"),
+            F.col("g2").alias("t2"),
+            "n1",
+            "n2",
+            "u2",
+            (
+                F.floor(F.col("z_u") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("z_u"),
+        )
+
+    q["events_mannwhitney"] = events_mannwhitney
+
+    # UNPIVOT surface (the inverse of events_pivot): pivot the daily
+    # census wide over the 5 known types, then melt it back with the
+    # native unpivot operator — round-trip over the wide/long boundary
+    # every BI export crosses. Pure integer cells.
+    def events_unpivot(s, d):
+        types = ["click", "error", "purchase", "signup", "view"]
+        ev = _t(s, d, "events")
+        daily = ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+        ).pivot("event_type", types).agg(
+            F.count(F.lit(1)).cast("long")
+        )
+        wide = daily.select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+        )
+        return wide.unpivot(["day"], types, "event_type", "n")
+
+    q["events_unpivot"] = events_unpivot
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -12018,5 +12069,61 @@ SELECT query_id, n_hits,
        (CASE WHEN top1_ap_rank > 0 THEN 1000000 // top1_ap_rank
              ELSE 0 END) / 1000000.0 AS rr
 FROM g"""
+
+    o["events_mannwhitney"] = """
+WITH cells AS MATERIALIZED (
+  SELECT event_type AS g, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+pairs AS (
+  SELECT a.g AS g1, a.n AS n1, b.g AS g2, b.n AS n2
+  FROM totals a JOIN totals b ON a.g < b.g
+),
+merged AS (
+  SELECT p.g1, p.g2, p.n1, p.n2, c.v,
+         CAST(sum(CASE WHEN c.g = p.g1 THEN c.c ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(c.c) AS BIGINT) AS t
+  FROM pairs p JOIN cells c ON c.g = p.g1 OR c.g = p.g2
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT g1, g2, n1, n2, d1, t,
+         CAST(2 * sum(t) OVER w - t + 1 AS BIGINT) AS r2
+  FROM merged
+  WINDOW w AS (PARTITION BY g1, g2 ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT g1, g2, n1, n2,
+         CAST(sum(d1 * r2) AS BIGINT) AS s2_1,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM ranked GROUP BY 1, 2, 3, 4
+)
+SELECT g1 AS t1, g2 AS t2, n1, n2,
+       CAST(s2_1 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       floor(CAST((s2_1 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE)
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                * (CAST((n1 + n2) + 1 AS DOUBLE)
+                   - CAST(tie3 AS DOUBLE)
+                     / CAST((n1 + n2) * ((n1 + n2) - 1) AS DOUBLE))))
+             * 10000.0 + 0.5) / 10000.0 AS z_u
+FROM g"""
+
+    o["events_unpivot"] = """
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+            AS event_type)
+SELECT days.day, types.event_type,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+FROM days CROSS JOIN types
+LEFT JOIN daily ON daily.day = days.day
+              AND daily.event_type = types.event_type"""
 
     return o

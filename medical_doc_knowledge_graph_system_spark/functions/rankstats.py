@@ -476,3 +476,84 @@ def phi_pairs(df: DataFrame, group_col: str, unit_col: str) -> DataFrame:
         n00.alias("n00"),
         F.when(ok, num / den).otherwise(F.lit(0.0)).alias("phi"),
     )
+
+
+def mann_whitney_pairs(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Whitney rank-sum U (with tie-corrected normal z) for every
+    unordered pair of groups over an INTEGER-quantized value column — the
+    distribution-shift significance twin of ks_2samp_pairs.
+
+    Rank arithmetic on distinct-value CELLS (the kruskal_wallis shape):
+    pooled mid-ranks carried as 2*avg_rank (exact BIGINT), the rank sum
+    S2₁ = Σ d1·r2 exact, U doubled to stay integral (U2 = S2₁ − n1(n1+1),
+    mean 2U = 2·n1n2/2 = n1n2), and
+
+        z = (U2 − n1·n2) / (2·sqrt(n1n2/12·((n+1) − Σ(t³−t)/(n(n−1)))))
+
+    one closed form under the bit-exact sqrt. Returns
+    (g1, g2, n1, n2, u2, z_u).
+    """
+    v = F.col(value_col).cast("long")
+    cells = (
+        df.groupBy(F.col(group_col).alias("g"), v.alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    pairs = totals.select(
+        F.col("g").alias("g1"), F.col("n").alias("n1")
+    ).join(
+        totals.select(F.col("g").alias("g2"), F.col("n").alias("n2")),
+        F.col("g1") < F.col("g2"),
+    )
+    sided = pairs.join(
+        cells, (cells["g"] == pairs["g1"]) | (cells["g"] == pairs["g2"])
+    ).select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        "v",
+        F.when(F.col("g") == F.col("g1"), F.col("c"))
+        .otherwise(F.lit(0))
+        .alias("c1"),
+        F.col("c").alias("ct"),
+    )
+    merged = sided.groupBy("g1", "g2", "n1", "n2", "v").agg(
+        F.sum("c1").cast("long").alias("d1"),
+        F.sum("ct").cast("long").alias("t"),
+    )
+    w = (
+        Window.partitionBy("g1", "g2")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = merged.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        "d1",
+        "t",
+        (F.lit(2) * F.sum("t").over(w) - F.col("t") + F.lit(1))
+        .cast("long")
+        .alias("r2"),
+    )
+    g = ranked.groupBy("g1", "g2", "n1", "n2").agg(
+        F.sum(F.col("d1") * F.col("r2")).cast("long").alias("s2_1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast("long")
+    u2 = (F.col("s2_1") - F.col("n1") * (F.col("n1") + F.lit(1))).cast("long")
+    var = (F.col("n1") * F.col("n2")).cast("double") / F.lit(12.0) * (
+        (n + F.lit(1)).cast("double")
+        - F.col("tie3").cast("double") / (n * (n - F.lit(1))).cast("double")
+    )
+    z = (u2 - F.col("n1") * F.col("n2")).cast("double") / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    return g.select("g1", "g2", "n1", "n2", u2.alias("u2"), z.alias("z_u"))

@@ -389,3 +389,62 @@ def test_ks_gate_single_scan(spark):
     plan = physical_plan_string(df)
     # cells frame is pinned; the pair fan-out must not rescan the parquet
     assert plan.count("Scan parquet") == 0
+
+
+# ── mann_whitney_pairs ───────────────────────────────────────────────────────
+
+
+def _py_mwu(a, b):
+    pooled = sorted(a + b)
+    ranks = _mid_ranks(pooled)
+    rank_of = {}
+    # recompute mid-ranks by value
+    from collections import Counter, defaultdict
+
+    by_val = defaultdict(list)
+    for i, v in enumerate(pooled):
+        by_val[v].append(ranks[i])
+    rank_of = {v: sum(rs) / len(rs) for v, rs in by_val.items()}
+    r1 = sum(rank_of[v] for v in a)
+    n1, n2 = len(a), len(b)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    ties = sum(
+        t**3 - t for t in Counter(pooled).values()
+    )
+    var = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    return 2 * u1, z
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    rng = random.Random(61)
+    a = [rng.randrange(0, 40) for _ in range(30)]
+    b = [rng.randrange(10, 50) for _ in range(25)]
+
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        mann_whitney_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    r = mann_whitney_pairs(df, "g", "v").collect()[0]
+    u2, z = _py_mwu(a, b)
+    assert r["u2"] == u2
+    assert abs(r["z_u"] - z) < 1e-12
+
+
+def test_mann_whitney_shifted_distribution_significant(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        mann_whitney_pairs,
+    )
+
+    a = list(range(0, 50))
+    b = list(range(100, 150))  # fully separated -> extreme z
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    r = mann_whitney_pairs(df, "g", "v").collect()[0]
+    assert r["u2"] == 0  # group a never wins
+    assert r["z_u"] < -5
