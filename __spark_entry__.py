@@ -6637,6 +6637,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_unpivot"] = events_unpivot
 
+    # Difference-in-differences: the 2×2 (cohort × period) causal panel
+    # estimate per event type — DiD = (T₂−T₁) − (C₂−C₁) over group-mean
+    # revenue. Cell sums exact BIGINT cents; each mean ONE division in
+    # identical operand order; the estimate a fixed-order combination.
+    def events_did(s, d):
+        ev = _t(s, d, "events")
+        cells = ev.groupBy(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")) >= 15
+            ).alias("post"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        m = F.col("s").cast("double") / F.col("n").cast("double")
+        cell = (
+            F.when(F.col("treated") & F.col("post"), F.lit("t2"))
+            .when(F.col("treated"), F.lit("t1"))
+            .when(F.col("post"), F.lit("c2"))
+            .otherwise(F.lit("c1"))
+        )
+        wide = (
+            cells.select("event_type", cell.alias("cell"), m.alias("m"))
+            .groupBy("event_type")
+            .pivot("cell", ["t1", "t2", "c1", "c2"])
+            .agg(F.max("m"))
+        )
+        did = (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
+        return wide.select(
+            "event_type",
+            *[
+                (
+                    F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5))
+                    / F.lit(10000.0)
+                ).alias(c)
+                for c in ["t1", "t2", "c1", "c2"]
+            ],
+            (
+                F.floor(did * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("did"),
+        )
+
+    q["events_did"] = events_did
+
+    # CUPED variance reduction (Deng 2013): θ = cov(X,Y)/var(X) from the
+    # pre/post per-user spend panel, and the achievable variance cut
+    # ρ² = cov²/(var·var). Per-user sums exact BIGINT cents; the five
+    # Pearson moments cast to double once and combined in identical
+    # operand order; outputs floor-quantized.
+    def events_cuped(s, d):
+        ev = _t(s, d, "events")
+        cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        per_user = ev.groupBy("event_type", "user_id").agg(
+            F.sum(
+                F.when(
+                    F.datediff(F.to_date("ts"), F.lit("2024-01-01")) < 15,
+                    cents,
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.datediff(F.to_date("ts"), F.lit("2024-01-01")) >= 15,
+                    cents,
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        g = per_user.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        nd = F.col("n").cast("double")
+        cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sx").cast("double")
+        vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        theta = cov / vx
+        rho2 = (cov * cov) / (vx * vy)
+        q4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+            10000.0
+        )
+        return g.select(
+            "event_type",
+            "n",
+            q4(theta).alias("theta"),
+            q4(rho2).alias("var_reduction"),
+        )
+
+    q["events_cuped"] = events_cuped
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -12125,5 +12235,77 @@ SELECT days.day, types.event_type,
 FROM days CROSS JOIN types
 LEFT JOIN daily ON daily.day = days.day
               AND daily.event_type = types.event_type"""
+
+    o["events_did"] = """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 AND
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+              THEN 't2'
+              WHEN user_id % 2 = 0 THEN 't1'
+              WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+              THEN 'c2'
+              ELSE 'c1' END AS cell,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN cell = 't1' THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             END) AS t1,
+         max(CASE WHEN cell = 't2' THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             END) AS t2,
+         max(CASE WHEN cell = 'c1' THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             END) AS c1,
+         max(CASE WHEN cell = 'c2' THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             END) AS c2
+  FROM cells GROUP BY 1
+)
+SELECT event_type,
+       floor(t1 * 10000.0 + 0.5) / 10000.0 AS t1,
+       floor(t2 * 10000.0 + 0.5) / 10000.0 AS t2,
+       floor(c1 * 10000.0 + 0.5) / 10000.0 AS c1,
+       floor(c2 * 10000.0 + 0.5) / 10000.0 AS c2,
+       floor(((t2 - t1) - (c2 - c1)) * 10000.0 + 0.5) / 10000.0 AS did
+FROM wide"""
+
+    o["events_cuped"] = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) < 15
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) >= 15
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY 1
+)
+SELECT event_type, n,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS theta,
+       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 10000.0 + 0.5) / 10000.0 AS var_reduction
+FROM g"""
 
     return o

@@ -227,6 +227,8 @@ HEADLINE = [
     "kg_cliques4",
     "sim_mips",
     "sim_centroids",
+    "events_did",
+    "events_cuped",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

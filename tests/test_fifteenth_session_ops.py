@@ -904,3 +904,83 @@ def test_recall_eval_bounds(spark):
         assert 0 <= r["n_hits"] <= 5
         assert abs(r["recall5"] - r["n_hits"] / 5) < 1e-12
         assert 0.0 <= r["rr"] <= 1.0
+
+
+# ── events_did / events_cuped (gate-logic known answers) ─────────────────────
+
+
+def test_did_planted_treatment_effect(spark):
+    import datetime as _dt
+
+    import __spark_entry__ as entry
+
+    # build a tiny parquet table with a planted +10.00 DiD effect
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in [1, 20]:  # pre (day 1) and post (day 20)
+        for uid in [0, 1]:  # uid 0 treated (even), uid 1 control
+            # control trend: +5 post; treated: +5 trend +10 effect
+            v = 100.0 + (5.0 if day >= 15 else 0.0)
+            if uid % 2 == 0 and day >= 15:
+                v += 10.0
+            rows.append(
+                (eid, base + _dt.timedelta(days=day), uid, "view", v, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, shutil, os
+
+    d = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = entry.queries()["events_did"](spark, d).collect()[0]
+        # means are in cents: +10.00 effect == 1000 cent-units
+        assert abs(out["did"] - 1000.0) < 1e-6
+        assert abs((out["c2"] - out["c1"]) - 500.0) < 1e-6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cuped_theta_matches_numpy(spark):
+    import numpy as np
+    import datetime as _dt
+    import tempfile, shutil, os
+
+    import __spark_entry__ as entry
+
+    rng = np.random.RandomState(67)
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    xs, ys = {}, {}
+    for uid in range(30):
+        x = float(rng.randint(50, 150))
+        y = 2.0 * x + float(rng.randint(0, 50))
+        xs[uid], ys[uid] = x, y
+        rows.append((eid, base + _dt.timedelta(days=2), uid, "view", x, "{}"))
+        eid += 1
+        rows.append((eid, base + _dt.timedelta(days=20), uid, "view", y, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = entry.queries()["events_cuped"](spark, d).collect()[0]
+        xv = np.array([xs[u] * 100 for u in range(30)])
+        yv = np.array([ys[u] * 100 for u in range(30)])
+        theta = np.cov(xv, yv, bias=True)[0, 1] / np.var(xv)
+        rho2 = np.corrcoef(xv, yv)[0, 1] ** 2
+        assert abs(out["theta"] - theta) < 1e-3
+        assert abs(out["var_reduction"] - rho2) < 1e-3
+        assert out["n"] == 30
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
