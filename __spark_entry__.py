@@ -6747,6 +6747,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cuped"] = events_cuped
 
+    # Streaming diff-in-diff: the 2×2 panel's (n, Σcents) cells as a
+    # NATIVE update-mode streaming aggregation (non-negative cents ⇒
+    # both moments monotone; drained per-cell max == final cell), folded
+    # into the same closed form. Oracle shared verbatim with events_did.
+    def stream_did(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_did_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "event_type",
+                (F.col("user_id") % 2 == 0).alias("treated"),
+                (
+                    F.datediff(F.to_date("ts"), F.lit("2024-01-01")) >= 15
+                ).alias("post"),
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                "event_id",
+            )
+            ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema(
+                    "event_type string, treated boolean, post boolean,"
+                    " cents long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            cells = stream.groupBy("event_type", "treated", "post").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                cells.writeStream.format("memory")
+                .queryName(f"sdid_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        drained = (
+            s.table(f"sdid_{tag}")
+            .groupBy("event_type", "treated", "post")
+            .agg(
+                F.max("n").cast("long").alias("n"),
+                F.max("s").cast("long").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = F.col("s").cast("double") / F.col("n").cast("double")
+        cell = (
+            F.when(F.col("treated") & F.col("post"), F.lit("t2"))
+            .when(F.col("treated"), F.lit("t1"))
+            .when(F.col("post"), F.lit("c2"))
+            .otherwise(F.lit("c1"))
+        )
+        wide = (
+            drained.select("event_type", cell.alias("cell"), m.alias("m"))
+            .groupBy("event_type")
+            .pivot("cell", ["t1", "t2", "c1", "c2"])
+            .agg(F.max("m"))
+        )
+        did = (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
+        return wide.select(
+            "event_type",
+            *[
+                (
+                    F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5))
+                    / F.lit(10000.0)
+                ).alias(c)
+                for c in ["t1", "t2", "c1", "c2"]
+            ],
+            (
+                F.floor(did * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("did"),
+        )
+
+    q["stream_did"] = stream_did
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -12307,5 +12400,7 @@ SELECT event_type, n,
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              * 10000.0 + 0.5) / 10000.0 AS var_reduction
 FROM g"""
+
+    o["stream_did"] = o["events_did"]
 
     return o
