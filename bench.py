@@ -229,6 +229,18 @@ HEADLINE = [
     "sim_centroids",
     "events_did",
     "events_cuped",
+    "events_ar2",
+    "events_ljungbox",
+    "events_vratio",
+    "events_haar",
+    "events_matrix_profile",
+    "events_isotonic",
+    "events_bootstrap_ci",
+    "events_permtest",
+    "text_yule_k",
+    "text_msttr",
+    "dedup_lcs_run",
+    "dedup_cdc",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -15,7 +15,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textfns import tokens_col
@@ -633,4 +633,131 @@ def chunk_dedup(
         (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
         .cast("long")
         .alias("n_dropped"),
+    )
+
+
+def lcs_run_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    min_shared: int = 3,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Longest common token SUBSTRING between every blocked candidate pair —
+    the boilerplate-vs-true-duplicate discriminator: near-dup docs share a
+    long contiguous run, template docs share many scattered shingles.
+
+    Method: candidate pairs from shingle_overlap_edges (same rare-shingle
+    blocking as the Jaccard verify path — never all-pairs); for each pair,
+    the POSITIONAL n-gram matches (p in a, q in b with equal grams) lie on
+    diagonals d = p - q, and a maximal run of consecutive p on one diagonal
+    of length L is a common substring of L + n - 1 tokens. Runs via
+    gaps-and-islands (p - row_number per (pair, d)), max over the pair.
+
+    Scale shape: the positional-gram explode is one corpus scan; the match
+    join fans out only over blocked pairs x shared grams (bucket-capped by
+    the rare filter upstream). No global window — islands partition by
+    (pair, diagonal). Output: (a, b, lcs_tokens).
+    """
+    pairs = shingle_overlap_edges(
+        df, text_col, min_shared=min_shared, max_shingle_df=max_shingle_df
+    ).localCheckpoint(eager=True)
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # both join legs (la, lb) read this frame — pin it or the corpus
+    # scan + gram explode runs twice (CLAUDE.md late-r2 ReusedExchange)
+    pos = df.select(
+        "doc_id", F.posexplode(grams).alias("p", "g")
+    ).localCheckpoint(eager=True)
+    la = pos.select(F.col("doc_id").alias("a"), F.col("p").alias("pa"), "g")
+    lb = pos.select(F.col("doc_id").alias("b"), F.col("p").alias("pb"), "g")
+    m = (
+        pairs.join(la, "a")
+        .join(lb, ["b", "g"])
+        .select("a", "b", (F.col("pa") - F.col("pb")).alias("d"), "pa")
+        .distinct()
+    )
+    w = Window.partitionBy("a", "b", "d").orderBy("pa")
+    isl = m.select(
+        "a", "b", "d", (F.col("pa") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("a", "b", "d", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run")
+    )
+    return runs.groupBy("a", "b").agg(
+        (F.max("run") + F.lit(n - 1)).cast("long").alias("lcs_tokens")
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    mask_mod: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC-style) shared-segment detection:
+    cut each document's token stream AFTER position p whenever the hash of
+    the trailing `window`-token gram is 0 mod mask_mod (expected chunk
+    length = mask_mod tokens), hash each variable-length chunk, and report
+    chunks whose content appears in >= min_docs distinct documents.
+
+    Unlike fixed-window chunk_dedup, CDC boundaries are content-anchored:
+    inserting a token near a document's head shifts every fixed window but
+    leaves all later CDC cut points intact — the property that makes
+    dedup-by-chunk-hash survive edits at 100 TB.
+
+    Scale shape: one scan, one per-doc bounded cumulative window to number
+    chunks, one collect_list per (doc, chunk) reassembled via array_sort
+    (never a window sort), one count per chunk hash. Output:
+    (chunk_md5, n_docs, n_occurrences).
+    """
+    toks = tokens_col(text_col)
+    pt = df.select("doc_id", F.posexplode(toks).alias("p", "t"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    gram = F.concat_ws(
+        " ", F.lag("t", 2).over(w), F.lag("t", 1).over(w), F.col("t")
+    )
+    bnd = F.when(
+        (F.col("p") >= window - 1)
+        & (
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+            % mask_mod
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = pt.select("doc_id", "p", "t", bnd.alias("__b"))
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = marked.select(
+        "doc_id",
+        "p",
+        "t",
+        F.coalesce(F.sum("__b").over(wprev), F.lit(0))
+        .cast("long")
+        .alias("__chunk"),
+    )
+    ch = chunked.groupBy("doc_id", "__chunk").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "t"))),
+                    lambda x: x["t"],
+                ),
+                " ",
+            )
+        ).alias("chunk_md5")
+    )
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
     )

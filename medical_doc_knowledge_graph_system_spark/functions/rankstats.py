@@ -557,3 +557,151 @@ def mann_whitney_pairs(
         F.lit(2.0) * F.sqrt(var)
     )
     return g.select("g1", "g2", "n1", "n2", u2.alias("u2"), z.alias("z_u"))
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 32,
+) -> DataFrame:
+    """Deterministic MULTIPLIER bootstrap CI for the per-key mean: replicate
+    r draws integer weight w in {0, 1, 2} per row from md5(id || ':' || r)
+    (P(0) = P(2) = 1/4, P(1) = 1/2 — mean 1, so each replicate is an
+    unbiased resample), replicate mean = sum(w*x)/sum(w), and the interval
+    is the POSITIONAL [1st, b-th] order statistic of the b replicate means
+    (the ceil(0.025 b)/ceil(0.975 b) percentile ranks at b = 32).
+
+    Exactness: weights are integers, both replicate-mean operands are exact
+    BIGINT sums, so each mean is ONE division — bit-identical cross-engine —
+    and min/max over bit-identical doubles is engine-independent (the
+    events_theilsen positional-statistic argument).
+
+    Scale shape: ONE scan exploded x b (row-local, no shuffle until the
+    (keys, r) aggregate); per-key state is b pairs of longs. Output:
+    (keys..., n, mean, ci_lo, ci_hi) with mean/bounds unquantized.
+    """
+    x = F.col(value_col).cast("long")
+    rep = df.select(
+        *key_cols,
+        x.alias("__x"),
+        F.col(id_col).cast("string").alias("__id"),
+        F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__r"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("__id"), F.col("__r"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(u % 4 == 0, F.lit(0))
+        .when(u % 4 == 1, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    cells = rep.groupBy(*key_cols, "__r").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(w).cast("long").alias("__sw"),
+        F.sum(w * F.col("__x")).cast("long").alias("__swx"),
+    )
+    m_b = F.col("__swx").cast("double") / F.col("__sw").cast("double")
+    return cells.groupBy(*key_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        (
+            F.max("__sx").cast("double") / F.max("__n").cast("double")
+        ).alias("mean"),
+        F.min(m_b).alias("ci_lo"),
+        F.max(m_b).alias("ci_hi"),
+    )
+
+
+def cluster_perm_test(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    unit_col: str,
+    b: int = 64,
+) -> DataFrame:
+    """Deterministic cluster-randomization (permutation) test of the
+    difference in per-key means between the two arms unit % 2 == 0 / != 0:
+    replicate r reassigns each UNIT (cluster) to an arm by
+    md5(unit || ':' || r) parity, and the two-sided p-value is
+    (1 + #{r : |diff_r| >= |diff_obs|}) / (b + 1).
+
+    Exactness: per-arm sums/counts are exact BIGINTs; every diff is the
+    SAME closed-form double expression (two divisions, one subtraction) in
+    identical operand order on both engines, so the |diff_r| >= |diff_obs|
+    comparisons are between bit-identical doubles.
+
+    Scale shape: one per-(keys, unit) pre-aggregate collapses events to
+    units BEFORE the b-way explode; the replicate frame is |units| x b tiny
+    rows. Output: (keys..., n, obs_diff, n_ge, p_value) unquantized.
+    """
+    x = F.col(value_col).cast("long")
+    per_unit = df.groupBy(*key_cols, F.col(unit_col).alias("__u")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).cast("long").alias("__s"),
+    )
+
+    def _diff(arm):
+        s1 = F.sum(F.when(arm, F.col("__s"))).cast("long")
+        n1 = F.sum(F.when(arm, F.col("__n"))).cast("long")
+        s0 = F.sum(F.when(~arm, F.col("__s"))).cast("long")
+        n0 = F.sum(F.when(~arm, F.col("__n"))).cast("long")
+        return (
+            s1.cast("double") / n1.cast("double")
+            - s0.cast("double") / n0.cast("double")
+        )
+
+    obs = per_unit.groupBy(*key_cols).agg(
+        F.sum("__n").cast("long").alias("n"),
+        _diff(F.col("__u") % 2 == 0).alias("obs_diff"),
+    )
+    rep = per_unit.select(
+        *key_cols,
+        "__u",
+        "__n",
+        "__s",
+        F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__r"),
+    )
+    g = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("__u").cast("string"), F.col("__r")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    diffs = rep.groupBy(*key_cols, "__r").agg(_diff(g).alias("__diff"))
+    j = diffs.join(obs, key_cols)
+    agg = j.groupBy(*key_cols, "n", "obs_diff").agg(
+        F.sum(
+            F.when(F.abs(F.col("__diff")) >= F.abs(F.col("obs_diff")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ge")
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "obs_diff",
+        "n_ge",
+        (
+            (F.col("n_ge") + F.lit(1)).cast("double")
+            / F.lit(float(b + 1))
+        ).alias("p_value"),
+    )

@@ -613,3 +613,77 @@ def with_code_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         score_q.alias("code_score_q"),
         (score_q >= F.lit(150000)).alias("is_codelike"),
     )
+
+
+def with_yule_k(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Yule's characteristic K per document — the classic vocabulary-richness
+    / repetitiveness statistic (Yule 1944), a curation quality signal that,
+    unlike TTR, is length-invariant in expectation:
+
+        K = 10^4 * (sum_types freq^2 - N) / N^2
+
+    (equivalently 10^4 * (sum_m m^2 V(m) - N)/N^2 over the frequency
+    spectrum). Pure BIGINT moments from one (doc, token) count aggregate +
+    ONE closed-form double. Output: (doc_id, n_tokens, yule_k) unquantized.
+
+    Scale shape: explode + two hash aggregates, map-side combinable; no
+    windows, no Python."""
+    tf = (
+        df.select("doc_id", F.explode(tokens_col(text_col)).alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    g = tf.groupBy("doc_id").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(10000.0)
+            * (F.col("__s2") - F.col("n_tokens")).cast("double")
+            / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+        ).alias("yule_k"),
+    )
+
+
+def with_msttr(
+    df: DataFrame, text_col: str = "text", seg: int = 25
+) -> DataFrame:
+    """Mean Segmental Type-Token Ratio (MSTTR): split each document's token
+    stream into consecutive COMPLETE seg-token segments (the trailing
+    partial segment is dropped — the standard definition, which is what
+    makes MSTTR comparable across lengths), take each segment's
+    distinct-type count, and average the per-segment TTRs.
+
+    Exactness: every per-segment TTR has the same denominator seg, so the
+    mean is the BIGINT rational sum(distinct)/(seg * n_segments) — ONE
+    division. Documents with < seg tokens have no complete segment and are
+    absent from the output. Output: (doc_id, n_segments, msttr)
+    unquantized."""
+    toks = df.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("__p", "__t")
+    )
+    segs = (
+        toks.groupBy(
+            "doc_id", F.expr(f"__p div {seg}").alias("__s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("__t").cast("long").alias("__d"),
+        )
+        .where(F.col("__n") == seg)
+    )
+    g = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("__d").cast("long").alias("__sd"),
+    )
+    return g.select(
+        "doc_id",
+        "n_segments",
+        (
+            F.col("__sd").cast("double")
+            / (F.lit(seg) * F.col("n_segments")).cast("double")
+        ).alias("msttr"),
+    )

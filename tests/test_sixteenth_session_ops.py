@@ -1,0 +1,251 @@
+"""Sixteenth-session r5 operators: resampling inference (multiplier
+bootstrap, cluster permutation test) and text richness (Yule's K, MSTTR)
+— brute-force Python parity and structural properties."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+
+def _md5_u(sid: str) -> int:
+    return int(hashlib.md5(sid.encode()).hexdigest()[:8], 16)
+
+
+# ── bootstrap_ci_mean ────────────────────────────────────────────────────────
+
+
+def test_bootstrap_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        bootstrap_ci_mean,
+    )
+
+    rng = random.Random(23)
+    rows = [("g", i, rng.randrange(0, 1000)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, id long, x long")
+    got = bootstrap_ci_mean(df, ["k"], "x", "id", b=8).collect()[0]
+
+    means = []
+    for r in range(8):
+        sw = swx = 0
+        for _, i, x in rows:
+            u = _md5_u(f"{i}:{r}") % 4
+            w = 0 if u == 0 else (2 if u == 1 else 1)
+            sw += w
+            swx += w * x
+        means.append(swx / sw)
+    assert got["n"] == 40
+    assert abs(got["mean"] - sum(x for _, _, x in rows) / 40) < 1e-9
+    assert abs(got["ci_lo"] - min(means)) < 1e-12
+    assert abs(got["ci_hi"] - max(means)) < 1e-12
+    assert got["ci_lo"] <= got["ci_hi"]
+
+
+def test_bootstrap_constant_series_degenerate_interval(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        bootstrap_ci_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 7) for i in range(30)], "k string, id long, x long"
+    )
+    got = bootstrap_ci_mean(df, ["k"], "x", "id", b=8).collect()[0]
+    assert got["ci_lo"] == got["ci_hi"] == got["mean"] == 7.0
+
+
+# ── cluster_perm_test ────────────────────────────────────────────────────────
+
+
+def test_permtest_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        cluster_perm_test,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    for u in range(20):
+        for _ in range(rng.randrange(1, 4)):
+            rows.append(("g", u, rng.randrange(0, 500)))
+    df = spark.createDataFrame(rows, "k string, u long, x long")
+    got = cluster_perm_test(df, ["k"], "x", "u", b=16).collect()[0]
+
+    def diff(assign):
+        s1 = sum(x for _, u, x in rows if assign(u))
+        n1 = sum(1 for _, u, x in rows if assign(u))
+        s0 = sum(x for _, u, x in rows if not assign(u))
+        n0 = len(rows) - n1
+        return s1 / n1 - s0 / n0
+
+    obs = diff(lambda u: u % 2 == 0)
+    n_ge = sum(
+        1
+        for r in range(16)
+        if abs(diff(lambda u, r=r: _md5_u(f"{u}:{r}") % 2 == 0)) >= abs(obs)
+    )
+    assert got["n"] == len(rows)
+    assert abs(got["obs_diff"] - obs) < 1e-9
+    assert got["n_ge"] == n_ge
+    assert abs(got["p_value"] - (n_ge + 1) / 17) < 1e-12
+
+
+def test_permtest_huge_effect_small_p(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        cluster_perm_test,
+    )
+
+    # even users all ~1000, odd users all ~0: almost no random split beats it
+    rows = [("g", u, 1000 if u % 2 == 0 else 0) for u in range(40) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string, u long, x long")
+    got = cluster_perm_test(df, ["k"], "x", "u", b=32).collect()[0]
+    assert got["obs_diff"] == 1000.0
+    assert got["p_value"] <= 3 / 33
+
+
+# ── with_yule_k ──────────────────────────────────────────────────────────────
+
+
+def test_yule_k_matches_formula(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_yule_k,
+    )
+
+    text = "a b a c a b d"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = with_yule_k(df).collect()[0]
+    # freqs: a=3 b=2 c=1 d=1; N=7; sum f^2 = 9+4+1+1 = 15
+    assert got["n_tokens"] == 7
+    assert abs(got["yule_k"] - 10000.0 * (15 - 7) / 49) < 1e-9
+
+
+def test_yule_k_all_distinct_zero_all_same_max(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_yule_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x x x x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in with_yule_k(df).collect()}
+    assert got[1]["yule_k"] == 0.0
+    # all-same: K = 1e4 (N^2 - N)/N^2 = 1e4 (1 - 1/N)
+    assert abs(got[2]["yule_k"] - 10000.0 * (16 - 4) / 16) < 1e-9
+
+
+# ── with_msttr ───────────────────────────────────────────────────────────────
+
+
+def test_msttr_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_msttr,
+    )
+
+    rng = random.Random(31)
+    toks = [rng.choice("abcdefgh") for _ in range(68)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    got = with_msttr(df, seg=25).collect()[0]
+    segs = [toks[0:25], toks[25:50]]  # trailing 18 dropped
+    expect = sum(len(set(s)) for s in segs) / (25 * 2)
+    assert got["n_segments"] == 2
+    assert abs(got["msttr"] - expect) < 1e-12
+
+
+def test_msttr_short_doc_absent(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+        with_msttr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, " ".join(["w"] * 30))],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_msttr(df, seg=25).collect()}
+    assert 1 not in rows
+    assert rows[2]["msttr"] == 1 / 25  # one segment, one type
+
+
+# ── lcs_run_pairs ────────────────────────────────────────────────────────────
+
+
+def _lcs_tokens(a, b):
+    """Brute-force longest common token substring length."""
+    ta, tb = a.split(" "), b.split(" ")
+    best = 0
+    for i in range(len(ta)):
+        for j in range(len(tb)):
+            k = 0
+            while i + k < len(ta) and j + k < len(tb) and ta[i + k] == tb[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_lcs_run_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        lcs_run_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    d1 = "alpha beta " + shared + " gamma delta epsilon zeta"
+    d2 = "one two three " + shared + " four five six seven"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    rows = lcs_run_pairs(df, min_shared=3, max_shingle_df=50).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["lcs_tokens"] == _lcs_tokens(d1.lower(), d2.lower())
+
+
+def test_lcs_run_scattered_shingles_short_run(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        lcs_run_pairs,
+    )
+
+    # share three DISBANDED 3-grams (template-ish), no 4-token run
+    d1 = "aa bb cc x1 dd ee ff x2 gg hh ii x3"
+    d2 = "aa bb cc y1 dd ee ff y2 gg hh ii y3"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    r = lcs_run_pairs(df, min_shared=3, max_shingle_df=50).collect()[0]
+    assert r["lcs_tokens"] == 3  # runs never chain across the x/y breaks
+
+
+# ── cdc_chunk_dedup ──────────────────────────────────────────────────────────
+
+
+def test_cdc_finds_shared_segment_despite_head_edit(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    import random as _r
+
+    rng = _r.Random(41)
+    body = " ".join(rng.choice("abcdefghijklmnop") + str(i) for i in range(120))
+    # same body, one doc with a head insertion that shifts every fixed window
+    df = spark.createDataFrame(
+        [(1, body), (2, "inserted head tokens " + body)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunk_dedup(df, min_docs=2).collect()
+    # content-defined cut points inside the body are identical after the
+    # first post-edit boundary, so interior chunks still collide
+    assert len(rows) >= 1
+    assert all(r["n_docs"] == 2 for r in rows)
+
+
+def test_cdc_disjoint_docs_share_nothing(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(80))),
+         (2, " ".join(f"b{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    assert cdc_chunk_dedup(df, min_docs=2).count() == 0
