@@ -241,6 +241,12 @@ HEADLINE = [
     "text_msttr",
     "dedup_lcs_run",
     "dedup_cdc",
+    "events_ses",
+    "events_grubbs",
+    "events_leadlag",
+    "events_range_frame",
+    "events_kanon",
+    "sim_hamming",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -559,6 +559,22 @@ def mann_whitney_pairs(
     return g.select("g1", "g2", "n1", "n2", u2.alias("u2"), z.alias("z_u"))
 
 
+def bootstrap_weight(id_col: "F.Column", r_col: "F.Column") -> "F.Column":
+    """The deterministic multiplier-bootstrap weight in {0, 1, 2} for
+    (row id, replicate r): md5(id || ':' || r) first-8-hex mod 4 mapped
+    0→0, 1→2, else→1 (mean 1). Single source for the batch gate and the
+    streaming fold."""
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", id_col, r_col)), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        F.when(u % 4 == 0, F.lit(0))
+        .when(u % 4 == 1, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+
+
 def bootstrap_ci_mean(
     df: DataFrame,
     key_cols: list[str],
@@ -589,25 +605,22 @@ def bootstrap_ci_mean(
         F.col(id_col).cast("string").alias("__id"),
         F.explode(F.array(*[F.lit(r) for r in range(b)])).alias("__r"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("__id"), F.col("__r"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = (
-        F.when(u % 4 == 0, F.lit(0))
-        .when(u % 4 == 1, F.lit(2))
-        .otherwise(F.lit(1))
-        .cast("long")
-    )
+    w = bootstrap_weight(F.col("__id"), F.col("__r"))
     cells = rep.groupBy(*key_cols, "__r").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__x").cast("long").alias("__sx"),
         F.sum(w).cast("long").alias("__sw"),
         F.sum(w * F.col("__x")).cast("long").alias("__swx"),
     )
+    return bootstrap_from_cells(cells, key_cols)
+
+
+def bootstrap_from_cells(cells: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold the per-(keys, replicate) bootstrap cells
+    (__n, __sx, __sw, __swx) into (keys..., n, mean, ci_lo, ci_hi).
+    Factored out so the STREAMING gate (whose update-mode aggregation
+    emits exactly these monotone cells) shares the closed form verbatim
+    with the batch path — the hist_estimate single-sourcing convention."""
     m_b = F.col("__swx").cast("double") / F.col("__sw").cast("double")
     return cells.groupBy(*key_cols).agg(
         F.max("__n").cast("long").alias("n"),

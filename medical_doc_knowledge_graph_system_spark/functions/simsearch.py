@@ -873,3 +873,62 @@ def knn_loo_accuracy(
             "acc"
         ),
     )
+
+
+def sign_words(emb_col, dims: int = 64):
+    """(w1, w2): the embedding's 64-bit sign mask as two 32-bit words, each
+    built by a left-to-right fold acc*2 + (dim >= 0) — pure integers (two
+    words so no fold ever touches the BIGINT sign bit). The >= 0 convention
+    matches neardup_pairs_signblock's hyperplane-LSH keys."""
+    half = dims // 2
+
+    def _word(sl):
+        bits = F.transform(
+            sl, lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+
+    return (
+        _word(F.slice(emb_col, 1, half)),
+        _word(F.slice(emb_col, half + 1, half)),
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Binary (sign-quantized) top-k retrieval: encode every vector as its
+    64-bit hyperplane sign mask, rank candidates per query by Hamming
+    distance bit_count(xor) — the 1-bit-per-dimension compression tier
+    below sim_sq8 (8 bit/dim) and sim_pq (codebooks). Distances are small
+    integers, so ranking needs no float convention at all; ties break on
+    vec_id.
+
+    Scale shape: the mask is 2 longs/vector (a 64x reduction of the scan
+    payload); the query side broadcasts; at corpus scale the same masks
+    feed the sign-block LSH (neardup) so encode once, serve both.
+    Output: (query_id, vec_id, hamming, rank)."""
+    w1, w2 = sign_words(F.col("embedding"))
+    enc = embeddings.select(
+        "vec_id", w1.alias("w1"), w2.alias("w2")
+    )
+    qw1, qw2 = sign_words(F.col("q_embedding"))
+    qenc = queries.select(
+        "query_id", qw1.alias("qw1"), qw2.alias("qw2")
+    )
+    scored = enc.join(F.broadcast(qenc)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ham = (
+        F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+        + F.bit_count(F.col("w2").bitwiseXOR(F.col("qw2")))
+    ).cast("long")
+    scored = scored.select("query_id", "vec_id", ham.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "hamming", F.col("rank").cast("int").alias("rank"))
+    )

@@ -387,3 +387,184 @@ def isotonic_fit(
     )
     fit = mink.groupBy(*key_cols, "__i", "x").agg(F.max("__mn").alias("fit"))
     return fit.select(*key_cols, F.col("__i").alias("pos"), "x", "fit")
+
+
+def ses_dyadic(
+    series: DataFrame,
+    key_cols: list[str],
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Simple exponential smoothing with alpha = 1/2, computed EXACTLY:
+    the recursion L_t = (x_t + L_{t-1})/2 unrolls to
+
+        2^(n-1) * L_n = x_1 + sum_{t=2..n} x_t * 2^(t-2)
+
+    — an order-free BIGINT weighted sum (dyadic weights are exact in
+    binary), so the level needs no fold and no float recursion: ONE
+    division at the end. Also reports the one-step-ahead error of the last
+    observation vs L_{n-1} (the same sum truncated at n-1).
+
+    Bounds: the top weight is 2^(n-2); keep series length under ~45 for
+    cent-scale values (30-day calendars are fine). Output:
+    (keys..., n, level, last_err) unquantized."""
+    x = F.col(x_col).cast("long")
+    p = F.col(pos_col).cast("long")
+    n_over = Window.partitionBy(*key_cols)
+    base = series.select(
+        *key_cols,
+        p.alias("__p"),
+        x.alias("__x"),
+        F.max(p).over(n_over).alias("__n"),
+    )
+    # the Python shiftleft API only takes a literal shift — go through SQL
+    rows = base.select(
+        *key_cols,
+        "__p",
+        "__x",
+        "__n",
+        (
+            F.col("__x")
+            * F.when(F.col("__p") == 1, F.lit(1).cast("long")).otherwise(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(__p - 2 as int))"
+                )
+            )
+        ).alias("__wx"),
+    )
+    g = rows.groupBy(*key_cols, "__n").agg(
+        F.sum("__wx").cast("long").alias("__num_n"),
+        F.sum(F.when(F.col("__p") < F.col("__n"), F.col("__wx")))
+        .cast("long")
+        .alias("__num_nm1"),
+        F.max(F.when(F.col("__p") == F.col("__n"), F.col("__x")))
+        .cast("long")
+        .alias("__xn"),
+    )
+    level = F.col("__num_n").cast("double") / F.expr(
+        "shiftleft(cast(1 as bigint), cast(__n - 1 as int))"
+    ).cast("double")
+    prev = F.col("__num_nm1").cast("double") / F.expr(
+        "shiftleft(cast(1 as bigint), cast(__n - 2 as int))"
+    ).cast("double")
+    return g.select(
+        *key_cols,
+        F.col("__n").alias("n"),
+        level.alias("level"),
+        (F.col("__xn").cast("double") - prev).alias("last_err"),
+    )
+
+
+def grubbs_stat(
+    series: DataFrame,
+    key_cols: list[str],
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Grubbs' outlier statistic G = max|x - mean| / s per key, with the
+    position of the extreme point. The deviation max is the exact BIGINT
+    max|n*x_t - S| (no mean division inside the max); G is one fixed-order
+    double expression over (maxdev, n, nP0 - S^2) with the bit-exact sqrt.
+    The arg position is the smallest pos attaining the max (deterministic).
+    Output: (keys..., n, pos_at_max, g) unquantized."""
+    x = F.col(x_col).cast("long")
+    base = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("__s"),
+        F.sum(x * x).cast("long").alias("__p0"),
+    )
+    j = series.join(base, key_cols).select(
+        *key_cols,
+        "n",
+        "__s",
+        "__p0",
+        F.col(pos_col).cast("long").alias("__pos"),
+        F.abs(F.col("n") * x - F.col("__s")).cast("long").alias("__dev"),
+    )
+    # argmax via the max-struct trick: largest dev first, then largest
+    # -pos (= smallest pos) — one algebraic aggregate, fully deterministic
+    g = j.groupBy(*key_cols, "n", "__s", "__p0").agg(
+        F.max(
+            F.struct(
+                F.col("__dev").alias("d"), (-F.col("__pos")).alias("np")
+            )
+        ).alias("__mx")
+    )
+    nd = F.col("n").cast("double")
+    vd = (F.col("n") * F.col("__p0") - F.col("__s") * F.col("__s")).cast(
+        "double"
+    )
+    gstat = (F.col("__mx.d").cast("double") / nd) / F.sqrt(
+        vd / (nd * (nd - F.lit(1.0)))
+    )
+    return g.select(
+        *key_cols,
+        "n",
+        (-F.col("__mx.np")).cast("long").alias("pos_at_max"),
+        gstat.alias("g"),
+    )
+
+
+def leadlag_corr(
+    series: DataFrame,
+    key_col: str,
+    pos_col: str = "pos",
+    x_col: str = "x",
+    lags: tuple[int, ...] = (-1, 0, 1),
+) -> DataFrame:
+    """Lead-lag screening: Pearson correlation of every ordered key pair
+    (k1 < k2) at each lag l — corr(x_{t}, y_{t+l}) over the positions where
+    both series exist. The five Pearson moments are exact BIGINTs per
+    (pair, lag); the correlation is one fixed-order double expression (two
+    bit-exact sqrts). A positive peak at l = +1 means k1 LEADS k2.
+
+    Scale shape: |keys|^2 x |lags| joined series — keys here are series
+    identities (handfuls), never raw rows; each pair aggregates to 6 longs.
+    Output: (k1, k2, lag, n, corr) unquantized."""
+    a = series.select(
+        F.col(key_col).alias("k1"),
+        F.col(pos_col).cast("long").alias("__pa"),
+        F.col(x_col).cast("long").alias("__xa"),
+    )
+    b = series.select(
+        F.col(key_col).alias("k2"),
+        F.col(pos_col).cast("long").alias("__pb"),
+        F.col(x_col).cast("long").alias("__xb"),
+    )
+    lag_df = a.crossJoin(
+        F.broadcast(
+            a.sparkSession.createDataFrame(
+                [(int(l),) for l in lags], "lag long"
+            )
+        )
+    )
+    m = lag_df.join(
+        b,
+        (F.col("__pb") == F.col("__pa") + F.col("lag"))
+        & (F.col("k1") < F.col("k2")),
+    )
+    g = m.groupBy("k1", "k2", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__xa").cast("long").alias("__sx"),
+        F.sum("__xb").cast("long").alias("__sy"),
+        F.sum(F.col("__xa") * F.col("__xa")).cast("long").alias("__sxx"),
+        F.sum(F.col("__xb") * F.col("__xb")).cast("long").alias("__syy"),
+        F.sum(F.col("__xa") * F.col("__xb")).cast("long").alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("__sxy").cast("double") - F.col("__sx").cast(
+        "double"
+    ) * F.col("__sy").cast("double")
+    vx = nd * F.col("__sxx").cast("double") - F.col("__sx").cast(
+        "double"
+    ) * F.col("__sx").cast("double")
+    vy = nd * F.col("__syy").cast("double") - F.col("__sy").cast(
+        "double"
+    ) * F.col("__sy").cast("double")
+    return g.select(
+        "k1",
+        "k2",
+        "lag",
+        "n",
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+    )

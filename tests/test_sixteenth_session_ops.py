@@ -249,3 +249,157 @@ def test_cdc_disjoint_docs_share_nothing(spark):
         "doc_id long, text string",
     )
     assert cdc_chunk_dedup(df, min_docs=2).count() == 0
+
+
+# ── ses_dyadic ───────────────────────────────────────────────────────────────
+
+
+def test_ses_matches_recursion(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        ses_dyadic,
+    )
+
+    rng = random.Random(37)
+    xs = [rng.randrange(0, 100000) for _ in range(30)]
+    got = ses_dyadic(_series_df_ss(spark, xs), ["k"]).collect()[0]
+    level = float(xs[0])
+    prev = None
+    for x in xs[1:]:
+        prev = level
+        level = (x + level) / 2
+    assert got["n"] == 30
+    assert abs(got["level"] - level) < 1e-9
+    assert abs(got["last_err"] - (xs[-1] - prev)) < 1e-9
+
+
+def test_ses_constant_series_level_is_constant(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        ses_dyadic,
+    )
+
+    got = ses_dyadic(_series_df_ss(spark, [42] * 12), ["k"]).collect()[0]
+    assert got["level"] == 42.0 and got["last_err"] == 0.0
+
+
+def _series_df_ss(spark, xs, key="a"):
+    rows = [(key, i + 1, int(v)) for i, v in enumerate(xs)]
+    return spark.createDataFrame(rows, "k string, pos long, x long")
+
+
+# ── grubbs_stat ──────────────────────────────────────────────────────────────
+
+
+def test_grubbs_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        grubbs_stat,
+    )
+
+    import math
+
+    xs = [50, 52, 49, 51, 48, 50, 53, 990, 47, 52]  # planted outlier at pos 8
+    got = grubbs_stat(_series_df_ss(spark, xs), ["k"]).collect()[0]
+    n = len(xs)
+    m = sum(xs) / n
+    s = math.sqrt(sum((x - m) ** 2 for x in xs) / (n - 1))
+    assert got["pos_at_max"] == 8
+    assert abs(got["g"] - max(abs(x - m) for x in xs) / s) < 1e-9
+
+
+def test_grubbs_tie_breaks_to_first_pos(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        grubbs_stat,
+    )
+
+    # symmetric: pos 1 and pos 4 tie on |x - mean|; smallest pos wins
+    got = grubbs_stat(_series_df_ss(spark, [0, 50, 50, 100]), ["k"]).collect()[0]
+    assert got["pos_at_max"] == 1
+
+
+# ── leadlag_corr ─────────────────────────────────────────────────────────────
+
+
+def test_leadlag_detects_planted_lead(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        leadlag_corr,
+    )
+
+    rng = random.Random(43)
+    a = [rng.randrange(0, 1000) for _ in range(30)]
+    b = [0] + a[:-1]  # b IS a shifted by +1: a leads b
+    rows = [("a", i + 1, a[i]) for i in range(30)] + [
+        ("b", i + 1, b[i]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, pos long, x long")
+    out = {r["lag"]: r["corr"] for r in leadlag_corr(df, "k").collect()}
+    assert abs(out[1] - 1.0) < 1e-9  # corr(a_t, b_{t+1}) == 1
+    assert out[1] > abs(out[0]) and out[1] > abs(out[-1])
+
+
+def test_leadlag_pair_orientation_and_counts(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        leadlag_corr,
+    )
+
+    rows = [(k, i + 1, (i * 7 + ord(k)) % 13) for k in "xy" for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, pos long, x long")
+    out = leadlag_corr(df, "k").collect()
+    assert {(r["k1"], r["k2"]) for r in out} == {("x", "y")}
+    byl = {r["lag"]: r["n"] for r in out}
+    assert byl[0] == 10 and byl[1] == 9 and byl[-1] == 9
+
+
+# ── hamming_topk ─────────────────────────────────────────────────────────────
+
+
+def test_hamming_topk_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        hamming_topk,
+    )
+
+    rng = random.Random(47)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(64)] for i in range(20)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    qs = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(2)],
+        "query_id long, q_embedding array<double>",
+    )
+    out = hamming_topk(emb, qs, k=3).collect()
+
+    def mask(v):
+        return [1 if x >= 0 else 0 for x in v]
+
+    for q in range(2):
+        cand = sorted(
+            (
+                sum(a != b for a, b in zip(mask(vecs[q]), mask(vecs[i]))),
+                i,
+            )
+            for i in vecs
+            if i != q
+        )[:3]
+        got = sorted(
+            (r["hamming"], r["vec_id"]) for r in out if r["query_id"] == q
+        )
+        assert got == cand
+
+
+def test_hamming_identical_vector_distance_zero(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+        hamming_topk,
+    )
+
+    v = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(0, v), (1, v), (2, [-1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, v)], "query_id long, q_embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in hamming_topk(emb, qs, k=2).collect()}
+    assert rows[1]["hamming"] == 0 and rows[1]["rank"] == 1
+    assert rows[2]["hamming"] == 64
