@@ -247,6 +247,12 @@ HEADLINE = [
     "events_range_frame",
     "events_kanon",
     "sim_hamming",
+    "events_logrank",
+    "events_stump",
+    "events_power",
+    "events_lateral",
+    "dedup_simhash_pairs",
+    "dedup_pr_eval",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

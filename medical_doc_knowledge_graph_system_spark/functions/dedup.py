@@ -761,3 +761,63 @@ def cdc_chunk_dedup(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via pigeonhole banding (Manku et al.
+    2007, the production web-dedup scheme): split the 60-bit simhash into
+    `bands` contiguous bands; any pair within Hamming distance
+    <= bands - 1 must agree EXACTLY on at least one band (pigeonhole), so
+    blocking on band equality is LOSSLESS for max_hamming <= bands - 1 —
+    the brute-force all-pairs oracle IS the parity claim (the
+    dedup_prefix_filter convention), no blocking logic to mirror.
+
+    Scale shape: 4 band keys/doc, exact-match self-join per band, distinct
+    pairs, one bit_count(xor) verify per candidate — never all-pairs. At
+    boilerplate scale, cap band buckets like MAX_DEDUP_BUCKET (the star
+    keeps clusters connected); the gate keeps full pairwise so the
+    pigeonhole-exactness theorem stays checkable.
+    Output: (a, b, hamming)."""
+    assert max_hamming <= bands - 1, "pigeonhole guarantee needs h <= bands-1"
+    sh = simhash64(df, text_col).localCheckpoint(eager=True)
+    width = 60 // bands
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("doc_id", "simhash", F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
+    l = banded.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "band", "key"
+    )
+    r = banded.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "band", "key"
+    )
+    cand = (
+        l.join(r, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

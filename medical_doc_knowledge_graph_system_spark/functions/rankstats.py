@@ -718,3 +718,138 @@ def cluster_perm_test(
             / F.lit(float(b + 1))
         ).alias("p_value"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    key_cols: list[str],
+    unit_col: str,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Two-arm log-rank test (Mantel-Haenszel) per key — the survival
+    inference twin of the Nelson-Aalen gate; despite the name it needs NO
+    logarithms. Arms: unit % 2. At each distinct event time t:
+
+        O1_t = d1_t,  E1_t = d_t * n1_t / n_t,
+        V_t = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t)/(n_t - 1)
+
+    with n*_t the at-risk counts (time >= t, censored rows count while at
+    risk but never as deaths). All counts are exact BIGINTs; each E/V term
+    is micro-quantized to BIGINT 1e-6 units BEFORE the cross-time sum (the
+    events_anova convention — double sums are order-sensitive, BIGINT sums
+    are not); Z = (O1 - E1)/sqrt(V) is one closed form on the drained
+    micro-sums. Expects one row per unit: (keys..., unit, time, event 0/1).
+    Output: (keys..., o1, e1, v, z) with e1/v in micro-units folded back.
+    """
+    arm1 = (F.col(unit_col) % 2 == 0).cast("long")
+    per = df.select(
+        *key_cols,
+        arm1.alias("__a1"),
+        F.col(time_col).cast("long").alias("__t"),
+        F.col(event_col).cast("long").alias("__e"),
+    )
+    tot = per.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__N"),
+        F.sum("__a1").cast("long").alias("__N1"),
+    )
+    # deaths per distinct event time
+    deaths = (
+        per.where(F.col("__e") == 1)
+        .groupBy(*key_cols, "__t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__d"),
+            F.sum("__a1").cast("long").alias("__d1"),
+        )
+    )
+    # exits (any unit leaving the risk set at t: death or censoring)
+    exits = per.groupBy(*key_cols, "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__x"),
+        F.sum("__a1").cast("long").alias("__x1"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = exits.select(
+        *key_cols,
+        "__t",
+        F.coalesce(F.sum("__x").over(w), F.lit(0)).cast("long").alias("__gone"),
+        F.coalesce(F.sum("__x1").over(w), F.lit(0))
+        .cast("long")
+        .alias("__gone1"),
+    )
+    dr = deaths.join(risk, [*key_cols, "__t"])
+    # empty key_cols = one global test: the totals join degenerates to a
+    # broadcast cross join (DataFrame.join rejects an empty key list)
+    j = (
+        dr.join(tot, key_cols)
+        if key_cols
+        else dr.crossJoin(F.broadcast(tot))
+    ).select(
+        *key_cols,
+        "__d",
+        "__d1",
+        (F.col("__N") - F.col("__gone")).alias("__n"),
+        (F.col("__N1") - F.col("__gone1")).alias("__n1"),
+    )
+    nd = F.col("__n").cast("double")
+    n1d = F.col("__n1").cast("double")
+    dd = F.col("__d").cast("double")
+    e_term = dd * n1d / nd
+    v_term = (
+        dd
+        * (n1d / nd)
+        * (F.lit(1.0) - n1d / nd)
+        * (
+            (nd - dd)
+            / (nd - F.lit(1.0))
+        )
+    )
+    micro = j.select(
+        *key_cols,
+        "__d1",
+        F.floor(e_term * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__e6"),
+        F.when(F.col("__n") > 1,
+               F.floor(v_term * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("__v6"),
+    )
+    g = micro.groupBy(*key_cols).agg(
+        F.sum("__d1").cast("long").alias("o1"),
+        F.sum("__e6").cast("long").alias("__se6"),
+        F.sum("__v6").cast("long").alias("__sv6"),
+    )
+    e1 = F.col("__se6").cast("double") / F.lit(1000000.0)
+    v = F.col("__sv6").cast("double") / F.lit(1000000.0)
+    z = (F.col("o1").cast("double") - e1) / F.sqrt(v)
+    return g.select(*key_cols, "o1", e1.alias("e1"), v.alias("v"), z.alias("z"))
+
+
+def mde_power(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Minimum detectable effect for a 50/50 two-arm test at alpha = 0.05
+    (two-sided), power = 0.80: MDE = (1.96 + 0.84) * sqrt(2 * s^2 / (n/2)),
+    with s^2 the Bessel variance from exact BIGINT moments. The z literals
+    are plain decimal strings both engines parse to the identical double;
+    the whole statistic is one fixed-order expression with two bit-exact
+    sqrts. Output: (keys..., n, sd, mde) unquantized."""
+    x = F.col(value_col).cast("long")
+    g = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("__s"),
+        F.sum(x * x).cast("long").alias("__p0"),
+    )
+    nd = F.col("n").cast("double")
+    var = (F.col("n") * F.col("__p0") - F.col("__s") * F.col("__s")).cast(
+        "double"
+    ) / (nd * (nd - F.lit(1.0)))
+    half = F.expr("n div 2").cast("double")
+    mde = F.lit(2.8) * F.sqrt(F.lit(2.0) * var / half)
+    return g.select(*key_cols, "n", F.sqrt(var).alias("sd"), mde.alias("mde"))

@@ -568,3 +568,68 @@ def leadlag_corr(
         "n",
         (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
     )
+
+
+def best_stump(
+    series: DataFrame,
+    key_cols: list[str],
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Best single-split regression stump per key (the CART building
+    block): over splits s, predict mean(x[1..s]) left / mean(x[s+1..n])
+    right and pick the s minimizing total SSE. Each candidate's SSE is the
+    fixed-order double
+
+        (n_L*P0_L - S_L^2)/n_L + (n_R*P0_R - S_R^2)/n_R
+
+    over exact BIGINT prefix moments (one window), so every candidate is
+    bit-identical cross-engine and the argmin (min-struct, ties to the
+    smallest s) is engine-independent.
+    Output: (keys..., split_pos, sse, mean_l, mean_r) unquantized."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(x_col).cast("long")
+    pre = series.select(
+        *key_cols,
+        F.col(pos_col).cast("long").alias("__s"),
+        F.sum(x).over(w).cast("long").alias("__cs"),
+        F.sum(x * x).over(w).cast("long").alias("__cp"),
+        F.count(F.lit(1)).over(w).cast("long").alias("__cn"),
+        F.sum(x).over(Window.partitionBy(*key_cols)).cast("long").alias("__ts"),
+        F.sum(x * x)
+        .over(Window.partitionBy(*key_cols))
+        .cast("long")
+        .alias("__tp"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*key_cols))
+        .cast("long")
+        .alias("__tn"),
+    ).where(F.col("__s") < F.col("__tn"))
+    nl, sl, pl = F.col("__cn"), F.col("__cs"), F.col("__cp")
+    nr = F.col("__tn") - nl
+    sr = F.col("__ts") - sl
+    pr = F.col("__tp") - pl
+    sse = (nl * pl - sl * sl).cast("double") / nl.cast("double") + (
+        nr * pr - sr * sr
+    ).cast("double") / nr.cast("double")
+    cand = pre.select(
+        *key_cols,
+        F.struct(
+            sse.alias("sse"),
+            F.col("__s").alias("s"),
+            (sl.cast("double") / nl.cast("double")).alias("ml"),
+            (sr.cast("double") / nr.cast("double")).alias("mr"),
+        ).alias("__c"),
+    )
+    g = cand.groupBy(*key_cols).agg(F.min("__c").alias("__b"))
+    return g.select(
+        *key_cols,
+        F.col("__b.s").alias("split_pos"),
+        F.col("__b.sse").alias("sse"),
+        F.col("__b.ml").alias("mean_l"),
+        F.col("__b.mr").alias("mean_r"),
+    )

@@ -403,3 +403,153 @@ def test_hamming_identical_vector_distance_zero(spark):
     rows = {r["vec_id"]: r for r in hamming_topk(emb, qs, k=2).collect()}
     assert rows[1]["hamming"] == 0 and rows[1]["rank"] == 1
     assert rows[2]["hamming"] == 64
+
+
+# ── best_stump ───────────────────────────────────────────────────────────────
+
+
+def test_stump_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        best_stump,
+    )
+
+    rng = random.Random(53)
+    xs = [rng.randrange(0, 100) for _ in range(15)] + [
+        rng.randrange(500, 600) for _ in range(15)
+    ]
+    got = best_stump(_series_df_ss(spark, xs), ["k"]).collect()[0]
+
+    def sse_at(s):
+        l, r = xs[:s], xs[s:]
+        ml, mr = sum(l) / len(l), sum(r) / len(r)
+        return sum((v - ml) ** 2 for v in l) + sum((v - mr) ** 2 for v in r)
+
+    best = min(range(1, 30), key=lambda s: (sse_at(s), s))
+    assert got["split_pos"] == best == 15
+    assert abs(got["sse"] - sse_at(best)) < 1e-6
+    assert abs(got["mean_l"] - sum(xs[:15]) / 15) < 1e-9
+    assert abs(got["mean_r"] - sum(xs[15:]) / 15) < 1e-9
+
+
+# ── logrank_test ─────────────────────────────────────────────────────────────
+
+
+def test_logrank_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        logrank_test,
+    )
+
+    rng = random.Random(59)
+    rows = [
+        (u, rng.randrange(1, 10), rng.randrange(0, 2)) for u in range(40)
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e long")
+    got = logrank_test(df, [], "u", "t", "e").collect()[0]
+
+    import math
+
+    times = sorted({t for _, t, e in rows if e == 1})
+    o1 = sum(1 for u, t, e in rows if e == 1 and u % 2 == 0)
+    e1 = v = 0.0
+    for t in times:
+        at = [(u, tt, e) for u, tt, e in rows if tt >= t]
+        n, n1 = len(at), sum(1 for u, _, _ in at if u % 2 == 0)
+        d = sum(1 for _, tt, e in at if tt == t and e == 1)
+        e1 += math.floor(d * n1 / n * 1e6 + 0.5) / 1e6
+        if n > 1:
+            v += (
+                math.floor(
+                    d * (n1 / n) * (1 - n1 / n) * ((n - d) / (n - 1)) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+    assert got["o1"] == o1
+    assert abs(got["e1"] - e1) < 1e-4
+    assert abs(got["v"] - v) < 1e-4
+    assert abs(got["z"] - (o1 - e1) / math.sqrt(v)) < 1e-3
+
+
+def test_logrank_identical_arms_small_z(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        logrank_test,
+    )
+
+    # mirrored arms: every even unit's outcome duplicated on an odd unit
+    rows = []
+    for i in range(20):
+        t, e = (i % 9) + 1, 1 if i % 3 else 0
+        rows += [(2 * i, t, e), (2 * i + 1, t, e)]
+    df = spark.createDataFrame(rows, "u long, t long, e long")
+    got = logrank_test(df, [], "u", "t", "e").collect()[0]
+    assert abs(got["z"]) < 1e-6  # O1 == E1 by symmetry
+
+
+# ── mde_power ────────────────────────────────────────────────────────────────
+
+
+def test_mde_matches_formula(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        mde_power,
+    )
+
+    import math
+
+    rng = random.Random(61)
+    rows = [("g", rng.randrange(0, 1000)) for _ in range(101)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = mde_power(df, ["k"], "x").collect()[0]
+    n = 101
+    m = sum(x for _, x in rows) / n
+    var = sum((x - m) ** 2 for _, x in rows) / (n - 1)
+    assert abs(got["sd"] - math.sqrt(var)) < 1e-9
+    assert abs(got["mde"] - 2.8 * math.sqrt(2 * var / (n // 2))) < 1e-9
+
+
+# ── simhash_hamming_pairs ────────────────────────────────────────────────────
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        simhash64,
+        simhash_hamming_pairs,
+    )
+
+    rng = random.Random(67)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    # plant two docs with the SAME distinct token set (simhash reads the
+    # distinct set, so their hamming is exactly 0) but different order and
+    # multiplicity — the canonical reordered-boilerplate near-dup
+    base_toks = [rng.choice(vocab) for _ in range(40)]
+    docs.append((100, " ".join(base_toks)))
+    docs.append((101, " ".join(reversed(base_toks)) + " " + base_toks[0]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    expect = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_hamming_pairs(df, max_hamming=3).collect()
+    )
+    assert got == expect
+    assert (100, 101) in {(a, b) for a, b, _ in got}  # planted pair found
+
+
+def test_simhash_pairs_pigeonhole_guard(spark):
+    import pytest as _pytest
+
+    from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    df_schema = "doc_id long, text string"
+    df = None  # never evaluated — the assert fires first
+    with _pytest.raises(AssertionError):
+        simhash_hamming_pairs(df, max_hamming=4, bands=4)
