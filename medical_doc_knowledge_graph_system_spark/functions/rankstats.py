@@ -655,10 +655,12 @@ def cluster_perm_test(
     rows. Output: (keys..., n, obs_diff, n_ge, p_value) unquantized.
     """
     x = F.col(value_col).cast("long")
+    # read twice (observed diff + the b-way replicate explode) — pin the
+    # per-unit collapse so the raw-event scan runs once
     per_unit = df.groupBy(*key_cols, F.col(unit_col).alias("__u")).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(x).cast("long").alias("__s"),
-    )
+    ).localCheckpoint(eager=True)
 
     def _diff(arm):
         s1 = F.sum(F.when(arm, F.col("__s"))).cast("long")
@@ -743,12 +745,15 @@ def logrank_test(
     Output: (keys..., o1, e1, v, z) with e1/v in micro-units folded back.
     """
     arm1 = (F.col(unit_col) % 2 == 0).cast("long")
+    # referenced three times (totals, deaths, exits) — pin the per-unit
+    # frame or the upstream lineage re-runs per reference; it is |units|
+    # rows, already collapsed (the minhash tagged-pin precedent)
     per = df.select(
         *key_cols,
         arm1.alias("__a1"),
         F.col(time_col).cast("long").alias("__t"),
         F.col(event_col).cast("long").alias("__e"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__N"),
         F.sum("__a1").cast("long").alias("__N1"),

@@ -407,6 +407,38 @@ def test_gate_query_scan_budget(spark):
         ("events_runs", 0),
         ("events_changepoint", 1),
         ("sim_mips", 2),
+        # sixteenth-session: matrix profile pins the window frame,
+        # isotonic its prefix frame, lcs_run the pair+positional-gram
+        # frames, simhash_pairs the hash table, pr_eval the shingle/cand/
+        # truth frames, logrank/permtest their per-unit collapses — all
+        # 0-scan; vratio/grubbs/leadlag re-derive the 30-row daily
+        # aggregate per branch BY DESIGN (pinning a calendar-length frame
+        # saves nothing at 100 TB, the snaive convention); lateral and
+        # sim_hamming read probe+build sides once each
+        ("events_matrix_profile", 0),
+        ("events_isotonic", 0),
+        ("dedup_lcs_run", 0),
+        ("dedup_simhash_pairs", 0),
+        ("dedup_pr_eval", 0),
+        ("events_logrank", 0),
+        ("events_permtest", 0),
+        ("events_ar2", 1),
+        ("events_ljungbox", 1),
+        ("events_haar", 1),
+        ("events_ses", 1),
+        ("events_stump", 1),
+        ("events_bootstrap_ci", 1),
+        ("events_kanon", 1),
+        ("events_range_frame", 1),
+        ("events_power", 1),
+        ("text_yule_k", 1),
+        ("text_msttr", 1),
+        ("dedup_cdc", 1),
+        ("events_vratio", 2),
+        ("events_grubbs", 2),
+        ("events_leadlag", 2),
+        ("events_lateral", 2),
+        ("sim_hamming", 2),
     ]:
         p = physical_plan_string(q[name](spark, SF))
         n = p.count("Scan parquet")
