@@ -7548,6 +7548,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_pr_eval"] = dedup_pr_eval
 
+    # Pettitt rank change-point test: the nonparametric twin of
+    # events_changepoint — PURE INTEGER via the telescoping identity
+    # ΔU_t = Σ_k sgn(x_k − x_t); argmax via max-struct.
+    def events_pettitt(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+            pettitt_test,
+        )
+
+        return pettitt_test(_ev_daily(s, d), ["event_type"], "pos", "dollars")
+
+    q["events_pettitt"] = events_pettitt
+
+    # Burrows' Delta stylometry between sources: z-scored top-20 word
+    # frequencies (frequencies micro-quantized so cross-source moments are
+    # exact; per-word |Δz| micro-quantized before the pair sum).
+    def text_burrows(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+            burrows_delta,
+        )
+
+        g = burrows_delta(_t(s, d, "documents"), "source", "text", k=20)
+        return g.select("s1", "s2", _q4(F.col("delta")).alias("delta"))
+
+    q["text_burrows"] = text_burrows
+
+    # Post-stratification ATE (stratify on day-of-week): the causal-panel
+    # family's third member next to events_did/events_cuped — per-stratum
+    # arm diffs micro-quantized before the weighted cross-stratum sum;
+    # strata missing an arm drop from numerator AND weight mass.
+    def events_strat_ate(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            stratified_ate,
+        )
+
+        ev = _t(s, d, "events").select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            (
+                F.expr(
+                    "unix_micros(cast(ts as timestamp)) div 86400000000"
+                )
+                % 7
+            ).alias("dow"),
+        )
+        g = stratified_ate(ev, ["event_type"], "cents", "user_id", "dow")
+        return g.select(
+            "event_type", "n_used", "n_strata", _q4(F.col("ate")).alias("ate")
+        )
+
+    q["events_strat_ate"] = events_strat_ate
+
+    # Streaming CART stump: the daily revenue cells are a native
+    # update-mode streaming aggregation (monotone sums), drained into the
+    # SAME best_stump minimax argmin. Oracle shared verbatim with
+    # events_stump.
+    def stream_stump(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+            best_stump,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_stump_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "event_type",
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias(
+                    "day"
+                ),
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                "event_id",
+            )
+            ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema("event_type string, day int, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            cells = stream.groupBy("event_type", "day").agg(
+                F.sum("cents").cast("long").alias("s")
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                cells.writeStream.format("memory")
+                .queryName(f"sstump_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        drained = (
+            s.table(f"sstump_{tag}")
+            .groupBy("event_type", "day")
+            .agg(F.max("s").cast("long").alias("cents"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("event_type").orderBy("day")
+        ser = drained.select(
+            "event_type",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "cents",
+        )
+        g = best_stump(ser, ["event_type"], "pos", "cents")
+        return g.select(
+            "event_type",
+            "split_pos",
+            _q4(F.col("sse")).alias("sse"),
+            _q4(F.col("mean_l")).alias("mean_l"),
+            _q4(F.col("mean_r")).alias("mean_r"),
+        )
+
+    q["stream_stump"] = stream_stump
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -13621,6 +13751,116 @@ FROM mink GROUP BY 1, 2, 3"""
     o["stream_isotonic"] = o["events_isotonic"]
     o["stream_bootstrap"] = o["events_bootstrap_ci"]
 
+    o["events_pettitt"] = f"""
+WITH {_SER},
+ser2 AS MATERIALIZED (SELECT * FROM ser),
+d AS (
+  SELECT a.event_type AS event_type, a.pos AS t,
+         CAST(sum(CASE WHEN b.dollars > a.dollars THEN 1
+                       WHEN b.dollars < a.dollars THEN -1
+                       ELSE 0 END) AS BIGINT) AS dd,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ser2 a JOIN ser2 b ON a.event_type = b.event_type
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, n, t,
+         CAST(sum(dd) OVER (PARTITION BY event_type ORDER BY t)
+              AS BIGINT) AS u
+  FROM d
+),
+f AS MATERIALIZED (
+  SELECT event_type, n, t, abs(u) AS k FROM w WHERE t < n
+),
+mx AS (SELECT event_type, n, max(k) AS k_stat FROM f GROUP BY 1, 2)
+SELECT mx.event_type, mx.n, CAST(min(f.t) AS BIGINT) AS cp_pos,
+       mx.k_stat AS k_stat
+FROM f JOIN mx ON f.event_type = mx.event_type AND f.k = mx.k_stat
+GROUP BY 1, 2, 4"""
+
+    o["text_burrows"] = f"""
+WITH tf AS MATERIALIZED (
+  SELECT source AS s, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_TOKS}) AS t FROM documents) x
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT t FROM (SELECT t, sum(c) AS ct FROM tf GROUP BY 1) g
+  ORDER BY ct DESC, t ASC LIMIT 20
+),
+totals AS (SELECT s, CAST(sum(c) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+grid AS (SELECT s, n_s, t FROM totals, topk),
+cells AS MATERIALIZED (
+  SELECT g.s, g.t,
+         CAST(floor(CAST(coalesce(tf.c, 0) AS DOUBLE)
+                    / CAST(g.n_s AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS f9
+  FROM grid g LEFT JOIN tf ON tf.s = g.s AND tf.t = g.t
+),
+stats AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS m, CAST(sum(f9) AS BIGINT) AS sf,
+         CAST(sum(f9 * f9) AS BIGINT) AS sff
+  FROM cells GROUP BY 1
+),
+z AS MATERIALIZED (
+  SELECT s, cells.t AS t,
+         (CAST(f9 AS DOUBLE) - CAST(sf AS DOUBLE) / CAST(m AS DOUBLE))
+         / sqrt(CAST(m * sff - sf * sf AS DOUBLE)
+                / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0))) AS z
+  FROM cells JOIN stats ON cells.t = stats.t
+),
+micro AS (
+  SELECT a.s AS s1, b.s AS s2,
+         CAST(floor(abs(a.z - b.z) * 1000000.0 + 0.5) AS BIGINT) AS dz6
+  FROM z a JOIN z b ON a.t = b.t AND a.s < b.s
+),
+g2 AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(dz6) AS BIGINT) AS sdz
+  FROM micro GROUP BY 1, 2
+)
+SELECT s1, s2,
+       floor(CAST(sdz AS DOUBLE) / 1000000.0 / CAST(k AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS delta
+FROM g2"""
+
+    o["events_strat_ate"] = """
+WITH cells AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) % 7 AS st,
+         CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(CASE WHEN user_id % 2 = 0
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN user_id % 2 <> 0
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)
+              AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0
+  FROM events GROUP BY 1, 2
+),
+kept AS (SELECT * FROM cells WHERE n1 > 0 AND n0 > 0),
+micro AS (
+  SELECT event_type, ns,
+         CAST(floor(CAST(ns AS DOUBLE)
+                    * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS wd6
+  FROM kept
+),
+g AS (
+  SELECT event_type, CAST(sum(ns) AS BIGINT) AS n_used,
+         CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(wd6) AS BIGINT) AS swd
+  FROM micro GROUP BY 1
+)
+SELECT event_type, n_used, n_strata,
+       floor(CAST(swd AS DOUBLE) / 1000000.0 / CAST(n_used AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS ate
+FROM g"""
+
     o["events_logrank"] = """
 WITH per AS MATERIALIZED (
   SELECT u.user_id,
@@ -13801,5 +14041,7 @@ SELECT n_cand, n_truth, n_hit,
        floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS recall
 FROM counts"""
+
+    o["stream_stump"] = o["events_stump"]
 
     return o

@@ -253,6 +253,9 @@ HEADLINE = [
     "events_lateral",
     "dedup_simhash_pairs",
     "dedup_pr_eval",
+    "events_pettitt",
+    "text_burrows",
+    "events_strat_ate",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

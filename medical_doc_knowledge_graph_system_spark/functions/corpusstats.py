@@ -1003,3 +1003,110 @@ def term_burstiness(
             ).alias("fano"),
         )
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Burrows' Delta (2002) stylometric distance between every pair of
+    sources: z-score each source's relative frequency of the corpus's top-k
+    words (mean/sd across sources), Delta = mean |z_a - z_b| over the k
+    words — the standard authorship / provenance-drift screen.
+
+    Exactness discipline: each relative frequency is ONE division of exact
+    BIGINTs, then MICRO-QUANTIZED to BIGINT (floor(f*1e6 + 0.5) — 1e9
+    units would put f9^2 sums at the int64 edge when one word dominates a
+    source) so the
+    cross-source mean/sd moments are exact integers; each |z_a - z_b| is a
+    fixed-order double micro-quantized to BIGINT 1e-6 units BEFORE the
+    cross-word sum (the events_anova convention). Delta is one final
+    division. Output: (s1, s2, delta) unquantized.
+
+    Scale shape: one (source, word) aggregate; the top-k dim is
+    TakeOrderedAndProject-broadcast; pairs are |sources|^2 x k tiny rows.
+    """
+    from .textfns import tokens_col
+
+    tf = (
+        docs.select(
+            F.col(group_col).alias("s"),
+            F.explode(tokens_col(text_col)).alias("t"),
+        )
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # read 3x: top-k dim, totals, cells
+    )
+    topk = (
+        tf.groupBy("t")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("t"))
+        .limit(k)
+        .select("t")
+    )
+    totals = tf.groupBy("s").agg(F.sum("c").cast("long").alias("n_s"))
+    # dense (source x top-k word) grid so absent words count as f = 0
+    grid = totals.crossJoin(F.broadcast(topk))
+    cells = grid.join(tf, ["s", "t"], "left").select(
+        "s",
+        "t",
+        F.floor(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.col("n_s").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("f9"),
+    )
+    stats = cells.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("f9").cast("long").alias("sf"),
+        F.sum(F.col("f9") * F.col("f9")).cast("long").alias("sff"),
+    )
+    z = cells.join(stats, "t").select(
+        "s",
+        "t",
+        (
+            (
+                F.col("f9").cast("double")
+                - F.col("sf").cast("double") / F.col("m").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("m") * F.col("sff") - F.col("sf") * F.col("sf")
+                ).cast("double")
+                / (
+                    F.col("m").cast("double")
+                    * (F.col("m").cast("double") - F.lit(1.0))
+                )
+            )
+        ).alias("z"),
+    ).localCheckpoint(eager=True)  # both pair-join sides read it
+    a = z.select(F.col("s").alias("s1"), "t", F.col("z").alias("z1"))
+    b = z.select(F.col("s").alias("s2"), "t", F.col("z").alias("z2"))
+    pairs = a.join(b, "t").where(F.col("s1") < F.col("s2"))
+    micro = pairs.select(
+        "s1",
+        "s2",
+        F.floor(
+            F.abs(F.col("z1") - F.col("z2")) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dz6"),
+    )
+    g = micro.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("dz6").cast("long").alias("__sdz"),
+    )
+    return g.select(
+        "s1",
+        "s2",
+        (
+            F.col("__sdz").cast("double")
+            / F.lit(1000000.0)
+            / F.col("__k").cast("double")
+        ).alias("delta"),
+    )

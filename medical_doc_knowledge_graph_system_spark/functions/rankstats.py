@@ -858,3 +858,58 @@ def mde_power(
     half = F.expr("n div 2").cast("double")
     mde = F.lit(2.8) * F.sqrt(F.lit(2.0) * var / half)
     return g.select(*key_cols, "n", F.sqrt(var).alias("sd"), mde.alias("mde"))
+
+
+def stratified_ate(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    unit_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Post-stratification average-treatment-effect estimate per key:
+    arms are unit % 2; within each stratum the arm-mean difference is the
+    usual two-division closed form over exact BIGINT cells, and the ATE is
+    the stratum-size-weighted average sum_s (n_s/n) * (m1_s - m0_s). Each
+    stratum term is micro-quantized to BIGINT 1e-6 units BEFORE the
+    cross-stratum sum (the events_anova convention). Strata missing an arm
+    are dropped from numerator AND weight mass (complete-cell analysis).
+    Output: (keys..., n_used, n_strata, ate) unquantized."""
+    arm = (F.col(unit_col) % 2 == 0)
+    x = F.col(value_col).cast("long")
+    cells = df.groupBy(*key_cols, F.col(stratum_col).alias("__st")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ns"),
+        F.sum(F.when(arm, x)).cast("long").alias("__s1"),
+        F.sum(F.when(arm, 1).otherwise(0)).cast("long").alias("__n1"),
+        F.sum(F.when(~arm, x)).cast("long").alias("__s0"),
+        F.sum(F.when(~arm, 1).otherwise(0)).cast("long").alias("__n0"),
+    ).where((F.col("__n1") > 0) & (F.col("__n0") > 0))
+    diff = (
+        F.col("__s1").cast("double") / F.col("__n1").cast("double")
+        - F.col("__s0").cast("double") / F.col("__n0").cast("double")
+    )
+    micro = cells.select(
+        *key_cols,
+        "__ns",
+        F.floor(
+            F.col("__ns").cast("double") * diff * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__wd6"),
+    )
+    g = micro.groupBy(*key_cols).agg(
+        F.sum("__ns").cast("long").alias("n_used"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("__wd6").cast("long").alias("__swd"),
+    )
+    return g.select(
+        *key_cols,
+        "n_used",
+        "n_strata",
+        (
+            F.col("__swd").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_used").cast("double")
+        ).alias("ate"),
+    )

@@ -633,3 +633,66 @@ def best_stump(
         F.col("__b.ml").alias("mean_l"),
         F.col("__b.mr").alias("mean_r"),
     )
+
+
+def pettitt_test(
+    series: DataFrame,
+    key_cols: list[str],
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Pettitt rank-based change-point test per key — the nonparametric
+    twin of the CUSUM gate: U_t = sum_{i<=t, j>t} sgn(x_j - x_i), the
+    change point is argmax |U_t|, K = max|U_t|. PURE INTEGER via the
+    telescoping identity U_t - U_{t-1} = sum_k sgn(x_k - x_t): one per-key
+    cross join (span x span — the daily series, never events) for the
+    per-position sign sums, one bounded cumulative window, one max-struct
+    argmax (ties to the smallest position).
+    Output: (keys..., n, cp_pos, k_stat)."""
+    a = series.select(
+        *key_cols,
+        F.col(pos_col).cast("long").alias("__t"),
+        F.col(x_col).cast("long").alias("__xt"),
+    )
+    b = series.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        F.col(x_col).cast("long").alias("__xk"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(k) == F.col(f"__k_{k}")
+        cond = c if cond is None else (cond & c)
+    d = (
+        a.join(b, cond)
+        .groupBy(*key_cols, "__t")
+        .agg(
+            F.sum(F.signum((F.col("__xk") - F.col("__xt")).cast("double")))
+            .cast("long")
+            .alias("__d"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = d.select(
+        *key_cols,
+        "n",
+        "__t",
+        F.sum("__d").over(w).cast("long").alias("__u"),
+    ).where(F.col("__t") < F.col("n"))
+    g = walked.groupBy(*key_cols, "n").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("__u")).alias("k"), (-F.col("__t")).alias("np")
+            )
+        ).alias("__mx")
+    )
+    return g.select(
+        *key_cols,
+        "n",
+        (-F.col("__mx.np")).cast("long").alias("cp_pos"),
+        F.col("__mx.k").cast("long").alias("k_stat"),
+    )

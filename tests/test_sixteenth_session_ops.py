@@ -553,3 +553,132 @@ def test_simhash_pairs_pigeonhole_guard(spark):
     df = None  # never evaluated — the assert fires first
     with _pytest.raises(AssertionError):
         simhash_hamming_pairs(df, max_hamming=4, bands=4)
+
+
+# ── pettitt_test ─────────────────────────────────────────────────────────────
+
+
+def test_pettitt_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        pettitt_test,
+    )
+
+    rng = random.Random(71)
+    xs = [rng.randrange(0, 50) for _ in range(14)] + [
+        rng.randrange(100, 150) for _ in range(14)
+    ]
+    got = pettitt_test(_series_df_ss(spark, xs), ["k"]).collect()[0]
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    n = len(xs)
+    us = []
+    for t in range(1, n):
+        us.append(
+            (
+                abs(
+                    sum(
+                        sgn(xs[j] - xs[i])
+                        for i in range(t)
+                        for j in range(t, n)
+                    )
+                ),
+                t,
+            )
+        )
+    k_stat, cp = max(us, key=lambda p: (p[0], -p[1]))
+    assert got["k_stat"] == k_stat
+    assert got["cp_pos"] == cp == 14  # the planted break
+    assert got["n"] == n
+
+
+def test_pettitt_monotone_series_peaks_midway(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        pettitt_test,
+    )
+
+    got = pettitt_test(_series_df_ss(spark, list(range(20))), ["k"]).collect()[0]
+    # strictly increasing: U_t = t*(n-t); max at t = n/2
+    assert got["cp_pos"] == 10 and got["k_stat"] == 10 * 10
+
+
+# ── burrows_delta ────────────────────────────────────────────────────────────
+
+
+def test_burrows_same_style_smaller_delta(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.corpusstats import (
+        burrows_delta,
+    )
+
+    rng = random.Random(73)
+    # sources A and B share a word distribution; C skews to different words
+    common = ["the", "of", "and", "to", "in"]
+    rare = ["zap", "qux", "fizz", "buzz", "jolt"]
+
+    def doc(words, n=60):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    rows = []
+    for i in range(8):
+        rows.append((i, doc(common * 3 + rare), "A"))
+        rows.append((100 + i, doc(common * 3 + rare), "B"))
+        rows.append((200 + i, doc(rare * 3 + common), "C"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["s1"], r["s2"]): r["delta"]
+        for r in burrows_delta(df, "source", "text", k=10).collect()
+    }
+    assert out[("A", "B")] < out[("A", "C")]
+    assert out[("A", "B")] < out[("B", "C")]
+    assert len(out) == 3
+
+
+# ── stratified_ate ───────────────────────────────────────────────────────────
+
+
+def test_strat_ate_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        stratified_ate,
+    )
+
+    import math
+
+    rng = random.Random(79)
+    rows = []
+    for i in range(200):
+        u = rng.randrange(0, 50)
+        st = rng.randrange(0, 4)
+        x = rng.randrange(0, 100) + (40 if u % 2 == 0 else 0)
+        rows.append(("g", u, st, x))
+    df = spark.createDataFrame(rows, "k string, u long, st long, x long")
+    got = stratified_ate(df, ["k"], "x", "u", "st").collect()[0]
+
+    num = used = strata = 0
+    for st in range(4):
+        cell = [(u, x) for _, u, s2, x in rows if s2 == st]
+        t = [x for u, x in cell if u % 2 == 0]
+        c = [x for u, x in cell if u % 2 != 0]
+        if t and c:
+            ns = len(cell)
+            num += math.floor(ns * (sum(t) / len(t) - sum(c) / len(c)) * 1e6 + 0.5)
+            used += ns
+            strata += 1
+    assert got["n_used"] == used and got["n_strata"] == strata
+    assert abs(got["ate"] - num / 1e6 / used) < 1e-9
+    assert 20 < got["ate"] < 60  # recovers the planted +40 effect
+
+
+def test_strat_ate_drops_one_armed_strata(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        stratified_ate,
+    )
+
+    rows = [
+        ("g", 0, 0, 10), ("g", 1, 0, 20),   # complete stratum
+        ("g", 2, 1, 999),                    # stratum 1: only arm-even
+    ]
+    df = spark.createDataFrame(rows, "k string, u long, st long, x long")
+    got = stratified_ate(df, ["k"], "x", "u", "st").collect()[0]
+    assert got["n_used"] == 2 and got["n_strata"] == 1
+    assert got["ate"] == -10.0
