@@ -7678,6 +7678,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_stump"] = stream_stump
 
+    # Tukey box-plot fences per type — PURE INTEGER: quartiles are
+    # positional order statistics over the (cents, event_id) total order
+    # and the 1.5-IQR outlier tests are cross-multiplied
+    # (2x < 5Q1 − 3Q3), so no float exists anywhere in the operator.
+    def events_fences(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            tukey_fences,
+        )
+
+        ev = _t(s, d, "events").select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        return tukey_fences(ev, ["event_type"], "cents", "event_id")
+
+    q["events_fences"] = events_fences
+
+    # Szekely energy distance between every type pair over the daily
+    # dollars series: the |diff| double-sums are exact BIGINTs from
+    # span²-bounded cross joins; E is one fixed-order three-term double.
+    def events_energy_dist(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+            energy_distance_pairs,
+        )
+
+        g = energy_distance_pairs(_ev_daily(s, d), "event_type", "dollars")
+        return g.select(
+            "k1", "k2", "n", "m", _q4(F.col("e_stat")).alias("e_stat")
+        )
+
+    q["events_energy_dist"] = events_energy_dist
+
+    # nDCG@5 of the IVF ranking against the exact-cosine ranking — the
+    # graded-relevance retrieval metric next to sim_recall_eval's
+    # recall/RR. rel = 6 − exact_rank; the 1/log2(r+1) discounts are
+    # repr() decimal literals both engines parse to identical doubles
+    # (the BENFORD_P convention); per-term quantized to BIGINT 1e-9 units
+    # before the per-query sum; IDCG is the shared precomputed constant.
+    def sim_ndcg_eval(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.simsearch import (
+            topk_cosine,
+            topk_cosine_ivf,
+        )
+
+        emb = _dbl_emb(_t(s, d, "embeddings"))
+        qs = _queries_dim(s, d)
+        exact = topk_cosine(emb, qs, k=5).select(
+            "query_id", "vec_id", F.col("rank").alias("ex_rank")
+        )
+        approx = topk_cosine_ivf(emb, qs, k=5, n_cells=16).select(
+            "query_id", "vec_id", F.col("rank").alias("ap_rank")
+        )
+        j = approx.join(exact, ["query_id", "vec_id"], "left")
+        rel = F.coalesce(F.lit(6) - F.col("ex_rank"), F.lit(0)).cast(
+            "double"
+        )
+        disc = (
+            F.when(F.col("ap_rank") == 1, F.lit(1.0))
+            .when(F.col("ap_rank") == 2, F.lit(1.584962500721156))
+            .when(F.col("ap_rank") == 3, F.lit(2.0))
+            .when(F.col("ap_rank") == 4, F.lit(2.321928094887362))
+            .otherwise(F.lit(2.584962500721156))
+        )
+        term9 = F.floor(rel / disc * F.lit(1000000000.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        g = j.groupBy("query_id").agg(
+            F.sum(term9).cast("long").alias("dcg9"),
+            F.sum(F.when(F.col("ex_rank").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        return g.select(
+            "query_id",
+            "n_overlap",
+            _q4(
+                F.col("dcg9").cast("double") / F.lit(10271924937.0)
+            ).alias("ndcg5"),
+        )
+
+    q["sim_ndcg_eval"] = sim_ndcg_eval
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -13047,7 +13132,8 @@ SELECT event_type, n, a_q, b_q,
              * 10000.0 + 0.5) / 10000.0 AS p7
 FROM g"""
 
-    o["sim_recall_eval"] = f"""
+    # shared exact-vs-IVF ranking CTE chain (recall/RR and nDCG evals)
+    _IVF_EVAL = f"""
 WITH e AS (SELECT vec_id, {emb} AS embedding FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS q_embedding FROM e
       WHERE vec_id < 5),
@@ -13091,7 +13177,9 @@ approx AS (
                               ORDER BY score DESC, vec_id ASC) AS ap_rank
     FROM ap_scored
   ) WHERE ap_rank <= 5
-),
+)"""
+
+    o["sim_recall_eval"] = f"""{_IVF_EVAL},
 j AS (
   SELECT exact.query_id, exact.ex_rank, approx.ap_rank
   FROM exact LEFT JOIN approx
@@ -14043,5 +14131,91 @@ SELECT n_cand, n_truth, n_hit,
 FROM counts"""
 
     o["stream_stump"] = o["events_stump"]
+
+    o["events_fences"] = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev
+),
+qs AS (
+  SELECT event_type, n,
+         CAST(max(CASE WHEN r = greatest((n + 1) // 4, 1)
+                  THEN cents END) AS BIGINT) AS q1,
+         CAST(max(CASE WHEN r = greatest((n + 1) // 2, 1)
+                  THEN cents END) AS BIGINT) AS q2,
+         CAST(max(CASE WHEN r = greatest((3 * (n + 1)) // 4, 1)
+                  THEN cents END) AS BIGINT) AS q3
+  FROM ranked GROUP BY 1, 2
+)
+SELECT qs.event_type, qs.n, qs.q1, qs.q2, qs.q3,
+       CAST(sum(CASE WHEN 2 * ev.cents < 5 * qs.q1 - 3 * qs.q3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+       CAST(sum(CASE WHEN 2 * ev.cents > 5 * qs.q3 - 3 * qs.q1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+FROM ev JOIN qs ON ev.event_type = qs.event_type
+GROUP BY 1, 2, 3, 4, 5"""
+
+    o["events_energy_dist"] = f"""
+WITH {_SER},
+v AS MATERIALIZED (SELECT event_type AS k, dollars AS x FROM ser),
+within AS (
+  SELECT a.k, CAST(sum(abs(a.x - b.x)) AS BIGINT) AS aw,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM v a JOIN v b ON a.k = b.k GROUP BY 1
+),
+w2 AS (SELECT k, aw, CAST(sqrt(CAST(nn AS DOUBLE)) AS BIGINT) AS n
+       FROM within),
+crossed AS (
+  SELECT a.k AS k1, b.k AS k2,
+         CAST(sum(abs(a.x - b.x)) AS BIGINT) AS axy
+  FROM v a JOIN v b ON a.k < b.k GROUP BY 1, 2
+)
+SELECT c.k1, c.k2, wa.n AS n, wb.n AS m,
+       floor((2.0 * CAST(c.axy AS DOUBLE)
+              / (CAST(wa.n AS DOUBLE) * CAST(wb.n AS DOUBLE))
+              - CAST(wa.aw AS DOUBLE)
+                / (CAST(wa.n AS DOUBLE) * CAST(wa.n AS DOUBLE))
+              - CAST(wb.aw AS DOUBLE)
+                / (CAST(wb.n AS DOUBLE) * CAST(wb.n AS DOUBLE)))
+             * 10000.0 + 0.5) / 10000.0 AS e_stat
+FROM crossed c
+JOIN w2 wa ON wa.k = c.k1
+JOIN w2 wb ON wb.k = c.k2"""
+
+    o["sim_ndcg_eval"] = f"""{_IVF_EVAL},
+j AS (
+  SELECT approx.query_id, approx.ap_rank, exact.ex_rank
+  FROM approx LEFT JOIN exact
+    ON approx.query_id = exact.query_id AND approx.vec_id = exact.vec_id
+),
+terms AS (
+  SELECT query_id, ex_rank,
+         CAST(floor(CAST(coalesce(6 - ex_rank, 0) AS DOUBLE)
+                    / (CASE WHEN ap_rank = 1 THEN 1.0
+                            WHEN ap_rank = 2 THEN 1.584962500721156
+                            WHEN ap_rank = 3 THEN 2.0
+                            WHEN ap_rank = 4 THEN 2.321928094887362
+                            ELSE 2.584962500721156 END)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS t9
+  FROM j
+),
+g AS (
+  SELECT query_id, CAST(sum(t9) AS BIGINT) AS dcg9,
+         CAST(sum(CASE WHEN ex_rank IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM terms GROUP BY 1
+)
+SELECT query_id, n_overlap,
+       floor(CAST(dcg9 AS DOUBLE) / 10271924937.0 * 10000.0 + 0.5)
+         / 10000.0 AS ndcg5
+FROM g"""
 
     return o

@@ -256,6 +256,9 @@ HEADLINE = [
     "events_pettitt",
     "text_burrows",
     "events_strat_ate",
+    "events_fences",
+    "events_energy_dist",
+    "sim_ndcg_eval",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

@@ -913,3 +913,141 @@ def stratified_ate(
             / F.col("n_used").cast("double")
         ).alias("ate"),
     )
+
+
+def tukey_fences(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Tukey box-plot fences per key — PURE INTEGER end to end: quartiles
+    are positional order statistics at ranks (n+1)//4, (n+1)//2, 3(n+1)//4
+    over the (value, id) total order, and the 1.5-IQR outlier tests are
+    cross-multiplied (2x < 5*Q1 - 3*Q3 / 2x > 5*Q3 - 3*Q1), so no float
+    exists anywhere in the operator.
+    Output: (keys..., n, q1, q2, q3, n_out_lo, n_out_hi)."""
+    w = Window.partitionBy(*key_cols).orderBy(value_col, id_col)
+    x = F.col(value_col).cast("long")
+    ranked = df.select(
+        *key_cols,
+        x.alias("__x"),
+        F.row_number().over(w).cast("long").alias("__r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*key_cols))
+        .cast("long")
+        .alias("__n"),
+    )
+    qs = ranked.groupBy(*key_cols, "__n").agg(
+        F.max(
+            F.when(F.col("__r") == F.greatest(F.expr("(__n + 1) div 4"), F.lit(1)), F.col("__x"))
+        )
+        .cast("long")
+        .alias("q1"),
+        F.max(
+            F.when(F.col("__r") == F.greatest(F.expr("(__n + 1) div 2"), F.lit(1)), F.col("__x"))
+        )
+        .cast("long")
+        .alias("q2"),
+        F.max(
+            F.when(
+                F.col("__r")
+                == F.greatest(F.expr("(3 * (__n + 1)) div 4"), F.lit(1)),
+                F.col("__x"),
+            )
+        )
+        .cast("long")
+        .alias("q3"),
+    )
+    j = df.select(*key_cols, x.alias("__x")).join(qs, key_cols)
+    return j.groupBy(*key_cols, "__n", "q1", "q2", "q3").agg(
+        F.sum(
+            F.when(
+                F.lit(2) * F.col("__x")
+                < F.lit(5) * F.col("q1") - F.lit(3) * F.col("q3"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_out_lo"),
+        F.sum(
+            F.when(
+                F.lit(2) * F.col("__x")
+                > F.lit(5) * F.col("q3") - F.lit(3) * F.col("q1"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_out_hi"),
+    ).select(
+        *key_cols,
+        F.col("__n").alias("n"),
+        "q1",
+        "q2",
+        "q3",
+        "n_out_lo",
+        "n_out_hi",
+    )
+
+
+def energy_distance_pairs(
+    series: DataFrame,
+    key_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Szekely energy distance between every unordered key pair:
+
+        E = 2*Axy/(n*m) - Axx/n^2 - Ayy/m^2
+
+    with A** the FULL double sums of |value differences| — exact BIGINTs
+    from per-pair cross joins, so E is one fixed-order three-term double
+    expression. Intended for bounded per-key series (the daily
+    aggregates): cross joins are span^2 per pair, never events^2.
+    Output: (k1, k2, n, m, e_stat) unquantized."""
+    v = series.select(
+        F.col(key_col).alias("k"), F.col(x_col).cast("long").alias("x")
+    ).localCheckpoint(eager=True)  # self + cross joins all read it
+    a = v.select(F.col("k").alias("ka"), F.col("x").alias("xa"))
+    b = v.select(F.col("k").alias("kb"), F.col("x").alias("xb"))
+    within = (
+        a.join(b, F.col("ka") == F.col("kb"))
+        .groupBy(F.col("ka").alias("k"))
+        .agg(
+            F.sum(F.abs(F.col("xa") - F.col("xb"))).cast("long").alias("aw"),
+            F.count(F.lit(1)).cast("long").alias("nn"),
+        )
+        .select("k", "aw", F.sqrt(F.col("nn").cast("double")).cast("long").alias("n"))
+    )
+    cross = (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .groupBy(F.col("ka").alias("k1"), F.col("kb").alias("k2"))
+        .agg(
+            F.sum(F.abs(F.col("xa") - F.col("xb"))).cast("long").alias("axy")
+        )
+    )
+    j = (
+        cross.join(
+            within.select(
+                F.col("k").alias("k1"),
+                F.col("aw").alias("axx"),
+                F.col("n").alias("n"),
+            ),
+            "k1",
+        )
+        .join(
+            within.select(
+                F.col("k").alias("k2"),
+                F.col("aw").alias("ayy"),
+                F.col("n").alias("m"),
+            ),
+            "k2",
+        )
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    e = (
+        F.lit(2.0) * F.col("axy").cast("double") / (nd * md)
+        - F.col("axx").cast("double") / (nd * nd)
+        - F.col("ayy").cast("double") / (md * md)
+    )
+    return j.select("k1", "k2", "n", "m", e.alias("e_stat"))

@@ -682,3 +682,62 @@ def test_strat_ate_drops_one_armed_strata(spark):
     got = stratified_ate(df, ["k"], "x", "u", "st").collect()[0]
     assert got["n_used"] == 2 and got["n_strata"] == 1
     assert got["ate"] == -10.0
+
+
+# ── tukey_fences ─────────────────────────────────────────────────────────────
+
+
+def test_fences_match_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        tukey_fences,
+    )
+
+    rng = random.Random(83)
+    xs = [rng.randrange(0, 100) for _ in range(50)] + [5000, -4000]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, id long, x long")
+    got = tukey_fences(df, ["k"], "x", "id").collect()[0]
+    n = len(xs)
+    srt = sorted(xs)
+    q1 = srt[max((n + 1) // 4, 1) - 1]
+    q2 = srt[max((n + 1) // 2, 1) - 1]
+    q3 = srt[max(3 * (n + 1) // 4, 1) - 1]
+    assert (got["q1"], got["q2"], got["q3"]) == (q1, q2, q3)
+    assert got["n_out_lo"] == sum(1 for x in xs if 2 * x < 5 * q1 - 3 * q3)
+    assert got["n_out_hi"] == sum(1 for x in xs if 2 * x > 5 * q3 - 3 * q1)
+    assert got["n_out_lo"] >= 1 and got["n_out_hi"] >= 1  # planted extremes
+
+
+# ── energy_distance_pairs ────────────────────────────────────────────────────
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        energy_distance_pairs,
+    )
+
+    rng = random.Random(89)
+    xs = [rng.randrange(0, 100) for _ in range(20)]
+    ys = [rng.randrange(50, 200) for _ in range(25)]
+    rows = [("a", x) for x in xs] + [("b", y) for y in ys]
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = energy_distance_pairs(df, "k", "x").collect()[0]
+    axy = sum(abs(x - y) for x in xs for y in ys)
+    axx = sum(abs(p - q) for p in xs for q in xs)
+    ayy = sum(abs(p - q) for p in ys for q in ys)
+    n, m = len(xs), len(ys)
+    expect = 2.0 * axy / (n * m) - axx / (n * n) - ayy / (m * m)
+    assert (got["n"], got["m"]) == (n, m)
+    assert abs(got["e_stat"] - expect) < 1e-9
+
+
+def test_energy_distance_identical_distribution_near_zero(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.rankstats import (
+        energy_distance_pairs,
+    )
+
+    xs = list(range(30))
+    rows = [("a", x) for x in xs] + [("b", x) for x in xs]
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = energy_distance_pairs(df, "k", "x").collect()[0]
+    assert abs(got["e_stat"]) < 1e-9  # identical samples: E == 0 exactly
