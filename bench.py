@@ -259,6 +259,8 @@ HEADLINE = [
     "events_fences",
     "events_energy_dist",
     "sim_ndcg_eval",
+    "kg_richclub",
+    "events_detrended_acf",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

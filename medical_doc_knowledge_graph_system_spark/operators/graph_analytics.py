@@ -1591,3 +1591,56 @@ def count_4cliques(edges: DataFrame) -> DataFrame:
     n_c4 = j3.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cliques4"))
     n_e = e0.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_e.crossJoin(n_tri).crossJoin(n_c4)
+
+
+def rich_club(edges: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) over an
+    undirected (a, b) edge list: among nodes of degree > k, the fraction of
+    possible edges present — the hub-interconnection diagnostic (Colizza
+    2006). Pure BIGINT counts + ONE division per k; rows with N_k < 2 are
+    dropped (phi undefined).
+
+    Scale shape: one degree aggregate, one two-sided degree join on the
+    edge list, then the k dimension is a broadcast explode over the SAME
+    joined frame — adding a k never re-reads the graph.
+    Output: (k, n_nodes, n_edges, phi)."""
+    from pyspark.sql import functions as F
+
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    kdim = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    nodes_k = (
+        deg.select("deg", kdim)
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ej = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    edges_k = (
+        ej.select("da", "db", kdim)
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    j = nodes_k.join(edges_k, "k", "left").select(
+        "k",
+        "n_nodes",
+        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+    )
+    phi = (
+        F.lit(2.0)
+        * F.col("n_edges").cast("double")
+        / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double")
+    )
+    return j.where(F.col("n_nodes") >= 2).select(
+        "k", "n_nodes", "n_edges", phi.alias("phi")
+    )

@@ -696,3 +696,69 @@ def pettitt_test(
         (-F.col("__mx.np")).cast("long").alias("cp_pos"),
         F.col("__mx.k").cast("long").alias("k_stat"),
     )
+
+
+def detrended_acf1(
+    series: DataFrame,
+    key_cols: list[str],
+    pos_col: str = "pos",
+    x_col: str = "x",
+) -> DataFrame:
+    """Lag-1 autocorrelation of the OLS-DETRENDED series — the residual
+    diagnostic (Durbin-Watson's question) run entirely in integers: the
+    residual scaled by n*b_den,
+
+        E_t = n*b_den*y_t - (Sy*b_den - b_num*Sx) - n*b_num*t
+
+    is an exact BIGINT (b_num/b_den the cross-multiplied OLS slope), then
+    uniformly SHIFTED POSITIVE and quantized by a truncating div (Spark
+    `div` == DuckDB `//` only on non-negative operands — the shift is what
+    makes the two engines agree), and r1 comes from the shared acov_scaled
+    machinery on the quantized residual series. Output: (keys..., n, r1)
+    unquantized."""
+    x = F.col(x_col).cast("long")
+    t = F.col(pos_col).cast("long")
+    base = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(t).cast("long").alias("__sx"),
+        F.sum(x).cast("long").alias("__sy"),
+        F.sum(t * t).cast("long").alias("__sxx"),
+        F.sum(t * x).cast("long").alias("__sxy"),
+    )
+    j = series.join(base, key_cols).select(
+        *key_cols,
+        t.alias("__t"),
+        x.alias("__y"),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).alias(
+            "__bnum"
+        ),
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).alias(
+            "__bden"
+        ),
+        "__n",
+        "__sx",
+        "__sy",
+    )
+    e_raw = (
+        F.col("__n") * F.col("__bden") * F.col("__y")
+        - (
+            F.col("__sy") * F.col("__bden")
+            - F.col("__bnum") * F.col("__sx")
+        )
+        - F.col("__n") * F.col("__bnum") * F.col("__t")
+    )
+    quant = j.select(
+        *key_cols,
+        F.col("__t").alias("pos"),
+        e_raw.alias("__e"),
+    ).select(
+        *key_cols,
+        "pos",
+        F.expr("((__e + 1000000000000) div 100000) - 10000000").alias("e"),
+    )
+    g = acov_scaled(quant, key_cols, "pos", "e", max_lag=1)
+    return g.select(
+        *key_cols,
+        "n",
+        (F.col("c1").cast("double") / F.col("c0").cast("double")).alias("r1"),
+    )

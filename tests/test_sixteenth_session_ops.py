@@ -741,3 +741,77 @@ def test_energy_distance_identical_distribution_near_zero(spark):
     df = spark.createDataFrame(rows, "k string, x long")
     got = energy_distance_pairs(df, "k", "x").collect()[0]
     assert abs(got["e_stat"]) < 1e-9  # identical samples: E == 0 exactly
+
+
+# ── rich_club ────────────────────────────────────────────────────────────────
+
+
+def test_rich_club_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.graph_analytics import (
+        rich_club,
+    )
+
+    # hub clique 0-1-2-3 (complete) + pendant spokes to drive degrees up
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    edges += [(0, 10), (0, 11), (1, 12), (2, 13), (3, 14)]
+    edges += [(1, 15), (2, 16), (3, 17)]  # lift the clique to degree 5
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["k"]: r for r in rich_club(df, ks=(1, 2, 4)).collect()}
+
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in (1, 2, 4):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            assert k not in got
+            continue
+        ek = sum(1 for a, b in edges if a in rich and b in rich)
+        assert got[k]["n_nodes"] == len(rich)
+        assert got[k]["n_edges"] == ek
+        assert abs(got[k]["phi"] - 2 * ek / (len(rich) * (len(rich) - 1))) < 1e-9
+    # the degree>4 club is exactly the clique: phi == 1
+    assert got[4]["phi"] == 1.0
+
+
+# ── detrended_acf1 ───────────────────────────────────────────────────────────
+
+
+def test_detrended_acf_removes_trend(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        detrended_acf1,
+    )
+
+    # strong linear trend + alternating residual: raw r1 would be ~1 from
+    # the trend; detrended r1 must see the alternation (strongly negative)
+    xs = [1000 * t + (500 if t % 2 == 0 else -500) for t in range(1, 31)]
+    got = detrended_acf1(_series_df_ss(spark, xs), ["k"]).collect()[0]
+    assert got["n"] == 30
+    assert got["r1"] < -0.8
+
+
+def test_detrended_acf_matches_bruteforce(spark):
+    from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+        detrended_acf1,
+    )
+
+    rng = random.Random(97)
+    xs = [rng.randrange(0, 5000) for _ in range(30)]
+    got = detrended_acf1(_series_df_ss(spark, xs), ["k"]).collect()[0]
+
+    n = 30
+    ts = list(range(1, 31))
+    sx, sy = sum(ts), sum(xs)
+    sxx = sum(t * t for t in ts)
+    sxy = sum(t * y for t, y in zip(ts, xs))
+    bnum, bden = n * sxy - sx * sy, n * sxx - sx * sx
+    es = [
+        ((n * bden * y - (sy * bden - bnum * sx) - n * bnum * t
+          + 10**12) // 10**5) - 10**7
+        for t, y in zip(ts, xs)
+    ]
+    m = sum(es) / n
+    c0 = sum((e - m) ** 2 for e in es)
+    c1 = sum((es[i] - m) * (es[i + 1] - m) for i in range(n - 1))
+    assert abs(got["r1"] - c1 / c0) < 1e-4
