@@ -7793,6 +7793,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_detrended_acf"] = events_detrended_acf
 
+    # Greedy facility-location document selection (submodular coverage —
+    # the (1−1/e)-greedy behind coverage-driven corpus curation): 5 rounds
+    # of argmax-new-shingles, ties to the smallest doc_id; oracle unrolls
+    # the identical rounds (every pick/covered CTE MATERIALIZED).
+    def sample_coverage(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.curate import (
+            coverage_select,
+        )
+
+        return coverage_select(_t(s, d, "documents"), n_pick=5)
+
+    q["sample_coverage"] = sample_coverage
+
+    # Winsorized mean per type: positional p05/p95 order statistics over
+    # the (cents, event_id) total order, values CLAMPED (not dropped —
+    # the trimmed-mean sibling), ONE division at the end.
+    def events_winsor(s, d):
+        ev = _t(s, d, "events").select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+        ranked = ev.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).cast("long").alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .cast("long")
+            .alias("n"),
+        )
+        qs = ranked.groupBy("event_type", "n").agg(
+            F.max(
+                F.when(
+                    F.col("r")
+                    == F.greatest(F.expr("(n + 1) div 20"), F.lit(1)),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("p05"),
+            F.max(
+                F.when(
+                    F.col("r")
+                    == F.least(F.expr("(19 * (n + 1)) div 20"), F.col("n")),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("p95"),
+        )
+        j = ev.join(qs, "event_type")
+        return j.groupBy("event_type", "n", "p05", "p95").agg(
+            _q4(
+                F.sum(
+                    F.greatest(F.least(F.col("cents"), F.col("p95")), F.col("p05"))
+                ).cast("double")
+                / F.col("n").cast("double")
+            ).alias("wmean")
+        )
+
+    q["events_winsor"] = events_winsor
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -14161,6 +14227,74 @@ SELECT n_cand, n_truth, n_hit,
 FROM counts"""
 
     o["stream_stump"] = o["events_stump"]
+
+    _cov_rounds = []
+    for _r in range(2, 6):
+        _prev_c = f"c{_r - 1}"
+        _prev_picks = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{_i}" for _i in range(1, _r)
+        )
+        _cov_rounds.append(f"""
+p{_r} AS MATERIALIZED (
+  SELECT shm.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM shm LEFT JOIN {_prev_c} ON shm.shingle = {_prev_c}.shingle
+  WHERE {_prev_c}.shingle IS NULL
+    AND shm.doc_id NOT IN ({_prev_picks})
+  GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1
+),
+c{_r} AS MATERIALIZED (
+  SELECT shingle FROM {_prev_c}
+  UNION
+  SELECT shingle FROM shm JOIN p{_r} USING (doc_id)
+)""")
+    o["sample_coverage"] = f"""
+WITH {_shingles_cte()},
+shm AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh),
+p1 AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM shm GROUP BY 1
+  ORDER BY gain DESC, doc_id ASC LIMIT 1
+),
+c1 AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM shm JOIN p1 USING (doc_id)
+),{",".join(_cov_rounds)},
+picks AS (
+  SELECT CAST(1 AS INT) AS rank, doc_id, gain FROM p1
+  UNION ALL SELECT CAST(2 AS INT), doc_id, gain FROM p2
+  UNION ALL SELECT CAST(3 AS INT), doc_id, gain FROM p3
+  UNION ALL SELECT CAST(4 AS INT), doc_id, gain FROM p4
+  UNION ALL SELECT CAST(5 AS INT), doc_id, gain FROM p5
+)
+SELECT rank, doc_id, gain,
+       CAST(sum(gain) OVER (ORDER BY rank) AS BIGINT) AS cum_covered
+FROM picks"""
+
+    o["events_winsor"] = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev
+),
+qs AS (
+  SELECT event_type, n,
+         CAST(max(CASE WHEN r = greatest((n + 1) // 20, 1)
+                  THEN cents END) AS BIGINT) AS p05,
+         CAST(max(CASE WHEN r = least((19 * (n + 1)) // 20, n)
+                  THEN cents END) AS BIGINT) AS p95
+  FROM ranked GROUP BY 1, 2
+)
+SELECT qs.event_type, qs.n, qs.p05, qs.p95,
+       floor(CAST(sum(greatest(least(ev.cents, qs.p95), qs.p05))
+                  AS DOUBLE) / CAST(qs.n AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS wmean
+FROM ev JOIN qs ON ev.event_type = qs.event_type
+GROUP BY 1, 2, 3, 4"""
 
     o["kg_richclub"] = f"""
 WITH {_docgraph_ctes()},

@@ -261,6 +261,8 @@ HEADLINE = [
     "sim_ndcg_eval",
     "kg_richclub",
     "events_detrended_acf",
+    "sample_coverage",
+    "events_winsor",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}

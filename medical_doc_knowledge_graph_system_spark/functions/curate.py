@@ -566,3 +566,57 @@ def hash_split(
         F.lit(splits[0][0]) if expr is None else expr.otherwise(splits[-1][0])
     )
     return df.withColumn("split", expr)
+
+
+def coverage_select(
+    df: DataFrame,
+    n_pick: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy facility-location document selection: pick n_pick documents
+    that maximize cumulative DISTINCT shingle coverage — the submodular
+    data-selection primitive behind coverage-driven corpus curation
+    (greedy is (1 - 1/e)-optimal for monotone submodular objectives).
+    Fully deterministic: each round's argmax ties break to the smallest
+    doc_id.
+
+    Scale shape: the shingle incidence is pinned once; each round is one
+    anti-join against the covered-set frame + one count aggregate + a
+    TakeOrdered(1) driver probe (the sim_kcenter round pattern — n_pick
+    driver rounds, never a driver-side data structure beyond the picks).
+    Output: (rank, doc_id, gain, cum_covered).
+    """
+    from .dedup import doc_shingles
+
+    sh = (
+        doc_shingles(df, text_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    chosen: list[int] = []
+    out: list[tuple[int, int, int, int]] = []
+    cum = 0
+    for r in range(1, n_pick + 1):
+        cand = sh if covered is None else sh.join(covered, "shingle", "left_anti")
+        if chosen:
+            cand = cand.where(~F.col("doc_id").isin(chosen))
+        gain = cand.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        top = gain.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()
+        if not top:
+            break
+        doc_id, g = int(top[0]["doc_id"]), int(top[0]["gain"])
+        cum += g
+        out.append((r, doc_id, g, cum))
+        chosen.append(doc_id)
+        new_cov = sh.where(F.col("doc_id") == doc_id).select("shingle")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionAll(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        out, "rank int, doc_id long, gain long, cum_covered long"
+    )

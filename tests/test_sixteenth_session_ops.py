@@ -815,3 +815,51 @@ def test_detrended_acf_matches_bruteforce(spark):
     c0 = sum((e - m) ** 2 for e in es)
     c1 = sum((es[i] - m) * (es[i + 1] - m) for i in range(n - 1))
     assert abs(got["r1"] - c1 / c0) < 1e-4
+
+
+# ── coverage_select ──────────────────────────────────────────────────────────
+
+
+def test_coverage_select_matches_greedy(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        coverage_select,
+    )
+
+    rng = random.Random(101)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(coverage_select(df, n_pick=4).collect(), key=lambda r: r["rank"])
+
+    def shingles(text):
+        t = text.lower().split(" ")
+        n = max(len(t) - 2, 1)
+        return {" ".join(t[i : i + 3]) for i in range(n)}
+
+    sets = {i: shingles(tx) for i, tx in docs}
+    covered = set()
+    chosen = []
+    for r in range(4):
+        best = max(
+            ((len(sets[i] - covered), -i) for i in sets if i not in chosen)
+        )
+        gain, i = best[0], -best[1]
+        chosen.append(i)
+        covered |= sets[i]
+        row = got[r]
+        assert (row["doc_id"], row["gain"]) == (i, gain)
+        assert row["cum_covered"] == len(covered)
+
+
+def test_coverage_gains_nonincreasing(spark):
+    from medical_doc_knowledge_graph_system_spark.functions.curate import (
+        coverage_select,
+    )
+
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(5 + i))) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(coverage_select(df, n_pick=5).collect(), key=lambda r: r["rank"])
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)  # submodularity
