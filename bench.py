@@ -263,6 +263,9 @@ HEADLINE = [
     "events_detrended_acf",
     "sample_coverage",
     "events_winsor",
+    "mm_dedup",
+    "events_chapman",
+    "text_ngram_coverage",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
