@@ -7953,6 +7953,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_ngram_coverage"] = text_ngram_coverage
 
+    # McNemar paired test on the pre/post purchase panel: b = users who
+    # purchased only pre, c = only post; chi2 = (b−c)²/(b+c) — pure BIGINT
+    # counts + ONE division (the paired twin of events_chisq).
+    def events_mcnemar(s, d):
+        ev = _t(s, d, "events")
+        day = F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        # SPARSE windows (first/last 3 days), not half-months: with
+        # month-half windows every purchaser is active on both sides at
+        # every SF and b + c == 0 (found at sf0.001/sf0.01)
+        per = ev.where(F.col("event_type") == "purchase").groupBy(
+            "user_id"
+        ).agg(
+            F.max(F.when(day <= 2, 1).otherwise(0)).alias("pre"),
+            F.max(F.when(day >= 27, 1).otherwise(0)).alias("pst"),
+        )
+        g = per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when((F.col("pre") == 1) & (F.col("pst") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+            F.sum(F.when((F.col("pre") == 0) & (F.col("pst") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+        chi2 = (
+            (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+        ).cast("double") / (F.col("b") + F.col("c")).cast("double")
+        return g.select("n_users", "b", "c", _q4(chi2).alias("chi2"))
+
+    q["events_mcnemar"] = events_mcnemar
+
+    # Cochran's Q over three ten-day periods: did per-user purchase
+    # incidence shift across k related periods — Q = k(k−1)·Σ(C_j − T/k)²
+    # / (k·T − ΣR²) cross-multiplied into all-BIGINT numerator/denominator
+    # (×k² both sides) and ONE division.
+    def events_cochran_q(s, d):
+        ev = _t(s, d, "events")
+        # k = 3 SINGLE probe days (0/15/29), not ten-day periods: with
+        # dense periods every user has R in {0, k} and the denominator
+        # k*T - sum R^2 collapses to 0 (found at sf0.001)
+        day = F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        cells = (
+            ev.where(
+                (F.col("event_type") == "purchase")
+                & day.isin(0, 15, 29)
+            )
+            .select(
+                "user_id",
+                F.expr(
+                    "datediff(to_date(ts), date'2024-01-01') div 14"
+                ).alias("j"),
+            )
+            .distinct()
+        )
+        rows = cells.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("r")
+        )
+        cols = cells.groupBy("j").agg(F.count(F.lit(1)).cast("long").alias("cj"))
+        tots = rows.agg(
+            F.sum("r").cast("long").alias("t"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("r2"),
+        )
+        colm = cols.agg(
+            F.sum(F.col("cj") * F.col("cj")).cast("long").alias("c2"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        g = tots.crossJoin(colm)
+        # sum_j (C_j - T/k)^2 * k^2 = k^2*C2 - 2kT*T + k*T^2 = k^2*C2 - k*T^2
+        num = (
+            F.col("k")
+            * (F.col("k") - F.lit(1))
+            * (F.col("k") * F.col("k") * F.col("c2") - F.col("k") * F.col("t") * F.col("t"))
+        )
+        den = (
+            F.col("k")
+            * F.col("k")
+            * (F.col("k") * F.col("t") - F.col("r2"))
+        )
+        return g.select(
+            "k",
+            "t",
+            _q4(num.cast("double") / den.cast("double")).alias("q_c"),
+        )
+
+    q["events_cochran_q"] = events_cochran_q
+
+    # Hapax legomena rate per source (the vocabulary-richness twin of
+    # Yule's K at the collection level): share of types occurring exactly
+    # once. Pure BIGINT + one division.
+    def text_hapax(s, d):
+        from medical_doc_knowledge_graph_system_spark.functions.textfns import (
+            tokens_col,
+        )
+
+        tf = (
+            _t(s, d, "documents")
+            .select("source", F.explode(tokens_col("text")).alias("t"))
+            .groupBy("source", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        g = tf.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        return g.select(
+            "source",
+            "n_types",
+            "n_hapax",
+            _q4(
+                F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
+            ).alias("hapax_rate"),
+        )
+
+    q["text_hapax"] = text_hapax
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -14321,6 +14438,66 @@ SELECT n_cand, n_truth, n_hit,
 FROM counts"""
 
     o["stream_stump"] = o["events_stump"]
+
+    o["events_mcnemar"] = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN datediff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) <= 2
+             THEN 1 ELSE 0 END) AS pre,
+         max(CASE WHEN datediff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) >= 27
+             THEN 1 ELSE 0 END) AS pst
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN pre = 1 AND pst = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN pre = 0 AND pst = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM per
+)
+SELECT n_users, b, c,
+       floor(CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS chi2
+FROM g"""
+
+    o["events_cochran_q"] = """
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 14 AS j
+  FROM events
+  WHERE event_type = 'purchase'
+    AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) IN (0, 15, 29)
+),
+rows_ AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+          FROM cells GROUP BY 1),
+cols_ AS (SELECT j, CAST(count(*) AS BIGINT) AS cj FROM cells GROUP BY 1),
+tots AS (SELECT CAST(sum(r) AS BIGINT) AS t,
+                CAST(sum(r * r) AS BIGINT) AS r2
+         FROM rows_),
+colm AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS c2,
+                CAST(count(*) AS BIGINT) AS k
+         FROM cols_)
+SELECT k, t,
+       floor(CAST(k * (k - 1) * (k * k * c2 - k * t * t) AS DOUBLE)
+             / CAST(k * k * (k * t - r2) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS q_c
+FROM tots, colm"""
+
+    o["text_hapax"] = f"""
+WITH tf AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_TOKS}) AS t FROM documents) x
+  GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS hapax_rate
+FROM tf GROUP BY 1"""
 
     o["mm_dedup"] = """
 WITH media AS (

@@ -266,6 +266,9 @@ HEADLINE = [
     "mm_dedup",
     "events_chapman",
     "text_ngram_coverage",
+    "events_mcnemar",
+    "events_cochran_q",
+    "text_hapax",
 ]
 
 PAGES_FOR_SF = {"0.001": 200, "0.01": 2000, "0.1": 20000}
