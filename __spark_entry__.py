@@ -8070,6 +8070,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hapax"] = text_hapax
 
+    # Streaming Pettitt change-point: the per-(type, day) cents cells are
+    # the same monotone update-mode aggregation as stream_isotonic; the
+    # drained series feeds the SAME pettitt_test telescoping closed form
+    # (dollars = cents div 100 derived post-drain). Oracle shared verbatim
+    # with events_pettitt.
+    def stream_pettitt(s, d):
+        import hashlib as _h
+        import shutil
+        import tempfile
+
+        from medical_doc_knowledge_graph_system_spark.operators.tsmodel import (
+            pettitt_test,
+        )
+
+        tag = _h.md5(d.encode()).hexdigest()[:8]
+        src = tempfile.mkdtemp(prefix=f"mdkgs_pett_stream_{tag}_")
+        prev_sp = s.conf.get("spark.sql.shuffle.partitions")
+        try:
+            ev = _t(s, d, "events").select(
+                "event_type",
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias(
+                    "day"
+                ),
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                "event_id",
+            )
+            ev.where(F.col("event_id") % 2 == 0).drop("event_id").repartition(
+                1
+            ).write.mode("overwrite").parquet(src)
+            ev.where(F.col("event_id") % 2 != 0).drop("event_id").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                s.readStream.schema("event_type string, day int, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            cells = stream.groupBy("event_type", "day").agg(
+                F.sum("cents").cast("long").alias("s")
+            )
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            sq = (
+                cells.writeStream.format("memory")
+                .queryName(f"spett_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        finally:
+            s.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            shutil.rmtree(src, ignore_errors=True)
+        drained = (
+            s.table(f"spett_{tag}")
+            .groupBy("event_type", "day")
+            .agg(F.max("s").cast("long").alias("cents"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("event_type").orderBy("day")
+        ser = drained.select(
+            "event_type",
+            F.row_number().over(w).cast("long").alias("pos"),
+            F.expr("cents div 100").alias("dollars"),
+        )
+        return pettitt_test(ser, ["event_type"], "pos", "dollars")
+
+    q["stream_pettitt"] = stream_pettitt
+
     # Driver-record rotation (VERDICT r4 #7): the driver samples roughly the
     # first 50 queries in registration order, so with 60+ registered some
     # tail queries never land in a CORRECTNESS_r{N}.json. Rotate
@@ -14438,6 +14508,7 @@ SELECT n_cand, n_truth, n_hit,
 FROM counts"""
 
     o["stream_stump"] = o["events_stump"]
+    o["stream_pettitt"] = o["events_pettitt"]
 
     o["events_mcnemar"] = """
 WITH per AS (
