@@ -200,14 +200,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_components_star"] = kg_components_star
 
+    def _kg_mention_sets(s, d):
+        """(ms, cnt): DISTINCT per-doc mention sets (sorted (term, label)
+        structs) with their doc counts — the r6 dedup that lets every
+        edge/weight derivation fan out over |distinct sets| x |set|^2
+        instead of |docs| x |mentions/doc|^2 (guide §2.3: aggregate before
+        the expensive step). Counts preserved so weighted consumers get
+        identical sums."""
+        docs = _t(s, d, "documents")
+        m = webkg.doc_mentions(docs)
+        return (
+            m.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set(F.struct("term", "label"))).alias("ms"))
+            .groupBy("ms")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .localCheckpoint()
+        )
+
+    def _kg_pattern_pairs(s, msets):
+        """One row per (set, subj, obj, pred, cnt) under the relation
+        patterns — the exact per-doc enumeration doc_triples makes, grouped
+        by distinct mention set."""
+        pat = s.createDataFrame(
+            webkg.WEB_REL_PATTERNS,
+            schema="src_label string, pred string, dst_label string",
+        )
+        e1 = msets.select("ms", "cnt", F.explode("ms").alias("s1")).select(
+            "ms", "cnt", F.col("s1.term").alias("subj"), F.col("s1.label").alias("s_lbl")
+        )
+        e2 = e1.select(
+            "ms", "cnt", "subj", "s_lbl", F.explode("ms").alias("s2")
+        ).select(
+            "ms",
+            "cnt",
+            "subj",
+            "s_lbl",
+            F.col("s2.term").alias("obj"),
+            F.col("s2.label").alias("o_lbl"),
+        )
+        return e2.join(
+            F.broadcast(pat),
+            (F.col("s_lbl") == F.col("src_label"))
+            & (F.col("o_lbl") == F.col("dst_label")),
+        ).where(F.col("subj") != F.col("obj"))
+
     def _kg_edge_graph(s, d):
         """Shared fixture for the whole-graph analytics gates: the distinct
         undirected (a < b) term edge set from the triple graph — one corpus
-        scan (the pinned mention frame feeds the triple self-join)."""
-        docs = _t(s, d, "documents")
-        m = webkg.doc_mentions(docs).localCheckpoint()
+        scan.
+
+        r6 (guide §2.3): the EDGE SET needs no per-pair counts, so the r5
+        doc-level pattern self-join (docs x mentions^2 rows before the
+        aggregate) is replaced by pair generation over DISTINCT per-doc
+        mention sets: an edge exists iff SOME doc mentions both endpoints
+        with pattern-compatible labels, which depends only on the mention
+        set — identical edges, fan-out |distinct sets| x |set|^2 instead of
+        |docs| x |mentions/doc|^2."""
         return (
-            webkg.doc_triples(docs, mentions=m)
+            _kg_pattern_pairs(s, _kg_mention_sets(s, d))
             .select(
                 F.least("subj", "obj").alias("a"),
                 F.greatest("subj", "obj").alias("b"),
@@ -242,16 +292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pagerank,
         )
 
-        docs = _t(s, d, "documents")
-        m = webkg.doc_mentions(docs).localCheckpoint()
+        # r6: identical weights from the distinct-mention-set enumeration
+        # (each (subj, pred, obj) row of a set contributes that set's doc
+        # count — the same per-doc rows doc_triples aggregated)
         we = (
-            webkg.doc_triples(docs, mentions=m)
-            .where(F.col("subj") != F.col("obj"))
+            _kg_pattern_pairs(s, _kg_mention_sets(s, d))
             .groupBy(
                 F.least("subj", "obj").alias("a"),
                 F.greatest("subj", "obj").alias("b"),
             )
-            .agg(F.sum("n_docs").alias("wt"))
+            .agg(F.sum("cnt").alias("wt"))
         )
         return pagerank(we, iterations=8, weight_col="wt")
 
@@ -295,16 +345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sssp,
         )
 
-        docs = _t(s, d, "documents")
-        m = webkg.doc_mentions(docs).localCheckpoint()
+        # r6: same weights via the distinct-mention-set enumeration
         we = (
-            webkg.doc_triples(docs, mentions=m)
-            .where(F.col("subj") != F.col("obj"))
+            _kg_pattern_pairs(s, _kg_mention_sets(s, d))
             .groupBy(
                 F.least("subj", "obj").alias("a"),
                 F.greatest("subj", "obj").alias("b"),
             )
-            .agg(F.sum("n_docs").alias("wt"))
+            .agg(F.sum("cnt").alias("wt"))
             .select(
                 "a", "b", F.expr("(1000 + wt - 1) div wt").alias("cost")
             )
@@ -396,10 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hits,
         )
 
-        docs = _t(s, d, "documents")
-        m = webkg.doc_mentions(docs).localCheckpoint()
+        # r6: identical directed edge set via distinct mention sets
         de = (
-            webkg.doc_triples(docs, mentions=m)
+            _kg_pattern_pairs(s, _kg_mention_sets(s, d))
             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
@@ -673,9 +720,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tokens_col,
         )
 
-        pairs = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-        tf = pairs.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            ensure_parallelism,
+        )
+
+        # r6: spread the single-split scan and pin tf — dfreq and the score
+        # join both read it (no lineage reuse across references)
+        pairs = ensure_parallelism(docs.select("doc_id", "text")).select(
+            "doc_id", F.explode(tokens_col()).alias("term")
+        )
+        tf = (
+            pairs.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .localCheckpoint()
         )
         dfreq = tf.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df")
@@ -3211,8 +3268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (one whole-doc Rabin-Karp value) this yields the position-anchored
     # fingerprint SET plagiarism/near-dup overlap detection needs.
     def text_winnowing(s, d):
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            ensure_parallelism,
+        )
+
         docs = _t(s, d, "documents")
-        base = docs.select(
+        # r6: the fingerprint windows are pure per-row compute on a scan
+        # that may arrive as one split — spread it (guide §2.5)
+        base = ensure_parallelism(docs.select("doc_id", "text")).select(
             "doc_id", F.split(F.lower(F.trim("text")), " ").alias("ts")
         ).where(F.size("ts") >= 5)
         enc = base.select(
@@ -3943,11 +4006,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_mention_contexts(s, d, w=3):
         from medical_doc_knowledge_graph_system_spark.functions import webkg
 
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            ensure_parallelism,
+        )
+
         docs = _t(s, d, "documents")
         gaz_arr = (
             "array(" + ",".join(f"'{t}'" for t in sorted(webkg.WEB_GAZETTEER)) + ")"
         )
-        base = docs.select(
+        # r6: KWIC window construction is per-row compute on a possibly
+        # single-split scan — spread it (guide §2.5)
+        base = ensure_parallelism(docs.select("doc_id", "text")).select(
             "doc_id", F.split(F.lower(F.trim("text")), " ").alias("ts")
         )
         hits = base.select(
@@ -7497,6 +7566,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             minhash_band_pairs,
         )
 
+        from medical_doc_knowledge_graph_system_spark.functions.dedup import (
+            set_jaccard_pairs,
+            shingles_col,
+        )
+        from medical_doc_knowledge_graph_system_spark.operators.skew import (
+            ensure_parallelism,
+        )
+
         docs = _t(s, d, "documents").where(F.col("doc_id") % 2 == 0)
         sh = doc_shingles(docs).localCheckpoint(eager=True)
         cand = (
@@ -7504,28 +7581,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
             .localCheckpoint(eager=True)  # read twice: the hit join + count
         )
-        sizes = sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sh")
-        )
-        inter = (
-            sh.select(F.col("doc_id").alias("a"), "shingle")
-            .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("i"))
-        )
+        # r6 (VERDICT #3): the ground-truth side previously hand-rolled an
+        # UNCAPPED shingle-level self-join (sh ⋈ sh on shingle) — the one
+        # plan in queries() a Zipf-headed shingle could blow up. 3i >= sa+sb
+        # is EXACTLY shingle-set Jaccard >= 1/2, so the truth set now comes
+        # from the shared set_jaccard_pairs engine (set dedup + lossless
+        # prefix-filter blocking + bounded verify) — identical rows, bounded
+        # plan, no uncapped self-join left anywhere in queries().
+        shingle_sets = ensure_parallelism(
+            docs.select("doc_id", F.col("text"))
+        ).select("doc_id", F.array_sort(shingles_col("text")).alias("toks"))
         truth = (
-            inter.join(
-                sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("sa")),
-                "a",
-            )
-            .join(
-                sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("sb")),
-                "b",
-            )
-            .where(F.lit(3) * F.col("i") >= F.col("sa") + F.col("sb"))
-            .select("a", "b")
-        ).localCheckpoint(eager=True)
+            set_jaccard_pairs(shingle_sets, t_num=1, t_den=2)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .localCheckpoint(eager=True)
+        )
         hit = cand.join(truth, ["a", "b"])
         counts = (
             cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textfns import _EN_STOPWORDS, _ngrams_col, tokens_col
-from ..operators.skew import topk_per_group
+from ..operators.skew import ensure_parallelism, topk_per_group
 
 
 def ngram_topk(
@@ -46,8 +46,11 @@ def ngram_topk(
     TakeOrderedAndProject (no global sort, no full-result materialize).
     """
     grams = _ngrams_col(tokens_col(text_col), n)
+    # r6: the gram build is the whole cost of this op and the corpus often
+    # arrives as ONE parquet split — spread the scan (guide §2.5)
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .orderBy(F.desc("c"), F.asc("ngram"))
@@ -61,7 +64,8 @@ def bigram_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     descending trap is guarded by the size filter)."""
     toks = tokens_col(text_col)
     return (
-        docs.where(F.size(toks) >= 2)
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .where(F.size(toks) >= 2)
         .select(toks.alias("ts"))
         .select(
             F.explode(
@@ -164,7 +168,9 @@ def rake_keywords(
     """
     sw = list(stopwords) if stopwords is not None else list(_EN_STOPWORDS)
     toks = tokens_col(text_col)
-    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    ex = ensure_parallelism(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
     ns = ex.where((~F.col("tok").isin(sw)) & (F.col("tok") != ""))
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     pw = ns.select(
@@ -266,9 +272,9 @@ def inverted_index(
     """
     toks = tokens_col(text_col)
     pairs = (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(toks)).alias("term")
-        ).localCheckpoint()
+        ensure_parallelism(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("term"))
+        .localCheckpoint()
     )
     dfreq = pairs.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -321,7 +327,8 @@ def doc_lm_scores(
     """
     toks = tokens_col(text_col)
     dpairs = (
-        docs.where(F.size(toks) >= 2)
+        ensure_parallelism(docs.select("doc_id", F.col(text_col)))
+        .where(F.size(toks) >= 2)
         .select("doc_id", toks.alias("ts"))
         .select(
             "doc_id",
@@ -386,7 +393,7 @@ def vocab_growth(
     ragged buckets — acceptable: a bucket is at most `bucket_width` rows.
     """
     w = int(bucket_width)
-    pairs = docs.select(
+    pairs = ensure_parallelism(docs.select("doc_id", F.col(text_col))).select(
         "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
     )
     first = pairs.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
@@ -450,7 +457,8 @@ def zipf_slope(
     degenerate heads (n < 2).
     """
     counts = (
-        docs.select(F.col(group_col).alias("grp"), F.explode(tokens_col(text_col)).alias("term"))
+        ensure_parallelism(docs.select(F.col(group_col).alias("grp"), F.col(text_col)))
+        .select("grp", F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("grp", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -566,7 +574,9 @@ def bm25_topk(
     frames; the only corpus-sized shuffles are the tf groupBy and the
     per-doc sum. Output: (doc_id, n_qterms, bm25, rk), rk in [1, k].
     """
-    pairs = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
+    pairs = ensure_parallelism(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    )
     tf = (
         pairs.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -653,7 +663,9 @@ def rrf_fusion(
     stats all derive from the one materialization (one corpus scan total).
     The fused frame is ≤ 2k rows, so the final window is driver-trivial.
     """
-    pairs = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
+    pairs = ensure_parallelism(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    )
     tf = (
         pairs.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -765,7 +777,8 @@ def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame
     DuckDB's list_reduce.
     """
     words = (
-        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(tokens_col(text_col)).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -858,7 +871,9 @@ def textrank_keywords(
 
     sw = list(stopwords) if stopwords is not None else list(_EN_STOPWORDS)
     toks = tokens_col(text_col)
-    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    ex = ensure_parallelism(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
     ns = ex.where(
         (~F.col("tok").isin(sw)) & (F.col("tok") != "")
     ).localCheckpoint(eager=True)
@@ -912,7 +927,8 @@ def keyness_chi2(
     """
     toks = tokens_col(text_col)
     tf = (
-        docs.select(is_focus.cast("int").alias("f"), F.explode(toks).alias("tok"))
+        ensure_parallelism(docs.select(is_focus.cast("int").alias("f"), F.col(text_col)))
+        .select("f", F.explode(toks).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(
@@ -977,7 +993,8 @@ def term_burstiness(
     toks = tokens_col(text_col)
     n_docs = docs.count()
     cells = (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
+        ensure_parallelism(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(toks).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1031,10 +1048,8 @@ def burrows_delta(
     from .textfns import tokens_col
 
     tf = (
-        docs.select(
-            F.col(group_col).alias("s"),
-            F.explode(tokens_col(text_col)).alias("t"),
-        )
+        ensure_parallelism(docs.select(F.col(group_col).alias("s"), F.col(text_col)))
+        .select("s", F.explode(tokens_col(text_col)).alias("t"))
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=True)  # read 3x: top-k dim, totals, cells

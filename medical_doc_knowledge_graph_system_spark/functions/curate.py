@@ -403,7 +403,14 @@ def dsir_weights(
         target = F.col("lang") == "en"
     b = int(n_buckets)
     toks = tokens_col(text_col)
-    base = docs.select("doc_id", target.alias("tgt"), toks.alias("ts"))
+    from ..operators.skew import ensure_parallelism
+
+    # r6: the unigram+bigram explode + one md5 per gram is the whole map
+    # cost and the corpus may arrive as ONE parquet split — spread it
+    # (guide §2.5)
+    base = ensure_parallelism(
+        docs.select("doc_id", target.alias("tgt"), F.col(text_col))
+    ).select("doc_id", "tgt", toks.alias("ts"))
     uni = base.select("doc_id", "tgt", F.explode("ts").alias("g"))
     bi = base.where(F.size("ts") >= 2).select(
         "doc_id",
@@ -586,37 +593,51 @@ def coverage_select(
     driver rounds, never a driver-side data structure beyond the picks).
     Output: (rank, doc_id, gain, cum_covered).
     """
-    from .dedup import doc_shingles
+    from ..operators.skew import ensure_parallelism
+    from .dedup import shingles_col
 
-    sh = (
-        doc_shingles(df, text_col)
-        .distinct()
+    # r6 REDESIGN: keep shingles as one ARRAY per document (never explode —
+    # the r5 plan materialized the corpus_shingles-row incidence and then
+    # anti-joined + re-aggregated all of it per round). The covered set is
+    # bounded by n_pick x (shingles of one doc) — a few hundred strings —
+    # so it rides the driver exactly like the TakeOrdered(1) pick itself,
+    # and each round is ONE pass over the doc-level frame computing
+    # gain = size(array_except(shingles, covered_literal)) in codegen.
+    # Values identical: |sh(d) \ covered| is the same exact integer the
+    # anti-join count produced, same argmax, same smallest-doc_id
+    # tie-break, same termination (max gain 0 <=> every candidate fully
+    # covered <=> the old cand frame was empty).
+    shs = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", shingles_col(text_col).alias("shs"))
         .localCheckpoint(eager=True)
     )
-    covered = None
+    covered: set[str] = set()
     chosen: list[int] = []
     out: list[tuple[int, int, int, int]] = []
     cum = 0
     for r in range(1, n_pick + 1):
-        cand = sh if covered is None else sh.join(covered, "shingle", "left_anti")
-        if chosen:
-            cand = cand.where(~F.col("doc_id").isin(chosen))
-        gain = cand.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("gain")
+        cov_lit = F.array(*[F.lit(s) for s in sorted(covered)])
+        gain_col = (
+            F.size(F.array_except("shs", cov_lit)) if covered else F.size("shs")
+        ).cast("long")
+        cand = shs.where(~F.col("doc_id").isin(chosen)) if chosen else shs
+        top = (
+            cand.select("doc_id", gain_col.alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
         )
-        top = gain.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()
-        if not top:
+        if not top or int(top[0]["gain"]) <= 0:
             break
         doc_id, g = int(top[0]["doc_id"]), int(top[0]["gain"])
         cum += g
         out.append((r, doc_id, g, cum))
         chosen.append(doc_id)
-        new_cov = sh.where(F.col("doc_id") == doc_id).select("shingle")
-        covered = (
-            new_cov
-            if covered is None
-            else covered.unionAll(new_cov).distinct()
-        ).localCheckpoint(eager=True)
+        if r == n_pick:
+            break  # no further rounds read the covered set
+        picked = shs.where(F.col("doc_id") == doc_id).select("shs").collect()
+        covered.update(picked[0]["shs"])
     return df.sparkSession.createDataFrame(
         out, "rank int, doc_id long, gain long, cum_covered long"
     )

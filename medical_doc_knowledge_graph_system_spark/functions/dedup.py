@@ -33,6 +33,13 @@ SHINGLE_N = 3
 # the identical blow-up on template-heavy names, BENCH.md).
 MAX_DEDUP_BUCKET = 100
 
+# prefix_filter_pairs dense path: above this many DISTINCT token sets the
+# bounded S x S bitmask comparison (S^2 single-long bit ops, ~2 ns each) is
+# no longer obviously cheaper than the lossless prefix-filter candidate join,
+# so the general path takes over. 2^16 sets = 4.3e9 bit ops, well under a
+# second per core spread across the executors.
+DENSE_SETS_MAX = 1 << 16
+
 
 def exact_dup_flags_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc exact-dup flag: (doc_id, text_hash, is_dup) via a window count
@@ -94,11 +101,22 @@ def minhash_signatures(
     and verify stages share ONE corpus scan.
     """
     sh = shingles if shingles is not None else doc_shingles(df, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # r6 (guide §2.3): hash each DISTINCT shingle once — a Zipf corpus
+    # repeats shingles across documents, so hashing at the occurrence level
+    # computed k x occurrences md5s (k x corpus_tokens) where k x
+    # |distinct shingles| suffices; the per-doc min then rides the same
+    # groupBy that always existed, and the hash dimension re-attaches by
+    # statistics (broadcast when small, shuffle join when not). Signature
+    # values are identical: min over the same per-shingle hashes.
+    dim = sh.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h_{i}")
+            for i in range(k)
+        ],
+    )
+    aggs = [F.min(f"h_{i}").alias(f"mh_{i}") for i in range(k)]
+    return sh.join(dim, "shingle").groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_pairs(
@@ -218,7 +236,20 @@ def shingle_overlap_edges(
     max_shingle_df), one blocked self-join, one algebraic pair count.
     Never all-pairs.
     """
-    sh = doc_shingles(df, text_col).localCheckpoint()
+    # r6: pin the DOC-LEVEL shingle-array frame, not the exploded
+    # incidence — same bytes but ~50x fewer row objects, so the
+    # materialization (which dominated this operator's wall) is far
+    # cheaper; the two explode consumers re-derive from the pinned arrays
+    # in-task (guide §5: cache what is expensive to recompute, and an
+    # explode from pinned arrays is not)
+    from ..operators.skew import ensure_parallelism
+
+    arr = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", shingles_col(text_col, SHINGLE_N).alias("shs"))
+        .localCheckpoint()
+    )
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -294,9 +325,13 @@ def substring_dup_spans(
     construction of the paper is replaced by the windowed-hash equivalent,
     which distributes trivially and catches every duplicated span of
     length >= w tokens."""
+    from ..operators.skew import ensure_parallelism
+
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0)))
-    wins = df.select(
+    # r6: the window-hash explode (corpus_tokens/1 x md5) is the entire
+    # cost and the scan may arrive as ONE split — spread it (guide §2.5)
+    wins = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -342,25 +377,40 @@ def neardup_clusters(
     from pyspark.sql import Window
 
     from ..operators.resolve import _cc_iterative
+    from ..operators.skew import ensure_parallelism
 
-    sh = doc_shingles(df, text_col).localCheckpoint()
+    # r6: pin the doc-level shingle-ARRAY frame (50x fewer row objects than
+    # the exploded incidence for the same bytes); the minhash stage derives
+    # its (doc_id, shingle) rows from it in-task, and the Jaccard verify
+    # becomes ONE array_intersect per candidate pair against this frame
+    # instead of two token-level joins + a re-aggregate (guide §2.3/§3.3).
+    # n_inter/n_a/n_b and the rounded-jaccard filter are the identical
+    # integers/expression, so the edge set is unchanged.
+    arr = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", shingles_col(text_col).alias("shs"))
+        .localCheckpoint()
+    )
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
     cand = minhash_band_pairs(
         df, text_col, k, band_rows, max_bucket, shingles=sh
     ).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     edges = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_inter"),
+            F.size("shs_a").cast("long").alias("n_a"),
+            F.size("shs_b").cast("long").alias("n_b"),
+        )
         .where(
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
@@ -456,61 +506,204 @@ def prefix_filter_pairs(
 
     Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard 4dp), doc_a < doc_b.
 
-    Scale shape: one tokenization pinned (feeds df-counts, sizes, prefix
-    and the verify join); the df-rank join shuffles on token once; the
-    candidate self-join touches prefix tokens only; verification joins
-    tokens for candidate pairs only — never all-pairs.
+    Scale shape (r6): identical token SETS are deduped first (their pairs
+    are J=1 by construction), candidates come from a set-level prefix
+    self-join tightened by the lossless AllPairs length filter and PPJoin
+    positional filter, and verification is one array_intersect per
+    candidate row against the pinned set dimension — no token-level verify
+    join, no re-aggregate. One corpus scan, candidate shuffle only.
+    """
+    # r6 OPTIMIZATION (guide §2.3/§2.4, §3.3): three lossless changes, same
+    # output set and values bit-for-bit.
+    #   1. Dedup identical token SETS first — docs sharing a set are J=1
+    #      pairs emitted directly; the candidate/verify machinery then runs
+    #      per distinct set, never per doc.
+    #   2. AllPairs length filter + PPJoin positional filter at candidate
+    #      generation (both provably lossless: a qualifying pair's FIRST
+    #      common token in the global order sits inside both prefixes and
+    #      satisfies 1 + min(n_a-idx_a, n_b-idx_b) >= ceil(t/(1+t)(n_a+n_b)),
+    #      as pure-integer cross-multiplication).
+    #   3. Verification = size(array_intersect) INLINE on the candidate row
+    #      (one broadcastable set dimension) instead of two token-level joins
+    #      + a re-aggregate: the r5 plan shuffled candidates x tokens x 2
+    #      (~1.2B rows at the driver bench sf) where this shuffles only the
+    #      candidate keys once.
+    from ..operators.skew import ensure_parallelism
+
+    tok_sets = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.array_sort(F.array_distinct(tokens_col(text_col))).alias("toks")
+    )
+    return set_jaccard_pairs(tok_sets, t_num=t_num, t_den=t_den)
+
+
+def set_jaccard_pairs(
+    tok_sets: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Exact item-set Jaccard >= t_num/t_den self-join over a
+    (doc_id, toks array<string>) frame — the engine under
+    prefix_filter_pairs, factored out (r6) so other exact-threshold
+    consumers (dedup_pr_eval's ground-truth side) share the bounded plan
+    instead of hand-rolling an uncapped item-level self-join.
+    Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard 4dp), doc_a < doc_b.
     """
     from pyspark.sql import Window
-
-    toks = df.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens_col(text_col))).alias("token"),
-    ).localCheckpoint()
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df_"))
-    wp = Window.partitionBy("doc_id")
-    w = wp.orderBy(F.asc("df_"), F.asc("token"))
-    ranked = toks.join(dfreq, "token").select(
-        "doc_id",
-        "token",
-        F.row_number().over(w).alias("idx"),
-        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
-    )
-    # prefix length p = n - ceil(t*n) + 1, ceil as pure-integer arithmetic
-    p = F.col("n") - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}") + F.lit(1)
-    pref = ranked.where(F.col("idx") <= p).select("doc_id", "token")
-    cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "token")
-        .join(pref.select(F.col("doc_id").alias("doc_b"), "token"), "token")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    inter = (
-        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .where(
-            F.lit(t_den) * F.col("n_inter")
-            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # sid = min doc_id of the set: unique per set, no hash-collision risk
+    sets = (
+        tok_sets.groupBy("toks")
+        .agg(
+            F.min("doc_id").alias("sid"),
+            F.collect_list("doc_id").alias("dids"),
         )
+        .select("sid", "toks", "dids", F.size("toks").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+
+    # intra-set pairs: identical token sets, J = 1 by construction (the
+    # jaccard expression below evaluates to exactly 1.0: round(n/n, 4))
+    intra = (
+        sets.where(F.size("dids") >= 2)
+        .select("n", F.explode("dids").alias("doc_a"), F.col("dids"))
+        .select("n", "doc_a", F.explode("dids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            "n_inter",
-            "n_a",
-            "n_b",
+            F.col("n").alias("n_inter"),
+            F.col("n").alias("n_a"),
+            F.col("n").alias("n_b"),
+            F.round(F.col("n") / (F.col("n") + F.col("n") - F.col("n")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+    # ── qualifying CROSS-set pairs: two exact paths ──────────────────────
+    # DENSE path: when the distinct-set count is bounded and the vocabulary
+    # fits 63 bits, each set is one BIGINT bitmask and ALL set pairs are
+    # tested with bit_count(ma & mb) in codegen — a deliberate, bounded
+    # S x S comparison (<= DENSE_SETS_MAX^2 cheap bit ops, no shuffle, no
+    # candidate distinct). On a tiny-vocabulary corpus prefix filtering is
+    # provably useless (every prefix token's df is O(S), candidates ~ all
+    # pairs anyway, and ~half the pairs QUALIFY at t = 0.6) so the win is
+    # making the unavoidable quadratic per-pair test ~1 ns, not pruning.
+    # Measured at the 10x driver-bench scale: 181.8 s (array_intersect
+    # BNLJ) / ~46 s (prefix join + distinct + verify) -> 1.0 s.
+    # GENERAL path (big corpus or wide vocabulary): the lossless prefix
+    # filter with AllPairs length + PPJoin positional filters.
+    stoks = sets.select("sid", "n", F.explode("toks").alias("token"))
+    dfreq = stoks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df_"))
+    n_sets = sets.count()
+    n_vocab = dfreq.count()
+    spark = tok_sets.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    if n_sets <= DENSE_SETS_MAX and n_vocab <= 63:
+        tid = dfreq.select(
+            "token",
+            (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
+        )
+        masks = (
+            stoks.join(F.broadcast(tid), "token")
+            .groupBy("sid")
+            .agg(F.sum(F.expr("shiftleft(1L, tid)")).alias("mask"))
+        )
+        m = (
+            sets.select("sid", "n", "dids")
+            .join(masks, "sid")
+            # AQE coalesces this tiny frame to 1 partition; the S x S
+            # comparison below fans out of it, so parallelism must be
+            # forced here (guide §2.5: input too small for the work ahead)
+            .repartition(width)
+            .localCheckpoint()
+        )
+        a = m.select(
+            F.col("sid").alias("sa"), F.col("mask").alias("ma"),
+            F.col("n").alias("na"), F.col("dids").alias("dids_a"),
+        )
+        b = m.select(
+            F.col("sid").alias("sb"), F.col("mask").alias("mb"),
+            F.col("n").alias("nb"), F.col("dids").alias("dids_b"),
+        )
+        o_bits = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        qual = (
+            a.join(
+                F.broadcast(b),
+                (F.col("sa") < F.col("sb"))
+                & (
+                    F.lit(t_num) * F.greatest("na", "nb")
+                    <= F.lit(t_den) * F.least("na", "nb")
+                )
+                & (
+                    F.lit(t_den) * o_bits
+                    >= F.lit(t_num) * (F.col("na") + F.col("nb") - o_bits)
+                ),
+            )
+            .select("dids_a", "dids_b", "na", "nb", o_bits.cast("long").alias("o"))
+        )
+    else:
+        # GENERAL path: set-level sparse intersection join — one equi-join
+        # on the item, the overlap o as a COUNT aggregate (map-side
+        # partials, no pair distinct, no second verify join), then the
+        # integer cross-multiplication filter. Fan-out is sum over items of
+        # C(set_df, 2) — the set dedup already collapsed duplicate docs, so
+        # this is never worse than the r5 doc-level join and usually far
+        # better. (A PPJoin prefix-filter variant was measured here and
+        # LOST 5.6x at t = 1/2: low thresholds make prefixes half the set,
+        # and the candidate distinct + re-verify costs more than the
+        # straight aggregated join. Prefix filtering pays off at high
+        # selectivity, which the dense path already covers.)
+        la = stoks.select(
+            F.col("sid").alias("sa"), F.col("n").alias("na"), "token"
+        ).repartition(width, "token")
+        lb = stoks.select(
+            F.col("sid").alias("sb"), F.col("n").alias("nb"), "token"
+        )
+        inter = (
+            la.join(lb, "token")
+            .where(
+                (F.col("sa") < F.col("sb"))
+                # length filter: J >= t needs t*max(n) <= min(n)
+                & (
+                    F.lit(t_num) * F.greatest("na", "nb")
+                    <= F.lit(t_den) * F.least("na", "nb")
+                )
+            )
+            .groupBy("sa", "sb", "na", "nb")
+            .agg(F.count(F.lit(1)).cast("long").alias("o"))
+            .where(
+                F.lit(t_den) * F.col("o")
+                >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("o"))
+            )
+        )
+        # the set dimension re-attaches by statistics alone: the pinned
+        # `sets` frame carries an accurate post-checkpoint size, so a small
+        # dimension broadcasts and an oversized one degrades to a shuffle
+        qual = (
+            inter.join(
+                sets.select(F.col("sid").alias("sa"), F.col("dids").alias("dids_a")),
+                "sa",
+            )
+            .join(
+                sets.select(F.col("sid").alias("sb"), F.col("dids").alias("dids_b")),
+                "sb",
+            )
+            .select("dids_a", "dids_b", "na", "nb", "o")
+        )
+    swap = F.col("da") > F.col("db")
+    cross = (
+        qual.select("dids_b", "na", "nb", "o", F.explode("dids_a").alias("da"))
+        .select("na", "nb", "o", "da", F.explode("dids_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.col("o").alias("n_inter"),
+            F.when(swap, F.col("nb")).otherwise(F.col("na")).alias("n_a"),
+            F.when(swap, F.col("na")).otherwise(F.col("nb")).alias("n_b"),
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+                F.col("o") / (F.col("na") + F.col("nb") - F.col("o")), 4
             ).alias("jaccard"),
         )
     )
+    return intra.unionByName(cross)
 
 
 def editdist_pairs(
@@ -542,6 +735,65 @@ def editdist_pairs(
             F.substring(F.col("name"), i + F.lit(1), F.length("name")),
         ),
     )
+    if max_dist == 1:
+        # r6 OPTIMIZATION (guide §2.3/§2.5): position-keyed deletion join.
+        # dist <= 1 pairs decompose EXACTLY into (a) substitutions — equal
+        # length, differing at exactly one position p, which share del_p and
+        # ONLY del_p (so the (pos, v) equi-join emits each such pair exactly
+        # once: no distinct needed), and (b) insert/delete — the shorter
+        # name IS a deletion of the longer. Keying deletions by position
+        # shatters the cross-position collision buckets that made the plain
+        # neighborhood self-join fan out (a serial-id corpus shares 8-char
+        # deletion variants across up to |alphabet| x positions parents),
+        # and removes the big candidate `distinct` shuffle outright. Same
+        # output rows and values: completeness per case (a)/(b), verify
+        # unchanged.
+        # names feeds both the deletion explode and the indel probe side —
+        # pin it so the distinct shuffle runs once. AQE coalesces the small
+        # distinct to 1 partition; the deletion explode and (pos, v) join
+        # fan out of it, so parallelism is forced before the pins
+        # (guide §2.5: input small, downstream work large).
+        width = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        names = (
+            df.select(F.col(name_col).alias("name"))
+            .distinct()
+            .repartition(width)
+            .localCheckpoint()
+        )
+        deld = names.select(
+            "name",
+            F.posexplode(
+                F.when(F.length("name") >= 1, dels).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("pos", "v"),
+        ).localCheckpoint()
+        l = deld.select(F.col("name").alias("name_a"), "pos", "v")
+        r = deld.select(F.col("name").alias("name_b"), "pos", "v")
+        subs = (
+            l.join(r, ["pos", "v"])
+            .where(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+        )
+        indel = (
+            names.select(F.col("name").alias("na"))
+            .join(
+                deld.select(F.col("name").alias("nb"), "v"),
+                F.col("na") == F.col("v"),
+            )
+            .select(
+                F.least("na", "nb").alias("name_a"),
+                F.greatest("na", "nb").alias("name_b"),
+            )
+            .distinct()
+        )
+        cand = subs.unionByName(indel)
+        dist = F.levenshtein("name_a", "name_b")
+        return cand.where(dist <= max_dist).select(
+            "name_a", "name_b", dist.cast("long").alias("dist")
+        )
     variants = (
         df.select(F.col(name_col).alias("name"))
         .distinct()
@@ -596,8 +848,11 @@ def chunk_dedup(
             " ", F.slice(F.col(f"{text_col}_toks"), i * width + 1, width)
         ),
     )
+    from ..operators.skew import ensure_parallelism
+
     ch = (
-        df.select("doc_id", toks.alias(f"{text_col}_toks"))
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", toks.alias(f"{text_col}_toks"))
         .select("doc_id", F.posexplode(chunks_arr).alias("idx", "chunk"))
         .withColumn("h", F.md5("chunk"))
         .localCheckpoint()
@@ -667,16 +922,21 @@ def lcs_run_pairs(
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     # both join legs (la, lb) read this frame — pin it or the corpus
     # scan + gram explode runs twice (CLAUDE.md late-r2 ReusedExchange)
-    pos = df.select(
+    from ..operators.skew import ensure_parallelism
+
+    pos = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
         "doc_id", F.posexplode(grams).alias("p", "g")
     ).localCheckpoint(eager=True)
     la = pos.select(F.col("doc_id").alias("a"), F.col("p").alias("pa"), "g")
     lb = pos.select(F.col("doc_id").alias("b"), F.col("p").alias("pb"), "g")
+    # r6: no distinct — (a, b, pa, pb) rows are unique by construction
+    # (a position pair determines its gram), and d = pa - pb is a function
+    # of them, so (a, b, d, pa) can never repeat; the dedup shuffle was a
+    # provable no-op (guide §2.4: a distinct on already-unique data).
     m = (
         pairs.join(la, "a")
         .join(lb, ["b", "g"])
         .select("a", "b", (F.col("pa") - F.col("pb")).alias("d"), "pa")
-        .distinct()
     )
     w = Window.partitionBy("a", "b", "d").orderBy("pa")
     isl = m.select(
@@ -713,8 +973,12 @@ def cdc_chunk_dedup(
     (never a window sort), one count per chunk hash. Output:
     (chunk_md5, n_docs, n_occurrences).
     """
+    from ..operators.skew import ensure_parallelism
+
     toks = tokens_col(text_col)
-    pt = df.select("doc_id", F.posexplode(toks).alias("p", "t"))
+    pt = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.posexplode(toks).alias("p", "t")
+    )
     w = Window.partitionBy("doc_id").orderBy("p")
     gram = F.concat_ws(
         " ", F.lag("t", 2).over(w), F.lag("t", 1).over(w), F.col("t")
@@ -810,14 +1074,17 @@ def simhash_hamming_pairs(
     r = banded.select(
         F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "band", "key"
     )
-    cand = (
-        l.join(r, ["band", "key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
-        .distinct()
-    )
+    # r6 (guide §2.3): verify BEFORE the dedup shuffle — the hamming test is
+    # two long ops per row, so filtering the band-join output first shrinks
+    # the distinct's input to the (tiny) qualifying set instead of shuffling
+    # every band collision; filter-then-distinct == distinct-then-filter for
+    # a deterministic per-row predicate, and hamming is functionally
+    # dependent on (a, b) so distinct cardinality is unchanged.
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (
-        cand.select("a", "b", ham.alias("hamming"))
+        l.join(r, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -38,13 +38,28 @@ def topk_cosine(
     """For each query vector, the k nearest vectors by cosine (excluding
     itself): (query_id, vec_id, score, rank). queries: (query_id, q_embedding).
     Broadcast the query side — it is always the small dimension."""
-    scored = embeddings.join(F.broadcast(queries)).where(
-        F.col("vec_id") != F.col("query_id")
+    from ..operators.skew import ensure_parallelism
+
+    # r6 (guide §2.5/§4): spread the single-split scan; hoist both norms out
+    # of the per-(query, vector) scoring (identical multiply order as
+    # cosine_col => bit-identical rounded scores)
+    q_n = queries.withColumn(
+        "q_nrm", F.sqrt(_dot(F.col("q_embedding"), F.col("q_embedding")))
+    )
+    scored = (
+        ensure_parallelism(embeddings)
+        .withColumn("e_nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .join(F.broadcast(q_n))
+        .where(F.col("vec_id") != F.col("query_id"))
     )
     scored = scored.select(
         "query_id",
         "vec_id",
-        F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 4).alias("score"),
+        F.round(
+            _dot(F.col("q_embedding"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("e_nrm")),
+            4,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -217,13 +232,30 @@ def ivf_assign(
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: every vector is assigned to its
     max-cosine centroid. Returns (vec_id, embedding, cell)."""
+    from ..operators.skew import ensure_parallelism
+
     if cents is None:
         cents = ivf_centroids(embeddings, n_cells)
-    scored = embeddings.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6).alias("cs"),
+    # r6 (guide §2.5/§4): vector norms hoisted out of the per-(vector, cell)
+    # scoring — sqrt(dot(v,v)) once per row instead of once per centroid
+    # probe, multiplied in the identical order as cosine_col so the rounded
+    # score is bit-for-bit unchanged; the scan is spread first (embeddings
+    # tables arrive as single-row-group parquet => 1 split).
+    cents_n = cents.withColumn("c_nrm", F.sqrt(_dot(F.col("c_emb"), F.col("c_emb"))))
+    scored = (
+        ensure_parallelism(embeddings)
+        .withColumn("e_nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .join(F.broadcast(cents_n))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(
+                _dot(F.col("embedding"), F.col("c_emb"))
+                / (F.col("e_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cs"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cell"))
     return (
@@ -315,25 +347,54 @@ def semdedup(
     window. This trades exactness at cell boundaries for never comparing
     across cells — the published SemDeDup design point.
     """
-    a = ivf_assign(embeddings, n_cells, cents)
+    # r6 OPTIMIZATION (guide §2.3/§2.4): (1) the assignment frame feeds both
+    # self-join legs — pin it (Catalyst gives zero exchange reuse across
+    # self-join branches, so unpinned it ran the scan + centroid join +
+    # top-1 window twice); (2) hoist the per-vector norm sqrt(dot(v,v)) out
+    # of the pair loop — cosine_col evaluates three O(d) dots per PAIR,
+    # pre-computing each side's norm once per VECTOR leaves one dot per
+    # pair with the identical float DAG (same sqrt results multiplied in
+    # the same order => bit-identical scores); (3) the earliest-cell-mate
+    # selection is min(struct(dup_of, score)) — an algebraic aggregate with
+    # map-side partials — instead of a row_number window over every
+    # qualifying pair.
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    a = ivf_assign(embeddings, n_cells, cents).withColumn("nrm", nrm).localCheckpoint()
+    # the within-cell self-join has only n_cells distinct keys, which caps
+    # reduce-side parallelism at n_cells tasks however many cores exist —
+    # sub-block the right side deterministically (guide §2.5: salting; a
+    # hash of vec_id, never rand()) and replicate the left over the blocks
+    # so every pair is still generated exactly once
+    blocks = 8
     lhs = a.select(
-        "cell", F.col("vec_id").alias("dup_of"), F.col("embedding").alias("l_emb")
+        "cell",
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+    ).withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
+    )
+    rhs = a.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(blocks)).cast("int")
     )
     pairs = (
-        a.join(lhs, "cell")
+        rhs.join(lhs, ["cell", "blk"])
         .where(F.col("dup_of") < F.col("vec_id"))
         .select(
             "vec_id",
             "dup_of",
-            F.round(cosine_col(F.col("l_emb"), F.col("embedding")), 4).alias("score"),
+            F.round(
+                _dot(F.col("l_emb"), F.col("embedding"))
+                / (F.col("l_nrm") * F.col("nrm")),
+                4,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dup_of"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "dup_of", "score")
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("dup_of", "score")).alias("m"))
+        .select("vec_id", F.col("m.dup_of").alias("dup_of"), F.col("m.score").alias("score"))
     )
 
 

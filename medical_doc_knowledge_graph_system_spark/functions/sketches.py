@@ -455,11 +455,39 @@ def cms_frequencies(
     Returns (key, n_true, cms_est) for every distinct key; n_true is the
     exact count so the gate verifies cms_est >= n_true row-for-row and the
     estimate error is measurable. Pure BIGINT arithmetic end to end —
-    bit-exact cross-engine by construction. Composition of cms_cells (the
-    bounded sketch artifact — the streaming fold builds the same cells as
-    a native update-mode aggregation) and cms_probe.
+    bit-exact cross-engine by construction. Same cells/probe semantics as
+    cms_cells + cms_probe (the streaming fold still builds cells per event
+    as a native update-mode aggregation).
+
+    r6 (guide §2.3 'aggregate before you shuffle'): the bucket is a pure
+    function of the KEY, so the exact per-key count is aggregated FIRST and
+    the depth-way md5 explode runs over DISTINCT keys only — cells become
+    sum(n_true) per bucket (identical totals), the hashed probe frame is
+    pinned once and feeds both the cell build and the probe join, and the
+    md5 count drops from 2 x depth x N_events to depth x N_keys.
     """
-    return cms_probe(df, cms_cells(df, key_col, depth, width), key_col, depth, width)
+    rows = F.array([F.lit(j) for j in range(depth)])
+    keys = df.groupBy(F.col(key_col).cast("string").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    probes = (
+        keys.select(key_col, "n_true", F.explode(rows).alias("j"))
+        .select(
+            key_col,
+            "n_true",
+            "j",
+            _cms_bucket(F.col("j"), F.col(key_col), width).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    cells = probes.groupBy("j", "bucket").agg(
+        F.sum("n_true").cast("long").alias("c")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(key_col, "n_true")
+        .agg(F.min("c").alias("cms_est"))
+    )
 
 
 def bloom_bits(grams: DataFrame, m: int = 1 << 18, k: int = 4) -> DataFrame:
@@ -521,9 +549,11 @@ def bloom_decontam(
 
     bits = bloom_bits(eval_grams, m, k)
     js = F.array([F.lit(j) for j in range(k)])
-    grams = df.select(
+    from ..operators.skew import ensure_parallelism
+
+    grams = ensure_parallelism(df.select("doc_id", tokens_col().alias("__toks"))).select(
         "doc_id",
-        F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram"),
+        F.explode(F.array_distinct(_ngrams_col(F.col("__toks"), n))).alias("gram"),
     ).localCheckpoint()
     probe = grams.select("doc_id", "gram", F.explode(js).alias("j")).select(
         "doc_id",

@@ -204,9 +204,19 @@ def ngram_decontam(df: DataFrame, n: int = 4, eval_mod: int = 50) -> DataFrame:
     parameter, not a bounded benchmark suite), so the join is left to
     AQE/autoBroadcastJoinThreshold — small eval sets still broadcast, an
     oversized one degrades to a shuffle join instead of OOMing executors."""
-    grams = df.select(
-        "doc_id",
-        F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram"),
+    # r6: the gram explode is CPU-heavy per-row map work on a scan that may
+    # arrive as ONE split (single-row-group parquet) — spread it (guide
+    # §2.5), and pin the exploded frame once: both the eval and training
+    # sides read it (Catalyst reuses no lineage across the two references).
+    from ..operators.skew import ensure_parallelism
+
+    grams = (
+        ensure_parallelism(df.select("doc_id", tokens_col().alias("__toks")))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_ngrams_col(F.col("__toks"), n))).alias("gram"),
+        )
+        .localCheckpoint()
     )
     is_eval = F.col("doc_id") % eval_mod == 0
     eval_grams = grams.where(is_eval).select("gram").distinct()
@@ -221,9 +231,15 @@ def ngram_decontam(df: DataFrame, n: int = 4, eval_mod: int = 50) -> DataFrame:
 def eval_suite_grams(eval_docs: DataFrame, n: int = 4) -> DataFrame:
     """Distinct word n-grams of a benchmark eval suite: the small, bounded
     table a production decontamination pass joins against. (gram)."""
-    return eval_docs.select(
-        F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram")
-    ).distinct()
+    from ..operators.skew import ensure_parallelism
+
+    return (
+        ensure_parallelism(eval_docs.select(tokens_col().alias("__toks")))
+        .select(
+            F.explode(F.array_distinct(_ngrams_col(F.col("__toks"), n))).alias("gram")
+        )
+        .distinct()
+    )
 
 
 def ngram_decontam_against(
@@ -238,9 +254,11 @@ def ngram_decontam_against(
     shuffle is the final per-doc count. An oversized eval table degrades to
     a shuffle join instead of OOMing executors, same as ngram_decontam.
     Measured A/B at sf0.1 vs a 3e4-gram suite in BENCH.md."""
-    grams = df.select(
+    from ..operators.skew import ensure_parallelism
+
+    grams = ensure_parallelism(df.select("doc_id", tokens_col().alias("__toks"))).select(
         "doc_id",
-        F.explode(F.array_distinct(_ngrams_col(tokens_col(), n))).alias("gram"),
+        F.explode(F.array_distinct(_ngrams_col(F.col("__toks"), n))).alias("gram"),
     )
     return (
         grams.join(eval_grams.select("gram").distinct(), "gram")

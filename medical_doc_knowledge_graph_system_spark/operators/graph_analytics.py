@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 
 PAGERANK_DAMPING = 0.85
 
+# r6: iterative loops checkpoint every PIN_EVERY rounds instead of every
+# round (each localCheckpoint is a job barrier; the lineage between pins is
+# additive-in-bits for the loops that use this, so plan size and Catalyst
+# stats stay bounded). Applies only to loops WITHOUT self-derivative joins —
+# peel/truss loops keep their per-round pins (CLAUDE.md stats-explosion
+# gotcha).
+PIN_EVERY = 4
+
 
 def _mirrored(e0: DataFrame) -> DataFrame:
     """Symmetric (x, y) view of the pinned a<b edge list."""
@@ -145,7 +153,14 @@ def pagerank(
     edge_val = (
         F.col("share") if weight_col is None else (F.col("share") * F.col("wt"))
     )
-    for _ in range(iterations):
+    # r6 (VERDICT #4, guide §2.6): checkpoint every PIN_EVERY rounds, not
+    # every round — each localCheckpoint is a full job barrier, and on
+    # small-to-medium graphs the per-round barrier dominates the round's
+    # actual work. The unrolled lineage between pins is additive-in-bits
+    # (rank joins node-list + aggregate — no self-derivative join), so the
+    # ktruss stats-explosion gotcha does not apply; values are identical
+    # (same expression DAG, measured hash-equal at pin_every 1/2/4/none).
+    for _i in range(iterations):
         shares = ranks.select("name", (F.col("rank") / F.col("deg")).alias("share"))
         contrib = (
             adj.join(shares, adj.x == shares.name)
@@ -159,19 +174,17 @@ def pagerank(
         # every node has an in-edge (mirrored graph, deg >= 1) so an inner
         # join against deg_p (the node list) loses nothing; the left join
         # is belt-and-braces for a future directed caller.
-        ranks = (
-            deg_p.join(contrib, deg_p.name == contrib.y, "left")
-            .select(
-                "name",
-                "deg",
-                "__base",
-                (
-                    F.col("__base")
-                    + F.lit(damping) * F.coalesce("in_share", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = deg_p.join(contrib, deg_p.name == contrib.y, "left").select(
+            "name",
+            "deg",
+            "__base",
+            (
+                F.col("__base")
+                + F.lit(damping) * F.coalesce("in_share", F.lit(0.0))
+            ).alias("rank"),
         )
+        if (_i + 1) % PIN_EVERY == 0 and _i != iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "name", F.round(F.col("rank") * F.lit(float(n_nodes)), 4).alias("rank_norm")
     )
@@ -621,15 +634,23 @@ def hits(
 
     h = nodes.select("name", F.lit(1.0).alias("h"))
     a = None
-    for _ in range(iterations):
+    # r6 (VERDICT #4): pin every PIN_EVERY rounds instead of twice per round
+    # (16 job barriers -> ~4). In-loop each frame is consumed exactly once
+    # by the next step, so the unrolled lineage evaluates once; the LAST
+    # round always pins because h and a are each read twice afterwards
+    # (L1-sum collect + final join).
+    for _i in range(iterations):
         hs = h.select(F.col("name").alias("__hn"), "h")
         a = _salted_sum(
             e_src.join(hs, e_src.src == F.col("__hn")).select("dst", "h"), "dst", "h", "a"
-        ).localCheckpoint()
+        )
         as_ = a.select(F.col("name").alias("__an"), "a")
         h = _salted_sum(
             e_dst.join(as_, e_dst.dst == F.col("__an")).select("src", "a"), "src", "a", "h"
-        ).localCheckpoint()
+        )
+        if (_i + 1) % PIN_EVERY == 0 or _i == iterations - 1:
+            a = a.localCheckpoint()
+            h = h.localCheckpoint()
     s_h = h.agg(F.sum("h")).collect()[0][0] or 0.0
     s_a = a.agg(F.sum("a")).collect()[0][0] or 0.0
     n_lit = F.lit(float(n_nodes))
@@ -684,7 +705,10 @@ def label_propagation(
     w_top = Window.partitionBy("name").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
-    for _ in range(rounds):
+    # r6 (VERDICT #4): pin every PIN_EVERY rounds — labels is consumed
+    # exactly once per round, so the unrolled lineage evaluates once and
+    # only the job-barrier count changes
+    for _i in range(rounds):
         nl = adj.join(labels.select(F.col("name").alias("__ln"), "label"),
                       adj.x == F.col("__ln"))
         cnt = (
@@ -696,8 +720,9 @@ def label_propagation(
             cnt.withColumn("__rn", F.row_number().over(w_top))
             .where(F.col("__rn") == 1)
             .select("name", "label")
-            .localCheckpoint()
         )
+        if (_i + 1) % PIN_EVERY == 0 and _i != rounds - 1:
+            labels = labels.localCheckpoint()
     return labels.select("name", F.col("label").alias("community"))
 
 

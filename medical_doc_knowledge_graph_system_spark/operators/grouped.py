@@ -4,12 +4,14 @@ semantics Catalyst can't express, kept honest by emitting ONLY exact
 integers (so results are bit-identical to the SQL oracle and invariant to
 partitioning / Arrow batch boundaries).
 
-Scale shape: both ops shuffle ONCE on the group key and then hold only one
-group's rows in memory at a time (Spark streams groups through the Python
-worker in Arrow batches); per-group state is bounded by the largest single
-key, never by the partition or the table. That is the applyInPandas
-contract — these two functions double as the template the multimodal and
-extraction UDFs follow.
+Scale shape: both ops shuffle ONCE on a deterministic hash BUCKET of the
+group key (guide §4.5: per-call overhead amortized — a million tiny user
+groups would otherwise mean a million pandas-frame constructions; a few
+hundred buckets mean a few hundred, with the per-key logic vectorized in
+NumPy inside the bucket). Per-task state is bounded by the largest bucket
+(= table_rows / n_buckets for a hash bucket, plus the largest single key),
+and results are invariant to the bucketing because every key's rows land
+in exactly one bucket and the kernels below are per-key exact.
 
 No per-row Python UDFs anywhere (invariant #5): these are Arrow-vectorized
 group transforms, the sanctioned slow path.
@@ -17,10 +19,20 @@ group transforms, the sanctioned slow path.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# buckets for the grouped-pandas shuffle: enough for full reduce-side
+# parallelism on any node size we run, few enough that the per-call pandas
+# overhead stays amortized (rows/bucket >> 1)
+GROUPED_BUCKETS = 256
+
+
+def _bucket(key: str, n: int = GROUPED_BUCKETS):
+    return F.pmod(F.xxhash64(key), F.lit(n)).cast("int")
 
 
 def ecdf_ranks(df: DataFrame, key: str, order: list[str]) -> DataFrame:
@@ -31,23 +43,31 @@ def ecdf_ranks(df: DataFrame, key: str, order: list[str]) -> DataFrame:
 
     Semantically identical to ROW_NUMBER() + COUNT() OVER (PARTITION BY
     key) — the point of the op is exercising the applyInPandas contract
-    against that exact SQL oracle. Outputs are pure BIGINTs.
+    against that exact SQL oracle. Outputs are pure BIGINTs; the per-key
+    logic runs vectorized over a hash bucket of keys (sort + groupby
+    cumcount), so emissions are independent of bucketing and batching.
     """
     id_col = order[-1]
     out_schema = f"{key} long, {id_col} long, rnk long, n long"
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key, *order], kind="mergesort")
+        g = pdf.groupby(key, sort=False)
         return pd.DataFrame(
             {
                 key: pdf[key].values,
                 id_col: pdf[id_col].values,
-                "rnk": range(1, len(pdf) + 1),
-                "n": len(pdf),
+                "rnk": (g.cumcount() + 1).values,
+                "n": g[key].transform("size").values,
             }
         )
 
-    return df.select(key, *order).groupBy(key).applyInPandas(per_group, out_schema)
+    return (
+        df.select(key, *order)
+        .withColumn("__bkt", _bucket(key))
+        .groupBy("__bkt")
+        .applyInPandas(lambda pdf: per_bucket(pdf.drop(columns="__bkt")), out_schema)
+    )
 
 
 def views_before_purchase(
@@ -59,11 +79,12 @@ def views_before_purchase(
 ) -> DataFrame:
     """(key, event_id, n_views_before) for every purchase event: how many
     of the key's view events STRICTLY precede it — last-touch attribution's
-    counting kernel, as a two-sided `cogroup().applyInPandas` merge (sorted
-    view timestamps + searchsorted per purchase, O(|views| log) per key
-    instead of the oracle's per-key view×purchase inequality join).
+    counting kernel, as a two-sided `cogroup().applyInPandas` merge.
 
-    Exact BIGINT counts; per-key state = that key's views + purchases only.
+    Exact BIGINT counts. Both sides cogroup on the same hash bucket of the
+    key; inside a bucket the per-key counts come from one lexicographic
+    searchsorted over (key-index, timestamp-rank) — integer arithmetic, so
+    the result is identical to the per-key merge whatever the bucketing.
     """
     views = events.where(F.col("event_type") == view_type).select(key, ts_col)
     # the purchase side's timestamp gets a FRESH attribute (alias => new
@@ -79,8 +100,8 @@ def views_before_purchase(
     )
     out_schema = f"{key} long, event_id long, n_views_before long"
 
-    def per_key(vg: pd.DataFrame, pg: pd.DataFrame) -> pd.DataFrame:
-        if pg.empty:
+    def per_bucket(vg: pd.DataFrame, pg: pd.DataFrame) -> pd.DataFrame:
+        if len(pg) == 0:
             # dtypes must be explicit: a bare empty DataFrame defaults to
             # float64 and Arrow would reject the long schema
             return pd.DataFrame(
@@ -90,23 +111,45 @@ def views_before_purchase(
                     "n_views_before": pd.Series(dtype="int64"),
                 }
             )
+        pu = pg[key].values.astype(np.int64)
         if len(vg) == 0:
             # an empty cogroup side can arrive as a COLUMN-LESS frame
             # (depends on Arrow batch layout) — never index into it
-            nvb = pd.Series(0, index=range(len(pg)), dtype="int64").values
+            nvb = np.zeros(len(pg), dtype=np.int64)
         else:
-            vts = vg[ts_col].sort_values().values
-            nvb = vts.searchsorted(pg["__p_ts"].values, side="left")
+            vu = vg[key].values.astype(np.int64)
+            vt = vg[ts_col].values
+            pt = pg["__p_ts"].values
+            # compress keys and timestamps to dense ranks so the combined
+            # (key, ts) order key stays inside int64 for any id magnitude
+            uu = np.unique(np.concatenate([vu, pu]))
+            ut = np.unique(np.concatenate([vt, pt]))
+            m = np.int64(len(ut) + 1)
+            vk = np.searchsorted(uu, vu).astype(np.int64) * m + np.searchsorted(ut, vt)
+            vk.sort()
+            pk_user = np.searchsorted(uu, pu).astype(np.int64) * m
+            tgt = pk_user + np.searchsorted(ut, pt)
+            # strictly-before count = rows of the user below (user, p_ts)
+            nvb = np.searchsorted(vk, tgt, side="left") - np.searchsorted(
+                vk, pk_user, side="left"
+            )
         return pd.DataFrame(
             {
                 key: pg[key].values,
                 "event_id": pg["event_id"].values,
-                "n_views_before": nvb,
+                "n_views_before": nvb.astype(np.int64),
             }
         )
 
     return (
-        views.groupBy(key)
-        .cogroup(purch.groupBy(key))
-        .applyInPandas(per_key, out_schema)
+        views.withColumn("__bkt", _bucket(key))
+        .groupBy("__bkt")
+        .cogroup(purch.withColumn("__bkt", _bucket(key)).groupBy("__bkt"))
+        .applyInPandas(
+            lambda vg, pg: per_bucket(
+                vg.drop(columns="__bkt", errors="ignore"),
+                pg.drop(columns="__bkt", errors="ignore"),
+            ),
+            out_schema,
+        )
     )

@@ -193,7 +193,7 @@ def _cc_iterative(
         .repartition(num_partitions, "name")
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # salted two-phase min: a head entity (Zipf skew) has huge degree, so
         # a plain groupBy("x") would funnel its whole neighbor list through
         # one reducer (north_rule: salted entity-hash keys in union-find).
@@ -215,10 +215,15 @@ def _cc_iterative(
             )
             .localCheckpoint()
         )
-        changed = new_lbl.where("changed").limit(1).count()
         lbl = new_lbl.drop("changed")
-        if changed == 0:
-            break
+        # r6 (VERDICT #4): probe convergence every SECOND round — the probe
+        # is a full job barrier, propagation is idempotent at the fixpoint
+        # (an extra round leaves labels unchanged), so batching probes
+        # halves the per-round job count without changing the result.
+        if _round % 2 == 1 or _round == max_iter - 1:
+            changed = new_lbl.where("changed").limit(1).count()
+            if changed == 0:
+                break
     else:
         # Returning partially-propagated labels would silently split
         # components (name_map drift vs the oracle's union-find) — fail loud.
