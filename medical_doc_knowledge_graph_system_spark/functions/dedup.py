@@ -277,29 +277,48 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     keeps both the token hash and the reconstructed simhash inside signed
     63-bit headroom on both engines.
     """
+    # r6 (guide §2.3): three value-identical reductions of the heavy 60-way
+    # aggregate. (1) The simhash depends only on the DISTINCT TOKEN SET —
+    # dedup sets first, run the per-bit sums once per distinct set, join
+    # back. (2) md5 once per DISTINCT token (the minhash trick), not per
+    # occurrence. (3) The ±1 sign sum b_j = Σ±1 >= 0 is equivalent to
+    # 2·c_j >= n with c_j = Σ bit_j (a branch-free shiftright-and sum) and
+    # n = token count: b_j = 2·c_j − n exactly, so the emitted bits are
+    # identical.
     from ..operators.skew import ensure_parallelism
 
     tok = tokens_col(text_col)
-    exploded = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", F.explode(F.array_distinct(tok)).alias("token")
+    base = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.array_sort(F.array_distinct(tok)).alias("__ts"))
+        .localCheckpoint()
     )
+    sets = base.select("__ts").distinct()
+    exploded = sets.select("__ts", F.explode("__ts").alias("token"))
     h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-    withbits = exploded.select("doc_id", h.alias("th"))
+    dim = exploded.select("token").distinct().select("token", h.alias("th"))
+    withbits = exploded.join(dim, "token").select("__ts", "th")
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
         for j in range(60)
     ]
-    sums = withbits.groupBy("doc_id").agg(*bit_aggs)
-    sim = sums.select(
-        "doc_id",
+    sums = withbits.groupBy("__ts").agg(
+        *bit_aggs, F.count(F.lit(1)).alias("__n")
+    )
+    sim_per_set = sums.select(
+        "__ts",
         sum(
-            [F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(60)],
+            [
+                F.when(
+                    F.lit(2) * F.col(f"c{j}") >= F.col("__n"),
+                    F.lit(2**j).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(60)
+            ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    return sim
+    return base.join(sim_per_set, "__ts").select("doc_id", "simhash")
 
 
 SUBSTR_WINDOW = 8
@@ -370,13 +389,14 @@ def neardup_clusters(
 
     Scale shape: ONE corpus scan (the pinned shingle frame feeds signature
     AND verify stages); the verify join fans out per candidate pair, never
-    all-pairs; components via resolve._cc_iterative (min-label over joins,
-    localCheckpoint lineage) — near-dup clusters are star/clique shaped, so
-    the loop converges in a handful of rounds regardless of corpus size.
+    all-pairs; components via resolve.connected_components (r6: the
+    hybrid — exact driver union-find under the edge threshold, distributed
+    min-label propagation above it; near-dup clusters are star/clique
+    shaped, so the distributed loop converges in a handful of rounds).
     """
     from pyspark.sql import Window
 
-    from ..operators.resolve import _cc_iterative
+    from ..operators.resolve import connected_components
     from ..operators.skew import ensure_parallelism
 
     # r6: pin the doc-level shingle-ARRAY frame (50x fewer row objects than
@@ -420,7 +440,10 @@ def neardup_clusters(
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     nodes = df.select(F.col("doc_id").alias("name"))
-    comp = _cc_iterative(nodes, edges)
+    # r6: the hybrid CC (driver union-find under the edge threshold — the
+    # production resolve path, pytest-pinned label-equal to _cc_iterative;
+    # distributed min-label propagation above it)
+    comp = connected_components(nodes, edges)
     w_cluster = Window.partitionBy("comp")
     return comp.select(
         F.col("name").alias("doc_id"),
@@ -1048,11 +1071,32 @@ def simhash_hamming_pairs(
     pigeonhole-exactness theorem stays checkable.
     Output: (a, b, hamming)."""
     assert max_hamming <= bands - 1, "pigeonhole guarantee needs h <= bands-1"
-    sh = simhash64(df, text_col).localCheckpoint(eager=True)
+    # r6 (guide §2.3): dedup identical simhash VALUES before the band join —
+    # near-duplicate corpora collapse 2-3x here, and the band-bucket
+    # fan-out (sum of C(bucket, 2)) shrinks QUADRATICALLY with the
+    # collapse. Identical-value doc pairs are hamming-0 and emitted
+    # directly; cross-value candidates run the same pigeonhole band join
+    # over distinct values only, verify early (the hamming test is two long
+    # ops — filter-then-distinct == distinct-then-filter for a
+    # deterministic predicate), dedup at VALUE-pair granularity, and expand
+    # to doc pairs last. Same output rows: hamming depends only on the
+    # values, doc order restored with least/greatest.
+    sh = simhash64(df, text_col)
+    vals = (
+        sh.groupBy("simhash")
+        .agg(F.collect_list("doc_id").alias("dids"))
+        .localCheckpoint(eager=True)
+    )
+    intra = (
+        vals.where(F.size("dids") >= 2)
+        .select(F.explode("dids").alias("a"), "dids")
+        .select("a", F.explode("dids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("long").alias("hamming"))
+    )
     width = 60 // bands
     mask = (1 << width) - 1
-    banded = sh.select(
-        "doc_id",
+    banded = vals.select(
         "simhash",
         F.explode(
             F.array(
@@ -1067,24 +1111,32 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("__b"),
-    ).select("doc_id", "simhash", F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
-    l = banded.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "band", "key"
-    )
-    r = banded.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "band", "key"
-    )
-    # r6 (guide §2.3): verify BEFORE the dedup shuffle — the hamming test is
-    # two long ops per row, so filtering the band-join output first shrinks
-    # the distinct's input to the (tiny) qualifying set instead of shuffling
-    # every band collision; filter-then-distinct == distinct-then-filter for
-    # a deterministic per-row predicate, and hamming is functionally
-    # dependent on (a, b) so distinct cardinality is unchanged.
+    ).select("simhash", F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
+    l = banded.select(F.col("simhash").alias("sa"), "band", "key")
+    r = banded.select(F.col("simhash").alias("sb"), "band", "key")
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
+    vpairs = (
         l.join(r, ["band", "key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", ham.alias("hamming"))
+        .where(F.col("sa") < F.col("sb"))
+        .select("sa", "sb", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    cross = (
+        vpairs.join(
+            vals.select(F.col("simhash").alias("sa"), F.col("dids").alias("dids_a")),
+            "sa",
+        )
+        .join(
+            vals.select(F.col("simhash").alias("sb"), F.col("dids").alias("dids_b")),
+            "sb",
+        )
+        .select("hamming", "dids_b", F.explode("dids_a").alias("da"))
+        .select("hamming", "da", F.explode("dids_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)

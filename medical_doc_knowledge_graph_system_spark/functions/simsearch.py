@@ -686,18 +686,26 @@ def pq_encode(
     encode time (one scan) and never at query time.
     """
     sd = dims // m
-    vs = embeddings.select(
+    # r6 (guide §4): hoist the two self-dots out of the per-(vector,
+    # centroid) scoring — v·v once per subvector (not once per centroid
+    # probe) and c·c once per codebook row before the broadcast; the
+    # combined expression keeps the identical operand order
+    # (vv − 2·(v·c) + cc), so d2 is bit-for-bit unchanged.
+    from ..operators.skew import ensure_parallelism
+
+    vs = ensure_parallelism(embeddings.select("vec_id", "embedding")).select(
         "vec_id",
         F.posexplode(
             F.array(*[F.slice("embedding", j * sd + 1, sd) for j in range(m)])
         ).alias("sub", "v_sub"),
-    )
+    ).withColumn("__vv", _dot(F.col("v_sub"), F.col("v_sub")))
+    cb_n = codebook.withColumn("__cc", _dot(F.col("c_sub"), F.col("c_sub")))
     dist2 = (
-        _dot(F.col("v_sub"), F.col("v_sub"))
+        F.col("__vv")
         - F.lit(2.0) * _dot(F.col("v_sub"), F.col("c_sub"))
-        + _dot(F.col("c_sub"), F.col("c_sub"))
+        + F.col("__cc")
     )
-    scored = vs.join(F.broadcast(codebook), "sub").select(
+    scored = vs.join(F.broadcast(cb_n), "sub").select(
         "vec_id", "sub", "cell", dist2.alias("d2")
     )
     w = Window.partitionBy("vec_id", "sub").orderBy(

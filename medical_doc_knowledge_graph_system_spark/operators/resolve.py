@@ -151,8 +151,11 @@ def connected_components(
             roots[r] = min(roots.get(r, n), n)  # comp = min name, as iterative path
         comp = {n: roots[find(n)] for n in names}
         spark = nodes.sparkSession
+        # r6: schema follows the node id type — doc-id (bigint) graphs use
+        # the same driver path as name (string) graphs
+        t = dict(nodes.dtypes)["name"]
         return spark.createDataFrame(
-            sorted(comp.items()), schema="name string, comp string"
+            sorted(comp.items()), schema=f"name {t}, comp {t}"
         )
     return _cc_iterative(nodes, edges, max_iter, num_partitions)
 
