@@ -151,15 +151,32 @@ def neardup_pairs_signblock(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # r6 (guide §4): per-vector norms computed once on each verify side —
+    # cosine_col evaluated three interpreted O(d) fold-dots per candidate
+    # PAIR; with the hoist each pair pays one. Same float DAG (the same
+    # sqrt results multiplied in the same order) => bit-identical scores.
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        nrm.alias("nrm_a"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        nrm.alias("nrm_b"),
+    )
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 4).alias("score"),
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
