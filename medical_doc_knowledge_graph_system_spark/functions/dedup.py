@@ -180,12 +180,19 @@ def ngram_jaccard_pairs(
     frequent-shingle tail contributes candidates through its rarer
     neighbors). Output: (doc_a, doc_b, jaccard rounded 4dp).
     """
-    # Materialize the exploded shingle set once: sizes, rare and the blocked
-    # self-join all read it, and without the pin each branch re-runs the
-    # corpus scan + explode (6 scans measured). Linear in corpus tokens —
-    # the same volume every downstream groupBy shuffles anyway.
-    sh = doc_shingles(df, text_col).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    # r6: pin the doc-level shingle-ARRAY frame (same bytes, ~50x fewer
+    # row objects than the exploded incidence — the materialization cost is
+    # per-row); the explode consumers re-derive from the pin in-task and
+    # per-doc sizes become size(shs) — no aggregate at all.
+    from ..operators.skew import ensure_parallelism
+
+    arr = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", shingles_col(text_col).alias("shs"))
+        .localCheckpoint()
+    )
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
+    sizes = arr.select("doc_id", F.size("shs").cast("long").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -469,8 +476,16 @@ def containment_pairs(
     Output: (doc_a, doc_b, cont_a, cont_b) with doc_a < doc_b, both
     directions rounded 4dp, kept when either direction >= threshold.
     """
-    sh = doc_shingles(df, text_col).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    # r6: same doc-level array pin as ngram_jaccard_pairs
+    from ..operators.skew import ensure_parallelism
+
+    arr = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", shingles_col(text_col).alias("shs"))
+        .localCheckpoint()
+    )
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
+    sizes = arr.select("doc_id", F.size("shs").cast("long").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))

@@ -115,13 +115,38 @@ def doc_triples(docs: DataFrame, mentions: DataFrame | None = None) -> DataFrame
     pat = spark.createDataFrame(
         WEB_REL_PATTERNS, schema="src_label string, pred string, dst_label string"
     )
-    s = m.select(F.col("doc_id").alias("s_doc"), F.col("term").alias("subj"), F.col("label").alias("s_lbl"))
-    o = m.select(F.col("doc_id").alias("o_doc"), F.col("term").alias("obj"), F.col("label").alias("o_lbl"))
+    # r6 (guide §2.3 "aggregate before you shuffle"): the per-doc pattern
+    # self-join fanned out |docs| x |mentions/doc|^2 rows into the count.
+    # n_docs depends only on each doc's MENTION SET, so docs collapse to
+    # DISTINCT sets first (with their doc counts) and the pair enumeration
+    # runs once per distinct set — identical counts (mentions are distinct
+    # per doc, so each doc contributes exactly 1 per qualifying triple,
+    # carried by the set's cnt), fan-out |distinct sets| x |set|^2.
+    msets = (
+        m.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set(F.struct("term", "label"))).alias("ms"))
+        .groupBy("ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    e1 = msets.select("ms", "cnt", F.explode("ms").alias("s1")).select(
+        "ms", "cnt", F.col("s1.term").alias("subj"), F.col("s1.label").alias("s_lbl")
+    )
+    e2 = e1.select("cnt", "subj", "s_lbl", F.explode("ms").alias("s2")).select(
+        "cnt",
+        "subj",
+        "s_lbl",
+        F.col("s2.term").alias("obj"),
+        F.col("s2.label").alias("o_lbl"),
+    )
     return (
-        s.join(F.broadcast(pat), s.s_lbl == pat.src_label)
-        .join(o, (F.col("s_doc") == F.col("o_doc")) & (F.col("o_lbl") == F.col("dst_label")) & (F.col("subj") != F.col("obj")))
+        e2.join(
+            F.broadcast(pat),
+            (F.col("s_lbl") == F.col("src_label"))
+            & (F.col("o_lbl") == F.col("dst_label")),
+        )
+        .where(F.col("subj") != F.col("obj"))
         .groupBy("subj", "pred", "obj")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .agg(F.sum("cnt").cast("long").alias("n_docs"))
     )
 
 
